@@ -1,0 +1,79 @@
+"""Scalar text functions — Catalyst-native (JVM, codegen'd) re-expressions of
+every string transform the reference performs imperatively (SURVEY §2.8).
+
+Each helper returns a Column; nothing here is a Python UDF, so all of it
+stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# separator the reference uses when concatenating grouped chunk texts
+# (/root/reference/src/model.py:27)
+GROUP_CONCAT_SEP = "\n--------------------\n"
+
+
+def strip_html(col: Column) -> Column:
+    """HTML tag removal — reference ``re.sub('<[^<]+?>', '', notes)``
+    (/root/reference/src/query_api.py:93)."""
+    return F.regexp_replace(col, "<[^<]+?>", "")
+
+
+def normalize_query(col: Column) -> Column:
+    """Log-mining normalize chain (/root/reference/src/cdrc_logs.py:12-20,27-35):
+    lower → url-decode space forms → drop sort_by suffix → collapse ws → trim."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "%20", " ")
+    c = F.regexp_replace(c, "\\+", " ")
+    c = F.regexp_replace(c, "&sort_by.*$", "")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def url_basename(col: Column) -> Column:
+    """``url.split('/')[-1]`` (/root/reference/src/query_api.py:79)."""
+    return F.element_at(F.split(col, "/"), -1)
+
+
+def doc_id_parts(col: Column) -> tuple[Column, Column]:
+    """``doc_id.split('-', maxsplit=1)`` → (kind, main_id)
+    (/root/reference/src/datastore.py:25)."""
+    parts = F.split(col, "-", 2)
+    return F.element_at(parts, 1), F.element_at(parts, 2)
+
+
+def filename_template(kind: Column, id_: Column, fmt: Column) -> Column:
+    """``f'{kind}-{id}.{fmt}'`` (/root/reference/src/query_api.py:108-112)."""
+    return F.format_string("%s-%s.%s", kind, id_, F.lower(fmt))
+
+
+def notes_document(title: Column, notes: Column) -> Column:
+    """Synthesized notes doc body: title + blank line + HTML-stripped notes
+    (/root/reference/src/query_api.py:90-94)."""
+    return F.concat_ws("\n\n", title, strip_html(notes))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace/punctuation tokenization → array<string> (lowercased)."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles as strings — basis for MinHash / Jaccard dedup.
+
+    Pure Catalyst: transform over a sliced token array.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )

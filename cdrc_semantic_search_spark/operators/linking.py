@@ -1,0 +1,216 @@
+"""Entity linking: broadcast alias join + top-k cosine over a broadcast index.
+
+This is the re-expression of the reference's retrieval core:
+
+* Pinecone cosine index (/root/reference/src/datastore.py:80-95) →
+  an in-memory **EntityIndex** (unit-normalized float32 matrix over every
+  canonical name + alias form) broadcast to executors.
+* hybrid dense+sparse top-k query, α-blended
+  (/root/reference/src/model.py:73-79, config/config.toml:13-15) →
+  NumPy BLAS matmul + ``argpartition`` top-k inside a ``mapInPandas``
+  batch, blended with a token-Jaccard sparse score:
+  ``score = α·cosine + (1−α)·jaccard``.
+* top-k tie-break: (score desc, entity_id asc) — FIXTURES.md §3.
+
+Physical strategy (100-TB reasoning): the mention side is huge, the
+entity side is small (thousands) — so the big side NEVER shuffles for the
+join.  Exact alias resolution is a **broadcast hash equi-join** on the
+normalized surface (J1/J2 pattern, /root/reference/src/datastore.py:28-42);
+only the *distinct unresolved surfaces* (a tiny set after exact matching)
+flow through the Python embedding path, and results re-join broadcast.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.config import Settings
+from cdrc_semantic_search_spark.encoder import encode_texts, normalize_surface
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+@dataclass
+class EntityIndex:
+    """Pre-built embedding index over entity surface forms (Pinecone analog)."""
+
+    entity_ids: np.ndarray  # (M,) object — entity id per form row
+    forms: list[str]  # normalized surface forms
+    matrix: np.ndarray  # (M, dim) float32 unit-normalized
+    token_sets: list[frozenset]  # sparse-side lexical features per form
+    dim: int
+    seed: int = 42
+    ngram: int = 3
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        return encode_texts(texts, dim=self.dim, seed=self.seed, ngram=self.ngram)
+
+
+def build_entity_index(entities_pdf: pd.DataFrame, settings: Settings) -> EntityIndex:
+    """Encode canonical_name + every alias; one index row per distinct form.
+
+    Ambiguous forms keep the smallest entity_id (deterministic tie-break).
+    """
+    form_to_entity: dict[str, str] = {}
+    for row in entities_pdf.itertuples():
+        for form in [row.canonical_name, *list(row.aliases)]:
+            key = normalize_surface(form)
+            if not key:
+                continue
+            prev = form_to_entity.get(key)
+            if prev is None or row.entity_id < prev:
+                form_to_entity[key] = row.entity_id
+    forms = sorted(form_to_entity)
+    enc = settings.encoder
+    matrix = encode_texts(forms, dim=enc.embed_dim, seed=enc.seed, ngram=enc.ngram)
+    token_sets = [frozenset(f.split()) for f in forms]
+    return EntityIndex(
+        entity_ids=np.array([form_to_entity[f] for f in forms], dtype=object),
+        forms=forms,
+        matrix=matrix,
+        token_sets=token_sets,
+        dim=enc.embed_dim,
+        seed=enc.seed,
+        ngram=enc.ngram,
+    )
+
+
+def norm_surface_col(col):
+    """Catalyst twin of encoder.normalize_surface (lower, collapse ws, trim)."""
+    return F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
+
+
+def alias_map_df(spark: SparkSession, index: EntityIndex) -> DataFrame:
+    """(norm_surface, entity_id) dimension table for the exact-path join."""
+    pdf = pd.DataFrame(
+        {"norm_surface": index.forms, "entity_id": list(index.entity_ids)}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _topk_blend(
+    index: EntityIndex,
+    surfaces: list[str],
+    k: int,
+    alpha: float,
+) -> list[list[tuple[str, float]]]:
+    """Per surface: top-k (entity_id, blended score), deduped by entity,
+    ordered by (score desc, entity_id asc)."""
+    if not surfaces:
+        return []
+    q = index.encode(surfaces)  # same encoder config as the index rows
+    sims = q @ index.matrix.T  # (B, M) BLAS
+    kk = min(max(k * 4, k), sims.shape[1])  # extra form rows; dedupe to k entities
+    out: list[list[tuple[str, float]]] = []
+    for bi, surf in enumerate(surfaces):
+        row = sims[bi]
+        cand = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
+        stoks = frozenset(normalize_surface(surf).split())
+        best: dict[str, float] = {}
+        for ci in cand:
+            dense = float(row[ci])
+            ts = index.token_sets[ci]
+            union = len(stoks | ts)
+            jac = (len(stoks & ts) / union) if union else 0.0
+            score = alpha * dense + (1.0 - alpha) * jac
+            eid = index.entity_ids[ci]
+            if eid not in best or score > best[eid]:
+                best[eid] = score
+        ranked = sorted(best.items(), key=lambda t: (-t[1], t[0]))[:k]
+        out.append(ranked)
+    return out
+
+
+def embed_link_surfaces(
+    surfaces_df: DataFrame, bc_index, settings: Settings
+) -> DataFrame:
+    """distinct surfaces → top-1 embedding link: (surface, entity_id, link_score).
+
+    ``bc_index`` is ``sc.broadcast(EntityIndex)``; links below
+    ``retrieval.link_threshold`` come back with NULL entity_id.
+    """
+    alpha = settings.retrieval.alpha
+    thr = settings.retrieval.link_threshold
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index: EntityIndex = bc_index.value
+        for pdf in batches:
+            surfaces = pdf["surface"].fillna("").tolist()
+            ranked = _topk_blend(index, surfaces, k=1, alpha=alpha)
+            ids, scores = [], []
+            for r in ranked:
+                if r and r[0][1] >= thr:
+                    ids.append(r[0][0])
+                    scores.append(r[0][1])
+                else:
+                    ids.append(None)
+                    scores.append(float(r[0][1]) if r else float("nan"))
+            yield pd.DataFrame(
+                {"surface": pdf["surface"], "entity_id": ids, "link_score": scores}
+            )
+
+    return surfaces_df.select("surface").mapInPandas(
+        run, schema="surface string, entity_id string, link_score double"
+    )
+
+
+def link_surfaces(
+    spark: SparkSession,
+    df: DataFrame,
+    surface_col: str,
+    index: EntityIndex,
+    bc_index,
+    settings: Settings,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Attach ``{out_prefix}entity_id`` / ``{out_prefix}link_score`` /
+    ``{out_prefix}link_method`` for a surface column.
+
+    Plan shape: broadcast equi-join for the exact path; the embedding
+    fallback runs only over DISTINCT unresolved surfaces and re-joins
+    broadcast — the big fact side is never shuffled.
+    """
+    eid = f"{out_prefix}entity_id"
+    escore = f"{out_prefix}link_score"
+    emethod = f"{out_prefix}link_method"
+    norm = f"__norm_{out_prefix or 'surface'}"
+
+    amap = alias_map_df(spark, index).withColumnRenamed("entity_id", "__alias_eid")
+    with_norm = df.withColumn(norm, norm_surface_col(F.col(surface_col)))
+    joined = with_norm.join(
+        F.broadcast(amap), with_norm[norm] == amap["norm_surface"], "left"
+    ).drop("norm_surface")
+
+    unresolved = (
+        joined.filter(F.col("__alias_eid").isNull())
+        .select(F.col(norm).alias("surface"))
+        .distinct()
+    )
+    fallback = embed_link_surfaces(unresolved, bc_index, settings).select(
+        F.col("surface").alias(norm),
+        F.col("entity_id").alias("__fb_eid"),
+        F.col("link_score").alias("__fb_score"),
+    )
+    out = joined.join(F.broadcast(fallback), norm, "left")
+    return (
+        out.withColumn(eid, F.coalesce(F.col("__alias_eid"), F.col("__fb_eid")))
+        .withColumn(
+            escore,
+            F.when(F.col("__alias_eid").isNotNull(), F.lit(1.0)).otherwise(
+                F.col("__fb_score")
+            ),
+        )
+        .withColumn(
+            emethod,
+            F.when(F.col("__alias_eid").isNotNull(), F.lit("alias"))
+            .when(F.col("__fb_eid").isNotNull(), F.lit("embed"))
+            .otherwise(F.lit(None).cast("string")),
+        )
+        .drop("__alias_eid", "__fb_eid", "__fb_score", norm)
+    )

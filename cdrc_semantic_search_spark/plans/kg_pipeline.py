@@ -1,0 +1,157 @@
+"""End-to-end KG construction plan: transcripts → triples → kg_nodes/kg_edges.
+
+The Spark re-expression of the reference's ingest+query lifecycle
+(SURVEY §3): scan → stable turn ordering → extraction UDF → entity linking
+against a broadcast index → aggregation → materialization, with
+per-partition ledger commits for idempotent resume.
+
+Plan-shape invariants (the 100-TB contract):
+* the transcripts fact table is read once, never shuffled before
+  extraction (mapInPandas is partition-local; salting only spreads rows);
+* every join touching the fact side is BROADCAST (alias map, fallback
+  links, entity dim) — zero fact-side shuffles until the final
+  aggregations, which group on (entity, pred, entity) — a space orders of
+  magnitude smaller than the input;
+* kg_edges aggregation is a plain groupBy → partial (map-side) aggregation
+  halves shuffle volume for free; hot-entity skew is AQE's problem
+  (skew-join on) plus the salted two-stage option in operators/assembly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.config import Settings
+from cdrc_semantic_search_spark.operators.extraction import (
+    broadcast_catalogue,
+    extract_candidates,
+    extract_mentions,
+)
+from cdrc_semantic_search_spark.operators.linking import (
+    build_entity_index,
+    link_surfaces,
+)
+from cdrc_semantic_search_spark.sources.catalog import ParquetTableCatalog
+
+
+class KGPipeline:
+    """Holds the broadcast state (catalogue + entity index) for a run."""
+
+    def __init__(self, spark: SparkSession, entities_pdf: pd.DataFrame, settings: Settings | None = None):
+        self.spark = spark
+        self.settings = settings or Settings()
+        self.entities_pdf = entities_pdf
+        self.bc_catalogue = broadcast_catalogue(spark, entities_pdf)
+        self.index = build_entity_index(entities_pdf, self.settings)
+        self.bc_index = spark.sparkContext.broadcast(self.index)
+
+    # ------------------------------------------------------------------ core
+    def mentions(self, transcripts: DataFrame) -> DataFrame:
+        """Linked mentions table (FIXTURES.md §3 `mentions` shape)."""
+        raw = extract_mentions(transcripts, self.bc_catalogue)
+        return link_surfaces(
+            self.spark, raw, "surface", self.index, self.bc_index, self.settings
+        )
+
+    def triples(self, transcripts: DataFrame) -> DataFrame:
+        """(conv_id, turn_idx, subj_entity_id, pred, obj_entity_id, score).
+
+        score = min(subj link score, obj link score) — the weakest link
+        bounds triple confidence (alias hits score 1.0; embedding-fallback
+        links carry their hybrid α·dense+(1−α)·sparse score, the
+        reference's blend from config.toml:14-15 / model.py:74-78).
+        """
+        cand = extract_candidates(transcripts, self.bc_catalogue)
+        linked = link_surfaces(
+            self.spark, cand, "subj_surface", self.index, self.bc_index,
+            self.settings, out_prefix="subj_",
+        )
+        linked = link_surfaces(
+            self.spark, linked, "obj_surface", self.index, self.bc_index,
+            self.settings, out_prefix="obj_",
+        )
+        return (
+            linked.filter(
+                F.col("subj_entity_id").isNotNull()
+                & F.col("obj_entity_id").isNotNull()
+                & (F.col("subj_entity_id") != F.col("obj_entity_id"))
+            )
+            .select(
+                "conv_id",
+                "turn_idx",
+                "ts",
+                "subj_entity_id",
+                "pred",
+                "obj_entity_id",
+                F.least("subj_link_score", "obj_link_score").alias("score"),
+            )
+        )
+
+    # ---------------------------------------------------------- materialize
+    def kg_edges(self, triples: DataFrame) -> DataFrame:
+        """Edge rollup: weight + activity span (FIXTURES.md §3 shape)."""
+        return (
+            triples.groupBy("subj_entity_id", "pred", "obj_entity_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("weight"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+            )
+        )
+
+    def kg_nodes(self, mentions: DataFrame) -> DataFrame:
+        """Node table: entity dim enriched with mention counts.
+
+        Mention counts aggregate to ≤|catalogue| rows, so the enrich join
+        broadcasts the counts into the dim side (J1/J2 pattern,
+        /root/reference/src/datastore.py:19-42)."""
+        counts = (
+            mentions.filter(F.col("entity_id").isNotNull())
+            .groupBy("entity_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
+        )
+        dim = self.spark.createDataFrame(
+            self.entities_pdf[["entity_id", "canonical_name", "entity_type"]]
+        )
+        return (
+            dim.join(F.broadcast(counts), "entity_id", "left")
+            .withColumn("n_mentions", F.coalesce(F.col("n_mentions"), F.lit(0)))
+            .select("entity_id", "canonical_name", "entity_type", "n_mentions")
+        )
+
+    # ------------------------------------------------------------- resumable
+    def run_partitioned(
+        self,
+        transcripts: DataFrame,
+        catalog: ParquetTableCatalog,
+        source_snapshot: str = "fixture",
+        resume: bool = True,
+    ) -> list[str]:
+        """Per-bucket extraction with ledger commits; returns buckets run.
+
+        Resume semantics (north_rule): buckets already in the ledger are
+        skipped; a killed run leaves no partial partition visible
+        (data-then-marker ordering in the catalog).
+        """
+        nb = self.settings.pipeline.num_buckets
+        bucket = F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
+        all_parts = [str(i) for i in range(nb)]
+        todo = catalog.uncommitted("triples", all_parts) if resume else all_parts
+        with_bucket = transcripts.withColumn("__bucket", bucket)
+        ran = []
+        for part in todo:
+            sub = with_bucket.filter(F.col("__bucket") == int(part)).drop("__bucket")
+            n_turns = sub.count()
+            tri = self.triples(sub)
+            # ledger row_count == triple_count; lineage carries the turn count
+            catalog.overwrite_partition(
+                tri,
+                "triples",
+                part,
+                source_snapshot=source_snapshot,
+                metrics={"turn_count": n_turns},
+            )
+            ran.append(part)
+        return ran

@@ -1,0 +1,71 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Every knob here is a 100-TB lever, not a test convenience:
+
+* AQE on (+ skew-join splitting + partition coalescing) — runtime re-plan
+  replaces hand-tuned shuffle partition counts at scale (SURVEY §4).
+* Arrow execution on — every pandas UDF moves columnar batches, never rows.
+* ``spark.sql.session.timeZone=UTC`` — timestamp semantics independent of
+  host zone, required for oracle parity.
+* shuffle partitions default to 2× parallelism locally; on a real cluster
+  AQE coalescing makes the initial number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+_PKG_ZIP: str | None = None
+
+
+def package_zip() -> str:
+    """Zip this package for shipping to executors (``--py-files`` analog).
+
+    On a real cluster the same artifact goes to ``spark-submit --py-files``;
+    locally ``get_spark`` attaches it via ``sc.addPyFile`` so worker
+    processes can unpickle our UDFs regardless of the driver's cwd.
+    """
+    global _PKG_ZIP
+    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        base = os.path.join(tempfile.gettempdir(), "cdrc_semantic_search_spark_pkg")
+        _PKG_ZIP = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
+                                       os.path.basename(pkg_dir))
+    return _PKG_ZIP
+
+
+def get_spark(
+    app_name: str = "cdrc-kg-spark",
+    parallelism: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(parallelism * 2, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{parallelism}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # broadcast threshold: entity catalogues / dimension tables are small
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.addPyFile(package_zip())
+    return spark

@@ -1,0 +1,130 @@
+"""Thin Iceberg-style table catalog over partitioned parquet + a commit ledger.
+
+Re-expresses the reference's persistence/incrementality behaviors
+(SURVEY §2.2 K1/K2/K7, §2.10 I1-I4):
+
+* index create / createOrReplace DDL  (/root/reference/src/datastore.py:80-95)
+* change-detection ledger (`file_list.json` name→last_modified snapshot,
+  /root/reference/src/query_api.py:55-70)
+* skip-existing idempotency          (/root/reference/src/query_api.py:86-88,113-115)
+
+On a real cluster this layer is Iceberg (``df.writeTo(...).createOrReplace()``,
+``overwritePartitions()``, snapshot diffs); no Iceberg runtime jars exist in
+the sandbox, so the same API is implemented over directory-partitioned
+parquet plus atomic JSON commit markers.  The commit marker IS the
+Iceberg-manifest analog: one file per (table, partition) recording lineage
+(source snapshot, row/triple counts, timestamps); a partition is visible
+iff its marker exists, and re-running a partition atomically replaces data
+then marker — idempotent resume by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class CommitRecord:
+    table: str
+    partition: str
+    source_snapshot: str
+    row_count: int
+    metrics: dict[str, Any]
+    committed_at: float
+    status: str = "committed"
+
+
+class ParquetTableCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- paths -----------------------------------------------------------
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _partition_path(self, name: str, partition: str) -> str:
+        return os.path.join(self.table_path(name), f"part={partition}")
+
+    def _ledger_dir(self, name: str) -> str:
+        return os.path.join(self.root, "_ledger", name)
+
+    def _marker_path(self, name: str, partition: str) -> str:
+        return os.path.join(self._ledger_dir(name), f"{partition}.json")
+
+    # ---- DDL / writes ----------------------------------------------------
+    def create_or_replace(self, df: DataFrame, name: str) -> None:
+        """K2 analog: full-table replace (reference `overwrite=true`,
+        /root/reference/src/datastore.py:88-95)."""
+        df.write.mode("overwrite").parquet(self.table_path(name))
+        shutil.rmtree(self._ledger_dir(name), ignore_errors=True)
+
+    def overwrite_partition(
+        self,
+        df: DataFrame,
+        name: str,
+        partition: str,
+        source_snapshot: str = "",
+        metrics: dict[str, Any] | None = None,
+    ) -> CommitRecord:
+        """Idempotent per-partition overwrite + ledger commit (I2 analog).
+
+        Data lands first, the marker second — a crash between the two
+        leaves an uncommitted (thus invisible, re-runnable) partition.
+        """
+        path = self._partition_path(name, partition)
+        row_count = df.count()
+        df.write.mode("overwrite").parquet(path)
+        rec = CommitRecord(
+            table=name,
+            partition=partition,
+            source_snapshot=source_snapshot,
+            row_count=row_count,
+            metrics=metrics or {},
+            committed_at=time.time(),
+        )
+        os.makedirs(self._ledger_dir(name), exist_ok=True)
+        tmp = self._marker_path(name, partition) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec.__dict__, f)
+        os.replace(tmp, self._marker_path(name, partition))  # atomic commit
+        return rec
+
+    # ---- reads -----------------------------------------------------------
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(name))
+
+    def read_committed(self, spark: SparkSession, name: str) -> DataFrame:
+        """Union of committed partitions only (uncommitted data invisible)."""
+        parts = sorted(self.committed_partitions(name))
+        paths = [self._partition_path(name, p) for p in parts]
+        if not paths:
+            raise FileNotFoundError(f"no committed partitions for {name}")
+        return spark.read.parquet(*paths)
+
+    # ---- ledger ----------------------------------------------------------
+    def committed_partitions(self, name: str) -> set[str]:
+        d = self._ledger_dir(name)
+        if not os.path.isdir(d):
+            return set()
+        return {f[:-5] for f in os.listdir(d) if f.endswith(".json")}
+
+    def ledger(self, name: str) -> list[CommitRecord]:
+        out = []
+        for p in sorted(self.committed_partitions(name)):
+            with open(self._marker_path(name, p)) as f:
+                out.append(CommitRecord(**json.load(f)))
+        return out
+
+    def uncommitted(self, name: str, all_partitions: list[str]) -> list[str]:
+        """Resume set = all − committed (the reference's changed-file diff,
+        /root/reference/src/query_api.py:55-70, as a set difference)."""
+        done = self.committed_partitions(name)
+        return [p for p in all_partitions if p not in done]

@@ -1,0 +1,73 @@
+"""The correctness gate (BASELINE.json): triple P/R ≥ 0.95 + per-turn text
+equality under stable (conv_id, turn_idx) ordering."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.config import Settings
+from cdrc_semantic_search_spark.oracle import oracle_triples, precision_recall
+from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+KEY = ["conv_id", "turn_idx", "subj_entity_id", "pred", "obj_entity_id"]
+
+
+def test_oracle_matches_ground_truth(fixture):
+    pred = oracle_triples(fixture.transcripts, fixture.entities, Settings())
+    p, r = precision_recall(pred, fixture.truth_triples)
+    assert p >= 0.95, f"oracle precision {p:.3f}"
+    assert r >= 0.95, f"oracle recall {r:.3f}"
+
+
+def test_spark_matches_ground_truth(spark, fixture, spark_fixture):
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    got = pipe.triples(tdf).toPandas()
+    p, r = precision_recall(got, fixture.truth_triples)
+    assert p >= 0.95, f"spark precision {p:.3f}"
+    assert r >= 0.95, f"spark recall {r:.3f}"
+
+
+def test_spark_triples_equal_oracle_exactly(spark, fixture, spark_fixture):
+    """Spark and the single-process oracle share extraction + encoder bits;
+    their triple sets must be identical, not merely close."""
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    got = pipe.triples(tdf).toPandas()
+    want = oracle_triples(fixture.transcripts, fixture.entities, Settings())
+    got_set = {tuple(t) for t in got[KEY].itertuples(index=False)}
+    want_set = {tuple(t) for t in want[KEY].itertuples(index=False)}
+    assert got_set == want_set
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark, fixture, spark_fixture):
+    """input_hint invariant: after flowing through the engine's window
+    ordering, every (conv_id, turn_idx) carries byte-identical text."""
+    tdf, _ = spark_fixture
+    from cdrc_semantic_search_spark.operators.assembly import with_turn_order
+
+    out = (
+        with_turn_order(tdf)
+        .select("conv_id", "turn_idx", "text", "rn")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    src = (
+        fixture.transcripts[["conv_id", "turn_idx", "text"]]
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["conv_id", "turn_idx", "text"]], src)
+    # rn is dense and equals turn_idx + 1 (turn_idx is 0-based dense)
+    assert (out["rn"] == out["turn_idx"] + 1).all()
+
+
+def test_triple_scores_bounded(spark, fixture, spark_fixture):
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    got = pipe.triples(tdf).agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    ).collect()[0]
+    assert 0.0 <= got["lo"] <= got["hi"] <= 1.0
