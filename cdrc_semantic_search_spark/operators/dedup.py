@@ -1,0 +1,269 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference never deduplicates (its corpus is 176 curated files), but a
+100-TB transcript/document pipeline must. Five strategies, cheapest to
+richest; each returns pair/cluster tables keyed deterministically:
+
+* exact           — hash-groupBy on normalized text (one shuffle on a
+                    64-bit digest, not the text bytes)
+* n-gram Jaccard  — shingle inverted index self-join, sub-quadratic
+* MinHash + LSH   — banded signature buckets, classic near-dup at scale
+* SimHash         — 64-bit fingerprint, hamming-band buckets
+* embedding cosine— near-dup via cosine_pairs (operators/similarity.py)
+
+Hash functions are crc32/md5-based (process- and platform-stable), never
+Python ``hash()`` — determinism across runs/executors is part of the
+contract (SURVEY §5.5).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.functions.text import tokens, word_shingles
+
+
+# --------------------------------------------------------------- exact dedup
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (whitespace-normalized) texts.
+
+    Shuffles a 64-bit digest + id, not the documents: at 100 TB the
+    shuffle payload is ~16 bytes/row. Collision check is by digest only
+    (xxhash64+md5 double hash makes a false merge astronomically rare).
+    → (dup_key, n_docs, doc_ids sorted, keeper = min id).
+    """
+    norm = F.trim(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    keyed = df.select(
+        F.col(id_col),
+        F.concat_ws("|", F.xxhash64(norm).cast("string"), F.md5(norm)).alias("dup_key"),
+    )
+    return (
+        keyed.groupBy("dup_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+            F.min(id_col).alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with k-word-shingle Jaccard ≥ threshold.
+
+    Candidate generation via an inverted shingle index (explode + equi-join
+    on the shingle **hash**, not the string). The join shuffles
+    (shingle_hash, id) pairs; per-pair intersection size falls out of a
+    groupBy count, union size from the per-doc distinct-shingle counts —
+    no document text ever re-shuffles.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+    ).select("id", F.xxhash64("sh").alias("shash"))
+
+    sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = shingled.select(F.col("id").alias("id_a"), "shash")
+    b = shingled.select(F.col("id").alias("id_b"), "shash")
+    inter = (
+        a.join(b, "shash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- MinHash LSH
+def _minhash_matrix(shingle_hashes: list[np.ndarray], n_perm: int, seed: int) -> np.ndarray:
+    """(n_docs, n_perm) uint64 minhash signatures via affine permutations."""
+    rng = np.random.default_rng(seed)
+    P = np.uint64((1 << 61) - 1)  # Mersenne prime
+    a = rng.integers(1, P, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, P, size=n_perm, dtype=np.uint64)
+    out = np.full((len(shingle_hashes), n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    for i, hs in enumerate(shingle_hashes):
+        if len(hs) == 0:
+            continue
+        # (n_sh, n_perm): (a*h + b) mod P, min over shingles
+        vals = (hs[:, None] * a[None, :] + b[None, :]) % P
+        out[i] = vals.min(axis=0)
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """→ (id, sig array<long>) minhash signatures, Arrow-batched.
+
+    Shingle base hashes are crc32 of the k-word shingle — identical in the
+    pure-Python test oracle.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sh_hashes = []
+            for t in pdf[text_col]:
+                words = [w for w in (t or "").lower().split() if w]
+                sh = {
+                    " ".join(words[i : i + k])
+                    for i in range(max(len(words) - k + 1, 1))
+                }
+                sh_hashes.append(
+                    np.array(
+                        sorted(zlib.crc32(s.encode()) for s in sh if s), dtype=np.uint64
+                    )
+                )
+            sig = _minhash_matrix(sh_hashes, n_perm, seed)
+            # store as int64 (Spark long); values < 2^61 so no overflow
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sig": list(sig.astype(np.int64))}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, sig array<long>"
+    )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from banded minhash buckets + estimated Jaccard.
+
+    rows-per-band = n_perm/n_bands; a pair collides in ≥1 band with
+    probability 1-(1-j^r)^b. Estimated Jaccard = matching-component
+    fraction of the two signatures (zip_with equality mean).
+    """
+    r = n_perm // n_bands
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.col("sig"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(F.concat_ws(",", F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string"))), b),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.lit(float(n_perm))
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ------------------------------------------------------------------- SimHash
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, seed: int = 42
+) -> DataFrame:
+    """→ (id, simhash long): 64-bit SimHash over word tokens (crc32-seeded
+    per-word 64-bit hashes via two crc32 halves)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for t in pdf[text_col]:
+                words = [w for w in (t or "").lower().split() if w]
+                acc = np.zeros(64, dtype=np.int64)
+                for w in words:
+                    wb = w.encode()
+                    h = (zlib.crc32(wb, seed) << 32) | zlib.crc32(wb, seed + 1)
+                    for bit in range(64):
+                        acc[bit] += 1 if (h >> bit) & 1 else -1
+                sh = 0
+                for bit in range(64):
+                    if acc[bit] > 0:
+                        sh |= 1 << bit
+                # to signed int64
+                out.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, simhash long"
+    )
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, id_col: str, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Pairs within hamming distance ≤ max_hamming via banded blocking.
+
+    By pigeonhole, hamming < n_bands ⇒ at least one (64/n_bands)-bit band
+    is identical — candidates join on (band, chunk), then exact hamming
+    (bit_count of xor) filters. Choose n_bands > max_hamming for a
+    completeness guarantee; no all-pairs join ever runs.
+    """
+    assert 64 % n_bands == 0, "n_bands must divide 64"
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), i * bits).bitwiseAND(F.lit(mask)).alias("chunk"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    tagged = sigs.select(
+        F.col(id_col).alias("id"), "simhash", F.explode(bands).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a = tagged.select("band", "chunk", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = tagged.select("band", "chunk", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

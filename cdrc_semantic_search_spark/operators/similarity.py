@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Re-expression of the reference's ANN query path (Pinecone top-k cosine,
+/root/reference/src/model.py:73-79, src/visualise_embeddings.py:12-18)
+plus the scale paths a 100-TB pipeline needs:
+
+* ``topk_cosine_exact`` — declarative cross-join + window top-k. Catalyst
+  all the way (zip_with/aggregate dot product), exactly SQL-expressible →
+  DuckDB oracle. Right answer for small query sets / small corpora.
+* ``topk_cosine_broadcast`` — NumPy BLAS matmul of each Arrow batch of
+  queries against a BROADCAST unit-normalized corpus matrix; exact top-k
+  via argpartition. The big side streams, never shuffles. This is the
+  production path when the index fits an executor (entity catalogues,
+  centroid tables).
+* ``lsh_assign`` / ``topk_cosine_lsh`` — random-hyperplane signatures
+  bucket both sides; candidates only join within a bucket (banded), then
+  exact cosine re-rank. Sub-quadratic self-join for corpus×corpus jobs
+  where neither side broadcasts.
+
+Tie-break everywhere: (score desc, id asc) — FIXTURES.md §3.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.functions import vector as V
+
+
+def topk_cosine_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Exact brute-force top-k: broadcast(queries) ⨯ corpus → window filter.
+
+    The QUERY side broadcasts (it is the small side by construction); the
+    corpus scan stays pruned to (id, vec). Returns
+    (q_id, c_id, score, rank) with rank 1..k by (score desc, c_id asc).
+    """
+    q = queries.select(F.col(q_id), F.col(q_vec))
+    c = corpus.select(F.col(c_id), F.col(c_vec))
+    scored = F.broadcast(q).crossJoin(c).select(
+        q_id, c_id, V.cosine(F.col(q_vec), F.col(c_vec)).alias("score")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def topk_cosine_broadcast(
+    spark,
+    queries: DataFrame,
+    corpus_ids: np.ndarray,
+    corpus_matrix: np.ndarray,
+    k: int,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    id_type: str = "long",
+) -> DataFrame:
+    """Exact top-k against a broadcast corpus matrix (unit rows assumed).
+
+    (B, dim) @ (dim, M) BLAS per Arrow batch; argpartition top-k; the
+    streaming side never shuffles — at 10^12 rows this is a single
+    map-only stage.
+    """
+    norms = np.linalg.norm(corpus_matrix, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = (corpus_matrix / norms).astype(np.float32)
+    bc = spark.sparkContext.broadcast((corpus_ids, unit))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat = bc.value
+        order = np.argsort(ids, kind="stable")  # id-asc tie-break support
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf[q_vec].to_numpy()).astype(np.float32)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            sims = (q / qn) @ mat.T
+            kk = min(k, sims.shape[1])
+            rows = []
+            for bi in range(sims.shape[0]):
+                row = sims[bi]
+                cand = (
+                    np.argpartition(-row, kk - 1)[:kk]
+                    if kk < len(row)
+                    else np.arange(len(row))
+                )
+                ranked = sorted(cand, key=lambda ci: (-row[ci], ids[ci]))
+                for r, ci in enumerate(ranked, start=1):
+                    rows.append((pdf[q_id].iloc[bi], ids[ci], float(row[ci]), r))
+            yield pd.DataFrame(rows, columns=[q_id, "c_id", "score", "rank"])
+
+    return queries.select(q_id, q_vec).mapInPandas(
+        run, schema=f"{q_id} {id_type}, c_id {id_type}, score double, rank int"
+    )
+
+
+def lsh_assign(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Attach (band, bucket) rows per input row via random hyperplanes.
+
+    Signature bits = sign(v @ P); ``n_planes`` bits split into ``n_bands``
+    bands; a row lands in one bucket per band → explode to n_bands rows.
+    Two vectors share ≥1 (band, bucket) with probability rising steeply
+    with cosine — the classic banding amplification.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    bits_per_band = n_planes // n_bands
+    bc_planes_list = [[float(x) for x in planes[:, j]] for j in range(n_planes)]
+
+    sig_bits = [
+        F.when(V.dot(F.col(vec_col), F.array(*[F.lit(v) for v in bc_planes_list[j]])) >= 0, 1).otherwise(0)
+        for j in range(n_planes)
+    ]
+    bands = []
+    for b in range(n_bands):
+        chunk = sig_bits[b * bits_per_band : (b + 1) * bits_per_band]
+        acc = F.lit(0)
+        for bit in chunk:
+            acc = acc * 2 + bit
+        bands.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
+    return df.withColumn("__bb", F.explode(F.array(*bands))).select(
+        "*", F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
+    ).drop("__bb")
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Self-join near-neighbor pairs (id_a < id_b, cosine ≥ threshold).
+
+    Shuffle is on (band, bucket) — sub-quadratic candidate generation;
+    exact cosine re-check after. The all-pairs cross join never happens.
+    """
+    tagged = lsh_assign(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col, dim, n_planes, n_bands, seed
+    )
+    a = tagged.select(
+        F.col("band"), F.col("bucket"),
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+    )
+    b = tagged.select(
+        F.col("band"), F.col("bucket"),
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a", "id_b", V.cosine(F.col("vec_a"), F.col("vec_b")).alias("score")
+    ).filter(F.col("score") >= threshold)

@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data curation, all Catalyst-native
+(zero Python in the hot path): language ID, quality scoring, token
+counting, document fingerprinting.
+
+These generalize the reference's text handling (HTML strip
+query_api.py:93, query normalization cdrc_logs.py:12-35) into the
+column-level metrics a 100-TB curation pipeline filters on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.functions.text import token_count, tokens
+
+# tiny per-language stopword lists: enough signal for an n-gram heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du", "est", "dans"],
+    "de": ["der", "die", "und", "das", "ein", "ist", "nicht", "mit", "den", "von"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "los", "por"],
+}
+
+
+def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
+    """fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(text_col)
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def detect_language(text_col: Column) -> Column:
+    """argmax over per-language stopword ratios; 'und' when all zero.
+
+    A deterministic n-gram-free heuristic: real deployments plug a model
+    UDF here; the operator shape (scalar column in, label out) is what the
+    pipeline depends on.
+    """
+    pairs = [(lang, stopword_ratio(text_col, lang)) for lang in _STOPWORDS]
+    best_score = F.greatest(*[p[1] for p in pairs])
+    out = F.lit("und")
+    for lang, score in reversed(pairs):  # earlier langs win ties
+        out = F.when((best_score > 0) & (score == best_score), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach length/punctuation/stopword/repetition features + a blended
+    quality score in [0,1] (heuristics in the Gopher/C4-rule family)."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    toks = tokens(t)
+    n_distinct = F.size(F.array_distinct(toks))
+    mean_word_len = F.when(n_tokens > 0, (F.length(F.regexp_replace(t, "[^A-Za-z0-9]", "")).cast("double")) / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        (n_chars - F.length(F.regexp_replace(t, "[^A-Za-z0-9\\s]", ""))).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(n_tokens > 0, n_distinct.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    sw_ratio = stopword_ratio(t)
+
+    # blended score: reward moderate length, lexical diversity, some
+    # stopwords (fluent prose), low punctuation noise
+    len_score = F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
+    score = (
+        F.lit(0.3) * len_score
+        + F.lit(0.3) * distinct_ratio
+        + F.lit(0.2) * F.least(sw_ratio * 4, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0)))
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        F.round(mean_word_len, 4).alias("q_mean_word_len"),
+        F.round(punct_ratio, 4).alias("q_punct_ratio"),
+        F.round(distinct_ratio, 4).alias("q_distinct_ratio"),
+        F.round(sw_ratio, 4).alias("q_stopword_ratio"),
+        F.round(score, 4).alias("q_score"),
+    )
+
+
+def fingerprint(text_col: Column) -> Column:
+    """64-bit rolling document fingerprint: xxhash64 over the
+    whitespace-normalized text — the cheap dedup/lineage key."""
+    return F.xxhash64(F.trim(F.regexp_replace(text_col, "\\s+", " ")))
+
+
+def winnowing_fingerprints(text_col: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing (local-minima) fingerprint set over k-token shingle hashes.
+
+    Classic plagiarism/near-dup sketch (Schleimer et al.): hash every
+    k-shingle, keep the min hash of each sliding window of ``window``
+    consecutive shingle hashes → array<long> (distinct, sorted).
+    Catalyst-only: transform over index sequences.
+    """
+    from cdrc_semantic_search_spark.functions.text import word_shingles
+
+    hashes = F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
+    n = F.size(hashes)
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
+    mins = F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, window)))
+    return F.array_sort(F.array_distinct(mins))

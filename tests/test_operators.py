@@ -1,0 +1,253 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.operators import (
+    canonicalize,
+    chunker,
+    dedup,
+    rollup,
+    similarity,
+    text_analysis,
+)
+
+
+# ------------------------------------------------------------------- chunker
+def test_chunk_words_windows(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    out = chunker.chunk_words(df, "id", "text", chunk_size=4, overlap=1).collect()
+    chunks = [r.chunk_text for r in sorted(out, key=lambda r: r.chunk_idx)]
+    assert chunks[0] == "w0 w1 w2 w3"
+    assert chunks[1] == "w3 w4 w5 w6"  # stride 3, overlap 1
+    assert chunks[-1].endswith("w9")
+    # every token appears; overlap tokens repeat
+    assert set(" ".join(chunks).split()) == set(text.split())
+
+
+def test_chunk_words_short_text_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b")], "id long, text string")
+    out = chunker.chunk_words(df, "id", "text", chunk_size=256, overlap=32).collect()
+    assert len(out) == 1 and out[0].chunk_text == "a b"
+
+
+def test_pack_sentences_boundaries():
+    text = "One two three. Four five. Six seven eight nine."
+    chunks = chunker.pack_sentences(text, chunk_size=6, overlap=2)
+    # chunk 1: first two sentences (5 tokens); adding 3rd would exceed 6
+    assert chunks[0] == "One two three. Four five."
+    # next chunk starts with 2-token overlap tail
+    assert chunks[1].startswith("Four five.")
+
+
+def test_chunk_sentences_spark_matches_pure(spark):
+    texts = [
+        "Alpha beta gamma. Delta epsilon. Zeta eta theta iota kappa.",
+        "Single sentence only here.",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = (
+        chunker.chunk_sentences(df, "id", "text", chunk_size=5, overlap=1)
+        .toPandas()
+        .sort_values(["id", "chunk_idx"])
+    )
+    for i, t in enumerate(texts):
+        want = chunker.pack_sentences(t, 5, 1)
+        assert list(got[got["id"] == i]["chunk_text"]) == want
+
+
+# -------------------------------------------------------------------- rollup
+def test_group_rollup_deterministic_order(spark):
+    rows = [
+        ("d1", 2, 0.5, "second"),
+        ("d1", 1, 0.9, "first"),
+        ("d2", 1, 0.1, "only"),
+    ]
+    df = spark.createDataFrame(rows, "doc string, rank int, score double, chunk string")
+    out = {
+        r["doc"]: r
+        for r in rollup.group_rollup(
+            df.repartition(4), ["doc"], "score", "chunk", ["rank"]
+        ).collect()
+    }
+    assert out["d1"]["score"] == 0.9
+    assert out["d1"]["text"].split("\n--------------------\n") == ["first", "second"]
+    assert out["d1"]["n_chunks"] == 2
+    assert out["d2"]["text"] == "only"
+
+
+# ---------------------------------------------------------------- similarity
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((40, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"vid": range(40), "vec": [list(map(float, v)) for v in mat]})
+    return spark.createDataFrame(pdf), mat
+
+
+def _brute_topk(mat, k):
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    out = {}
+    for q in range(len(mat)):
+        order = sorted(range(len(mat)), key=lambda c: (-sims[q, c], c))
+        out[q] = [(c, sims[q, c]) for c in order[:k]]
+    return out
+
+
+def test_topk_exact_matches_numpy(spark, vec_df):
+    df, mat = vec_df
+    q = df.select(F.col("vid").alias("q_id"), F.col("vec").alias("q_vec")).filter("q_id < 5")
+    c = df.select(F.col("vid").alias("c_id"), F.col("vec").alias("c_vec"))
+    got = similarity.topk_cosine_exact(q, c, k=3).toPandas()
+    want = _brute_topk(mat, 3)
+    for qid in range(5):
+        rows = got[got["q_id"] == qid].sort_values("rank")
+        assert list(rows["c_id"]) == [c for c, _ in want[qid]]
+        assert np.allclose(rows["score"], [s for _, s in want[qid]], atol=1e-5)
+
+
+def test_topk_broadcast_matches_exact(spark, vec_df):
+    df, mat = vec_df
+    q = df.select(F.col("vid").alias("q_id"), F.col("vec").alias("q_vec")).filter("q_id < 5")
+    got = similarity.topk_cosine_broadcast(
+        spark, q, np.arange(40), mat, k=3
+    ).toPandas()
+    want = _brute_topk(mat, 3)
+    for qid in range(5):
+        rows = got[got["q_id"] == qid].sort_values("rank")
+        assert list(rows["c_id"]) == [c for c, _ in want[qid]]
+
+
+def test_lsh_pairs_subset_of_true_pairs_and_finds_clones(spark):
+    # build vectors with two exact-duplicate groups + noise
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((10, 8)).astype(np.float32)
+    mat = np.vstack([base, base[:2] + rng.standard_normal((2, 8)).astype(np.float32) * 0.01])
+    pdf = pd.DataFrame({"vid": range(12), "vec": [list(map(float, v)) for v in mat]})
+    df = spark.createDataFrame(pdf)
+    pairs = similarity.cosine_pairs_lsh(df, "vid", "vec", dim=8, threshold=0.99).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 10) in found and (1, 11) in found
+    # every reported pair genuinely satisfies the threshold
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for a, b in found:
+        assert unit[a] @ unit[b] >= 0.99 - 1e-6
+
+
+# --------------------------------------------------------------------- dedup
+def test_exact_duplicate_groups(spark):
+    rows = [(1, "hello  world"), (2, "hello world"), (3, "different"), (4, "hello world ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.exact_duplicate_groups(df, "doc_id", "text").collect()
+    assert len(out) == 1
+    assert out[0]["doc_ids"] == [1, 2, 4]
+    assert out[0]["keeper"] == 1
+
+
+def test_ngram_jaccard_pairs(spark):
+    a = "the quick brown fox jumps over the lazy dog today"
+    b = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [(1, a), (2, b), (3, "completely unrelated text about spark engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5).toPandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(1, 2)}
+    # 8 shared of 8 shingles each... compute: doc has 8 shingles, share 7
+    assert 0.5 <= out["jaccard"].iloc[0] <= 1.0
+
+
+def test_minhash_lsh_finds_near_dupes(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "tokX")  # one token changed
+    far = " ".join(f"z{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", k=3, n_perm=64)
+    pairs = dedup.minhash_lsh_pairs(sigs, "doc_id", n_perm=64, n_bands=16).toPandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_near_pairs(spark):
+    # skewed word frequencies → small hamming drift when one occurrence is
+    # dropped (empirically 7 bits for this corpus); 8 bands guarantee
+    # detection of any pair with hamming < 8
+    words = [f"w{i}" for i in range(20)]
+    base = " ".join(w for i, w in enumerate(words) for _ in range(i + 1))
+    near = base.rsplit(" ", 1)[0]  # drop one occurrence of the last word
+    far = " ".join(f"q{i}" for i in range(40))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id long, text string")
+    sigs = dedup.simhash_signatures(df, "doc_id", "text")
+    got = dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=7, n_bands=8).toPandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert got.set_index(["id_a", "id_b"]).loc[(1, 2), "hamming"] == 7
+
+
+# ------------------------------------------------------------- text analysis
+def test_quality_and_language(spark):
+    rows = [
+        (1, "the cat sat on the mat and it was happy for a while"),
+        (2, "le chat est dans la maison et il est dans le jardin"),
+        (3, "!!! ??? ### $$$ %%%"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_analysis.quality_features(df, "text").toPandas().set_index("doc_id")
+    assert out.loc[1, "q_score"] > out.loc[3, "q_score"]
+    langs = df.select(
+        "doc_id", text_analysis.detect_language(F.col("text")).alias("lang")
+    ).toPandas().set_index("doc_id")
+    assert langs.loc[1, "lang"] == "en"
+    assert langs.loc[2, "lang"] == "fr"
+    assert langs.loc[3, "lang"] == "und"
+
+
+def test_fingerprint_ws_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b\tc"), (2, "a b c"), (3, "a b d")], "doc_id long, text string"
+    )
+    out = df.select("doc_id", text_analysis.fingerprint(F.col("text")).alias("fp")).toPandas()
+    fp = dict(zip(out["doc_id"], out["fp"]))
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_winnowing_overlap(spark):
+    a = " ".join(f"t{i}" for i in range(30))
+    b = " ".join(f"t{i}" for i in range(30)) + " u1 u2"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        text_analysis.winnowing_fingerprints(F.col("text"), k=5, window=4).alias("fps"),
+    ).toPandas()
+    s1, s2 = set(out["fps"].iloc[0]), set(out["fps"].iloc[1])
+    assert len(s1 & s2) / len(s1 | s2) > 0.5
+
+
+# ------------------------------------------------------------ canonicalize
+def test_connected_components_chain_and_island(spark):
+    edges = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    out = dict(
+        (r["id"], r["component"])
+        for r in canonicalize.connected_components(edges).collect()
+    )
+    assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_canonicalize_embedded_clusters_duplicates(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((6, 8)).astype(np.float32)
+    mat = np.vstack([base, base[0:1] * 1.001])  # row 6 ~ row 0
+    pdf = pd.DataFrame({"mid": [f"m{i}" for i in range(7)], "vec": [list(map(float, v)) for v in mat]})
+    df = spark.createDataFrame(pdf)
+    out = canonicalize.canonicalize_embedded(df, "mid", "vec", dim=8, threshold=0.999)
+    got = dict((r["id"], r["canonical_id"]) for r in out.collect())
+    assert got["m6"] == "m0" and got["m0"] == "m0"
+    assert got["m3"] == "m3"

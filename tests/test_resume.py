@@ -1,0 +1,67 @@
+"""Idempotency / resume / determinism tests (SURVEY §5.4-5.5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.config import PipelineSettings, Settings
+from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+from cdrc_semantic_search_spark.sources.catalog import ParquetTableCatalog
+
+KEY = ["conv_id", "turn_idx", "subj_entity_id", "pred", "obj_entity_id"]
+
+
+def _settings(buckets: int = 4) -> Settings:
+    return Settings(pipeline=PipelineSettings(num_buckets=buckets))
+
+
+def test_resume_after_partial_run(spark, fixture, spark_fixture, tmp_path):
+    """Simulate a crash after 2 of 4 partitions; resume must finish the
+    remaining 2 without touching or duplicating the committed ones."""
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, _settings(4))
+    cat = ParquetTableCatalog(str(tmp_path / "cat"))
+
+    nb = 4
+    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
+    with_bucket = tdf.withColumn("__b", bucket)
+    # "crashed" run: commit only buckets 0 and 1
+    for part in ["0", "1"]:
+        sub = with_bucket.filter(F.col("__b") == int(part)).drop("__b")
+        cat.overwrite_partition(pipe.triples(sub), "triples", part, metrics={})
+    committed_before = {
+        p: r.committed_at for p, r in zip(sorted(cat.committed_partitions("triples")), cat.ledger("triples"))
+    }
+
+    ran = pipe.run_partitioned(tdf, cat, resume=True)
+    assert sorted(ran) == ["2", "3"]
+    # earlier commits untouched
+    for rec in cat.ledger("triples"):
+        if rec.partition in committed_before:
+            assert rec.committed_at == committed_before[rec.partition]
+
+    # full result == single-shot batch result, no dupes
+    got = cat.read_committed(spark, "triples").select(*KEY)
+    want = pipe.triples(tdf).select(*KEY)
+    assert got.count() == got.distinct().count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_rerun_overwrite_not_append(spark, fixture, spark_fixture, tmp_path):
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, _settings(2))
+    cat = ParquetTableCatalog(str(tmp_path / "cat2"))
+    pipe.run_partitioned(tdf, cat, resume=False)
+    n1 = cat.read_committed(spark, "triples").count()
+    pipe.run_partitioned(tdf, cat, resume=False)  # forced full re-run
+    assert cat.read_committed(spark, "triples").count() == n1
+
+
+def test_triples_deterministic_under_repartition(spark, fixture, spark_fixture):
+    """Same triple set regardless of physical partitioning (partition-order
+    independence — the determinism half of SURVEY §5.5)."""
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    a = pipe.triples(tdf.repartition(2)).select(*KEY)
+    b = pipe.triples(tdf.repartition(16, "conv_id")).select(*KEY)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.config import Settings
+from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+from cdrc_semantic_search_spark.sources.catalog import ParquetTableCatalog
+from cdrc_semantic_search_spark.streaming import incremental
+
+
+@pytest.fixture(scope="module")
+def transcript_dir(spark, spark_fixture, tmp_path_factory):
+    tdf, _ = spark_fixture
+    d = str(tmp_path_factory.mktemp("transcripts"))
+    # several files so maxFilesPerTrigger yields multiple micro-batches
+    tdf.repartition(8).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_triples_matches_batch(spark, fixture, spark_fixture, transcript_dir, tmp_path):
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    cat = ParquetTableCatalog(str(tmp_path / "cat"))
+    incremental.stream_triples(
+        spark, pipe, transcript_dir, cat, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    ledger = cat.ledger("stream_triples")
+    assert len(ledger) >= 2, "expected multiple micro-batches"
+    streamed = cat.read_committed(spark, "stream_triples")
+    batch = pipe.triples(tdf)
+    key = ["conv_id", "turn_idx", "subj_entity_id", "pred", "obj_entity_id"]
+    got = {tuple(r) for r in streamed.select(*key).collect()}
+    want = {tuple(r) for r in batch.select(*key).collect()}
+    assert got == want
+    # restart with same checkpoint: no new batches, no duplicates
+    n_before = streamed.count()
+    incremental.stream_triples(
+        spark, pipe, transcript_dir, cat, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    assert cat.read_committed(spark, "stream_triples").count() == n_before
+
+
+def test_windowed_counts_with_watermark(spark, spark_fixture, transcript_dir, tmp_path):
+    stream = incremental.transcript_stream(spark, transcript_dir)
+    agg = incremental.windowed_turn_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from win_counts")
+    # append mode emits only windows sealed by the watermark; compare those
+    batch = spark.read.parquet(transcript_dir)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("win"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(F.col("win.start").alias("window_start"), "role", "n_turns")
+        .filter(F.col("win.end") < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    )
+    got_set = {
+        (r["window_start"], r["role"], r["n_turns"])
+        for r in got.join(
+            want.select(F.col("window_start").alias("ws")).distinct(),
+            got["window_start"] == F.col("ws"),
+            "left_semi",
+        ).collect()
+    }
+    want_set = {(r["window_start"], r["role"], r["n_turns"]) for r in want.collect()}
+    assert want_set and want_set <= got_set
