@@ -67,7 +67,8 @@ def topk_cosine_broadcast(
     k: int,
     q_id: str = "q_id",
     q_vec: str = "q_vec",
-    id_type: str = "long",
+    q_id_type: str = "long",
+    c_id_type: str = "long",
 ) -> DataFrame:
     """Exact top-k against a broadcast corpus matrix (unit rows assumed).
 
@@ -105,7 +106,7 @@ def topk_cosine_broadcast(
             yield pd.DataFrame(rows, columns=[q_id, "c_id", "score", "rank"])
 
     return queries.select(q_id, q_vec).mapInPandas(
-        run, schema=f"{q_id} {id_type}, c_id {id_type}, score double, rank int"
+        run, schema=f"{q_id} {q_id_type}, c_id {c_id_type}, score double, rank int"
     )
 
 

@@ -1,0 +1,1309 @@
+"""Registry of driver-checkable queries: every SURVEY §2 operator exercised
+over the driver's parquet tables, each with (when SQL-expressible) a
+DuckDB oracle producing identical column names and values.
+
+Cross-engine determinism conventions (why results hash-match exactly):
+
+* money/metric aggregates: ``SUM(CAST(x AS DECIMAL(18,4)))`` — exact
+  decimal arithmetic is order-independent and engine-independent; the
+  final cast to DOUBLE converts the same exact decimal on both sides.
+  A plain double SUM differs between engines in the last bits because the
+  addition order differs.
+* float-chain outputs (cosines, ratios): ROUND(x, 6) — cross-engine drift
+  is ~1e-15, six decimals is 9 orders of magnitude away from the boundary.
+* every aggregate/computed column aliased identically in Spark and SQL;
+  ties in any top-k/order broken by a unique key column.
+* hashes that must match across engines use md5 (both engines agree);
+  xxhash64 stays engine-internal only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from cdrc_semantic_search_spark.functions import text as T
+from cdrc_semantic_search_spark.functions import vector as V
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # DuckDB oracle; None → rows-only check
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, sql)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _dec_sum(col, alias: str):
+    """Exact, engine-independent sum of a double column (see module doc)."""
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# =====================================================================
+# §2.3 projections / filters / predicates
+# =====================================================================
+
+@register(
+    "p1_name_filter",
+    """
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE lower(p_name) LIKE '%red%' OR lower(p_name) LIKE '%blue%'
+    """,
+)
+def p1_name_filter(spark, sf_dir):
+    """P1 resource-name filter (reference query_api.py:78: keep resources
+    whose name contains 'profile'/'flyer', case-insensitive)."""
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.lower(F.col("p_name")).rlike("red|blue"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+@register(
+    "p2_null_presence",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE props IS NOT NULL AND event_type <> '' AND value IS NOT NULL
+    """,
+)
+def p2_null_presence(spark, sf_dir):
+    """P2/P3 presence predicates (query_api.py:75-76,113-115)."""
+    e = load(spark, sf_dir, "events")
+    return e.filter(
+        F.col("props").isNotNull()
+        & (F.col("event_type") != "")
+        & F.col("value").isNotNull()
+    ).select("event_id", "event_type", "value")
+
+
+@register(
+    "p6_json_flatten",
+    """
+    SELECT event_id, event_type,
+           CAST(props->>'k' AS BIGINT) AS k_val
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def p6_json_flatten(spark, sf_dir):
+    """P6 response flatten + F9 JSON decode (model.py:84-91, query_api.py:38)."""
+    e = load(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+@register(
+    "p7_id_parse",
+    """
+    SELECT o_orderkey,
+           split_part(o_orderpriority, '-', 1) AS prio_code,
+           split_part(o_orderpriority, '-', 2) AS prio_name
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def p7_id_parse(spark, sf_dir):
+    """P7/F7 doc_id split('-', maxsplit=1) (datastore.py:25)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    parts = F.split("o_orderpriority", "-", 2)
+    return o.select(
+        "o_orderkey",
+        F.element_at(parts, 1).alias("prio_code"),
+        F.element_at(parts, 2).alias("prio_name"),
+    )
+
+
+# =====================================================================
+# §2.8 scalar functions
+# =====================================================================
+
+@register(
+    "f2_normalize_chain",
+    """
+    SELECT p_partkey,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(p_name), '%20', ' ', 'g'), '\\+', ' ', 'g'),
+               '&sort_by.*$', '', 'g'), '\\s+', ' ', 'g')) AS norm_name
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def f2_normalize_chain(spark, sf_dir):
+    """F2 log-query normalize chain (cdrc_logs.py:12-35)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select("p_partkey", T.normalize_query(F.col("p_name")).alias("norm_name"))
+
+
+@register(
+    "f3_html_strip",
+    """
+    SELECT doc_id,
+           regexp_replace('<b>' || text || '</b>', '<[^<]+?>', '', 'g') AS clean_text
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def f3_html_strip(spark, sf_dir):
+    """F3 HTML tag strip (query_api.py:93) — tags synthesized then removed."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    wrapped = F.concat(F.lit("<b>"), F.col("text"), F.lit("</b>"))
+    return d.select("doc_id", T.strip_html(wrapped).alias("clean_text"))
+
+
+@register(
+    "f4_url_basename",
+    """
+    SELECT doc_id,
+           split_part('http://host/' || source || '/' || doc_id || '.pdf', '/', -1) AS basename
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def f4_url_basename(spark, sf_dir):
+    """F4 url.split('/')[-1] (query_api.py:79) over a synthesized URL."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    url = F.concat(
+        F.lit("http://host/"), F.col("source"), F.lit("/"), F.col("doc_id"), F.lit(".pdf")
+    )
+    return d.select("doc_id", T.url_basename(url).alias("basename"))
+
+
+@register(
+    "f5_filename_template",
+    """
+    SELECT doc_id,
+           format('{}-{}.{}', 'profile', doc_id, lower(source)) AS filename
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def f5_filename_template(spark, sf_dir):
+    """F5 filename templating (query_api.py:108-112)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        T.filename_template(F.lit("profile"), F.col("doc_id"), F.col("source")).alias(
+            "filename"
+        ),
+    )
+
+
+@register(
+    "f8_date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date_iso
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def f8_date_parts(spark, sf_dir):
+    """F8 date parse → ISO (datastore.py:33) + calendar parts."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_iso"),
+    )
+
+
+@register(
+    "f10_contains",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE text LIKE '%spark%' AND lang = 'en'
+    """,
+)
+def f10_contains(spark, sf_dir):
+    """F10 substring membership (query_api.py:78,109)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.col("text").contains("spark") & (F.col("lang") == "en")).select(
+        "doc_id", "n_chars"
+    )
+
+
+# =====================================================================
+# §2.4 joins
+# =====================================================================
+
+@register(
+    "j1_broadcast_enrich",
+    """
+    SELECT r.r_name AS region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j1_broadcast_enrich(spark, sf_dir):
+    """J1/J2 metadata lookup joins (datastore.py:19-42) as broadcast hash
+    equi-joins: fact=customer, dims=nation/region broadcast."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            _dec_sum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+@register(
+    "j4_anti_resume",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j4_anti_resume(spark, sf_dir):
+    """J4 change-detection diff as an ANTI join (query_api.py:55-70; the
+    resume anti-join of SURVEY §2.10)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "j6_semi_membership",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts_ordered
+    FROM part p WHERE EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def j6_semi_membership(spark, sf_dir):
+    """J6 set-membership semi-join (datastore.py:81, query_api.py:51-52)."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return (
+        p.join(li, "p_partkey", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts_ordered"))
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l.l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c, orders o, lineitem l
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey = o.o_custkey
+      AND l.l_orderkey = o.o_orderkey
+      AND o.o_orderdate < DATE '1998-03-15' AND l.l_shipdate > DATE '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → two joins → agg → top-k.
+    Customer (filtered) broadcasts; lineitem never shuffles before the
+    groupBy on its own key."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(15,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l.l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
+    FROM customer c, orders o, lineitem l, supplier s, nation n
+    WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+      AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      AND s.s_nationkey = n.n_nationkey
+      AND o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: multi-join with same-nation constraint."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), (o["o_custkey"] == c["c_custkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(15,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# =====================================================================
+# §2.5 aggregations
+# =====================================================================
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 4) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: the canonical wide aggregation; map-side partial agg +
+    2-column group key. A1/A5 analog at scale."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-02")
+    # factor-wise decimal cast BEFORE multiplying: exact decimal products are
+    # engine-independent, while casting a double product rounds half-up in
+    # Spark vs half-even in DuckDB and drifts over thousands of rows
+    price_d = F.col("l_extendedprice").cast("decimal(15,4)")
+    disc_d = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    tax_d = (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            F.round(F.sum(price_d * disc_d), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price_d * disc_d * tax_d), 4)
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(l_discount AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan-filter-aggregate; predicate pushdown showcase."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(15,4)")
+                    * F.col("l_discount").cast("decimal(8,4)")
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "a1_group_rollup",
+    """
+    SELECT source,
+           CAST(MAX(n_chars) AS BIGINT) AS score,
+           string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks
+    FROM documents
+    GROUP BY source
+    """,
+)
+def a1_group_rollup(spark, sf_dir):
+    """A1 group-by-document rollup (model.py:13-32): max score + ordered
+    concat — the reference's retrieval postprocessor over driver tables."""
+    from cdrc_semantic_search_spark.operators.rollup import group_rollup
+
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("score"),
+        "doc_id",
+        F.col("doc_id").cast("string").alias("doc_id_str"),
+    )
+    out = group_rollup(d, ["source"], "score", "doc_id_str", ["doc_id"], sep="|")
+    return out.select(
+        "source", F.col("score").cast("long").alias("score"), "text", "n_chunks"
+    )
+
+
+@register(
+    "a2_count_by_value",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, event_type ASC
+    """,
+)
+def a2_count_by_value(spark, sf_dir):
+    """A2 Counter + sort desc (cdrc_logs.py:38-44) + W2 global sort."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+    )
+
+
+@register(
+    "a3_distinct_sets",
+    """
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers_with_orders,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders
+    """,
+)
+def a3_distinct_sets(spark, sf_dir):
+    """A3 distinct id sets (query_api.py:51-52)."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers_with_orders"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_priorities"),
+    )
+
+
+@register(
+    "a5_minmax_by_group",
+    """
+    SELECT c_nationkey,
+           CAST(MIN(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS min_bal,
+           CAST(MAX(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS max_bal,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def a5_minmax_by_group(spark, sf_dir):
+    """A5 max-over-group (model.py:28) + min/avg."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.min(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("min_bal"),
+        F.max(F.col("c_acctbal").cast("decimal(18,4)")).cast("double").alias("max_bal"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_bal"),
+    )
+
+
+# =====================================================================
+# §2.6 windows / top-k / limits
+# =====================================================================
+
+@register(
+    "w1_topk_per_group",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+        FROM orders WHERE o_custkey < 100
+    ) WHERE rk <= 3
+    """,
+)
+def w1_topk_per_group(spark, sf_dir):
+    """W1 top-k per group (model.py:77 similarity_top_k analog)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rk"
+        )
+    )
+
+
+@register(
+    "w3_limit_offset",
+    """
+    SELECT p_partkey, p_retailprice, rk FROM (
+        SELECT p_partkey, p_retailprice,
+               CAST(ROW_NUMBER() OVER (ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rk
+        FROM part
+    ) WHERE rk BETWEEN 2 AND 9
+    """,
+)
+def w3_limit_offset(spark, sf_dir):
+    """W3 head(9)[1:] — limit+offset via row_number (demos/demo.py:7)."""
+    p = load(spark, sf_dir, "part")
+    w = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") >= 2) & (F.col("rk") <= 9))
+        .select("p_partkey", "p_retailprice", "rk")
+    )
+
+
+@register(
+    "w5_lag_lead_context",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN delta > 0 THEN CAST(delta AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS sum_pos_delta
+    FROM (
+        SELECT user_id, value - LAG(value) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        FROM events
+    ) GROUP BY user_id
+    """,
+)
+def w5_lag_lead_context(spark, sf_dir):
+    """W5 stable intra-stream order + lag context (the dialogue-context
+    window of SURVEY §2.6 over the events table)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    return (
+        e.withColumn("delta", delta)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("delta") > 0, F.col("delta").cast("decimal(18,4)")).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            )
+            .cast("double")
+            .alias("sum_pos_delta"),
+        )
+    )
+
+
+@register(
+    "w6_running_sum",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM (SELECT o_custkey AS c_custkey, o_custkey, o_orderkey, o_orderdate, o_totalprice
+          FROM orders WHERE o_custkey < 50)
+    """,
+)
+def w6_running_sum(spark, sf_dir):
+    """Frame-spec window: running per-customer spend."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+# =====================================================================
+# §2.7 set operations
+# =====================================================================
+
+@register(
+    "u1_union_distinct",
+    """
+    SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_sources FROM (
+        SELECT DISTINCT c_nationkey AS nationkey, 'customer' AS side FROM customer
+        UNION ALL
+        SELECT DISTINCT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def u1_union_distinct(spark, sf_dir):
+    """U1/U2 unionByName of derived frames (evaluation.py:46-59)."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct().withColumn("side", F.lit("customer"))
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct().withColumn("side", F.lit("supplier"))
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
+    )
+
+
+@register(
+    "u2_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def u2_except(spark, sf_dir):
+    """exceptAll/anti for resume sets (SURVEY §2.7)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.distinct().subtract(s)  # EXCEPT (set) semantics
+
+
+# =====================================================================
+# §2.9 vector / semantic core
+# =====================================================================
+
+@register(
+    "v3_cosine_neighbors",
+    """
+    SELECT a.vec_id, ROUND(
+        list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+         sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos_next
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id < 200
+    """,
+)
+def v3_cosine_neighbors(spark, sf_dir):
+    """V3 cosine similarity (datastore.py:85,93) as a Catalyst expression —
+    zip_with/aggregate fold, identical evaluation order to DuckDB's
+    list_dot_product on DOUBLE[]."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("va")).filter("vec_id < 200")
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, "vec_id")
+        .select("vec_id", F.round(V.cosine(F.col("va"), F.col("vb")), 6).alias("cos_next"))
+    )
+
+
+@register(
+    "j3_topk_cosine",
+    """
+    SELECT q_id, c_id, score, rank FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+               ROUND(
+                   list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                   (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                    sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id ORDER BY
+                   list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                   (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                    sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) DESC,
+                   b.vec_id ASC) AS INT) AS rank
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+    ) WHERE rank <= 5
+    """,
+)
+def j3_topk_cosine(spark, sf_dir):
+    """J3 the core top-k similarity join (model.py:73-79): exact cosine
+    top-5 for 10 query vectors; tie-break (score desc, c_id asc)."""
+    from cdrc_semantic_search_spark.operators.similarity import topk_cosine_exact
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = topk_cosine_exact(q, c, k=6)  # k+1 then drop self-match
+    out = (
+        out.filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+    )
+    return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
+
+
+@register(
+    "v4_hybrid_blend",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(0.75 * (
+               list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))))
+           + 0.25 * (
+               CAST(len(list_intersect(
+                   list_distinct(list_filter(string_split_regex(lower(a.text), '[^a-z0-9]+'), x -> x <> '')),
+                   list_distinct(list_filter(string_split_regex(lower(b.text), '[^a-z0-9]+'), x -> x <> ''))
+               )) AS DOUBLE) /
+               len(list_distinct(list_concat(
+                   list_distinct(list_filter(string_split_regex(lower(a.text), '[^a-z0-9]+'), x -> x <> '')),
+                   list_distinct(list_filter(string_split_regex(lower(b.text), '[^a-z0-9]+'), x -> x <> ''))
+               )))), 6) AS hybrid_score
+    FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 1
+    JOIN embeddings ea ON ea.vec_id = a.doc_id
+    JOIN embeddings eb ON eb.vec_id = b.doc_id
+    WHERE a.doc_id < 100
+    """,
+)
+def v4_hybrid_blend(spark, sf_dir):
+    """V4 hybrid α·dense + (1−α)·sparse blend, α=0.75 (config.toml:14-15,
+    model.py:74-78): dense = embedding cosine, sparse = token Jaccard."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    a = d.filter("doc_id < 100").select(
+        F.col("doc_id").alias("doc_a"), F.array_distinct(T.tokens(F.col("text"))).alias("ta")
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.array_distinct(T.tokens(F.col("text"))).alias("tb"),
+    )
+    ea = e.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("vb"))
+    joined = a.join(b, "doc_a").join(ea, "doc_a").join(eb, "doc_b")
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.lit(0.75) * V.cosine(F.col("va"), F.col("vb")) + F.lit(0.25) * jac, 6
+        ).alias("hybrid_score"),
+    )
+
+
+@register(
+    "knn_label_vote",
+    """
+    WITH scored AS (
+        SELECT a.vec_id AS q_id, b.label, b.vec_id AS c_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                   list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+                   (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                    sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) DESC,
+                   b.vec_id ASC) AS rank
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id < 20 AND b.vec_id <> a.vec_id
+    ),
+    votes AS (
+        SELECT q_id, label, COUNT(*) AS n FROM scored WHERE rank <= 5
+        GROUP BY q_id, label
+    ),
+    ranked AS (
+        SELECT q_id, label,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n DESC, label ASC) AS lr
+        FROM votes
+    )
+    SELECT q_id, CAST(label AS INT) AS knn_label FROM ranked WHERE lr = 1
+    """,
+)
+def knn_label_vote(spark, sf_dir):
+    """kNN majority-vote classification over the embedding corpus (the
+    eval-style use of the retrieval core, SURVEY §2.9 V5 applied)."""
+    from cdrc_semantic_search_spark.operators.similarity import topk_cosine_exact
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 20").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"), "label")
+    hits = (
+        topk_cosine_exact(q, c.select("c_id", "c_vec"), k=6)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "rank2",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+            ),
+        )
+        .filter(F.col("rank2") <= 5)
+    )
+    votes = (
+        hits.join(c.select("c_id", "label"), "c_id")
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        votes.withColumn("lr", F.row_number().over(w))
+        .filter(F.col("lr") == 1)
+        .select("q_id", F.col("label").alias("knn_label"))
+    )
+
+
+@register(
+    "v1_chunk_words",
+    """
+    SELECT doc_id, CAST(s AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, s * 12 + 1, s * 12 + 16), ' ') AS chunk_text
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 20
+    ), LATERAL UNNEST(range(
+        CASE WHEN len(toks) <= 16 THEN 1
+             ELSE CAST(ceil((len(toks) - 4) / 12.0) AS BIGINT) END)) AS t(s)
+    """,
+)
+def v1_chunk_words(spark, sf_dir):
+    """V1 chunking (datastore.py:112-115): 16-token windows, 4 overlap,
+    Catalyst-only — fully SQL-checkable."""
+    from cdrc_semantic_search_spark.operators.chunker import chunk_words
+
+    d = load(spark, sf_dir, "documents").filter("doc_id < 20")
+    return chunk_words(d, "doc_id", "text", chunk_size=16, overlap=4)
+
+
+# =====================================================================
+# dedup family (training-data pipeline operators)
+# =====================================================================
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT dup_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           list_sort(list(doc_id)) AS doc_ids,
+           MIN(doc_id) AS keeper
+    FROM (
+        SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS dup_key FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS dup_key
+        FROM documents WHERE doc_id < 50
+    ) GROUP BY dup_key HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup via digest groupBy; duplicates synthesized by unioning a
+    shifted copy of the first 50 docs (corpus texts are all distinct).
+    md5 digest so the oracle reproduces the key."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter("doc_id < 50").select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    uni = d.unionByName(dup)
+    norm = F.trim(F.regexp_replace(F.col("text"), "\\s+", " "))
+    return (
+        uni.select("doc_id", F.md5(norm).alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "dedup_token_jaccard",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                 len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+          FROM documents WHERE doc_id < 60) a
+    JOIN (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+          FROM documents WHERE doc_id < 60) b
+      ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+    """,
+)
+def dedup_token_jaccard(spark, sf_dir):
+    """Token-set (1-gram) Jaccard near-dup pairs ≥ 0.5 — the SQL-checkable
+    member of the n-gram Jaccard family (k>1 variants below are
+    rows-only)."""
+    d = load(spark, sf_dir, "documents").filter("doc_id < 60")
+    t = d.select(
+        "doc_id", F.array_distinct(T.tokens(F.col("text"))).alias("toks")
+    )
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    jac = F.size(F.array_intersect("ta", "tb")).cast("double") / F.size(
+        F.array_union("ta", "tb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+@register("dedup_ngram_jaccard", None)  # shingle hashes are engine-internal
+def dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram shingle Jaccard pairs via the inverted-index self-join
+    (operators/dedup.py) — rows-only check (xxhash64 shingle keys)."""
+    from cdrc_semantic_search_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").filter("doc_id < 200")
+    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.2).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH banded candidate pairs (rows-only: signatures are
+    engine-internal). Self-union of shifted docs guarantees true dupes."""
+    from cdrc_semantic_search_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter("doc_id < 50").select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    uni = d.unionByName(dup)
+    sigs = minhash_signatures(uni, "doc_id", "text", k=3, n_perm=64)
+    return minhash_lsh_pairs(sigs, "doc_id", n_perm=64, n_bands=16, min_est_jaccard=0.9)
+
+
+@register("dedup_simhash", None)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only)."""
+    from cdrc_semantic_search_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_signatures,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter("doc_id < 50").select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    sigs = simhash_signatures(d.unionByName(dup), "doc_id", "text")
+    return simhash_near_pairs(sigs, "doc_id", max_hamming=3, n_bands=4)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(
+               list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+                sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+          (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+           sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.5
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.5 (exact; the LSH-bucketed
+    variant is exercised in tests — its candidate set is probabilistic so
+    the exact form is the SQL-checked one)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    cos = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("score_raw", cos)
+        .filter(F.col("score_raw") >= 0.5)
+        .select("id_a", "id_b", F.round("score_raw", 6).alias("score"))
+    )
+
+
+# =====================================================================
+# text analysis (training-data pipeline operators)
+# =====================================================================
+
+_SQL_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_SQL_SW_EN = "['the','and','of','to','a','in','is','it','that','for']"
+_SQL_SW_FR = "['le','la','et','les','des','un','une','du','est','dans']"
+_SQL_SW_DE = "['der','die','und','das','ein','ist','nicht','mit','den','von']"
+_SQL_SW_ES = "['el','la','de','que','y','en','un','es','los','por']"
+
+
+@register(
+    "ta_quality_features",
+    f"""
+    SELECT doc_id, q_n_chars, q_n_tokens,
+           ROUND(q_punct_ratio, 4) AS q_punct_ratio,
+           ROUND(q_distinct_ratio, 4) AS q_distinct_ratio,
+           ROUND(q_stopword_ratio, 4) AS q_stopword_ratio
+    FROM (
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS q_n_chars,
+               CAST(len(toks) AS INT) AS q_n_tokens,
+               CASE WHEN length(text) > 0 THEN
+                    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+               ELSE 0.0 END AS q_punct_ratio,
+               CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS q_distinct_ratio,
+               CASE WHEN len(toks) > 0 THEN
+                    CAST(len(list_filter(toks, x -> list_contains({_SQL_SW_EN}, x))) AS DOUBLE) / len(toks)
+               ELSE 0.0 END AS q_stopword_ratio
+        FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 100)
+    )
+    """,
+)
+def ta_quality_features(spark, sf_dir):
+    """Quality-scoring features (length/punct/stopword/diversity ratios) —
+    the SQL-checkable subset of operators/text_analysis.quality_features."""
+    from cdrc_semantic_search_spark.operators.text_analysis import quality_features
+
+    d = load(spark, sf_dir, "documents").filter("doc_id < 100").select("doc_id", "text")
+    out = quality_features(d, "text")
+    return out.select(
+        "doc_id",
+        F.col("q_n_chars").cast("int").alias("q_n_chars"),
+        F.col("q_n_tokens").cast("int").alias("q_n_tokens"),
+        "q_punct_ratio",
+        "q_distinct_ratio",
+        "q_stopword_ratio",
+    )
+
+
+@register(
+    "ta_language_id",
+    f"""
+    SELECT lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+        SELECT doc_id,
+            CASE WHEN greatest(r_en, r_fr, r_de, r_es) = 0 THEN 'und'
+                 WHEN r_en = greatest(r_en, r_fr, r_de, r_es) THEN 'en'
+                 WHEN r_fr = greatest(r_en, r_fr, r_de, r_es) THEN 'fr'
+                 WHEN r_de = greatest(r_en, r_fr, r_de, r_es) THEN 'de'
+                 ELSE 'es' END AS lang_guess
+        FROM (
+            SELECT doc_id,
+                CASE WHEN len(toks)>0 THEN CAST(len(list_filter(toks, x -> list_contains({_SQL_SW_EN}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END AS r_en,
+                CASE WHEN len(toks)>0 THEN CAST(len(list_filter(toks, x -> list_contains({_SQL_SW_FR}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END AS r_fr,
+                CASE WHEN len(toks)>0 THEN CAST(len(list_filter(toks, x -> list_contains({_SQL_SW_DE}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END AS r_de,
+                CASE WHEN len(toks)>0 THEN CAST(len(list_filter(toks, x -> list_contains({_SQL_SW_ES}, x))) AS DOUBLE)/len(toks) ELSE 0.0 END AS r_es
+            FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+        )
+    ) GROUP BY lang_guess
+    """,
+)
+def ta_language_id(spark, sf_dir):
+    """Language-ID heuristic (stopword-ratio argmax) aggregated per corpus."""
+    from cdrc_semantic_search_spark.operators.text_analysis import detect_language
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(detect_language(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@register(
+    "ta_fingerprint",
+    """
+    SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def ta_fingerprint(spark, sf_dir):
+    """Document fingerprinting — md5 over whitespace-normalized text (the
+    cross-engine-checkable twin of text_analysis.fingerprint/xxhash64)."""
+    d = load(spark, sf_dir, "documents").filter("doc_id < 100")
+    norm = F.trim(F.regexp_replace(F.col("text"), "\\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fp"))
+
+
+@register(
+    "ta_token_counts",
+    f"""
+    SELECT source,
+           CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(MAX(len({_SQL_TOKS})) AS BIGINT) AS max_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def ta_token_counts(spark, sf_dir):
+    """Token counting rolled up per source."""
+    d = load(spark, sf_dir, "documents")
+    n = T.token_count(F.col("text"))
+    return d.groupBy("source").agg(
+        F.sum(n).cast("long").alias("total_tokens"),
+        F.max(n).cast("long").alias("max_tokens"),
+    )
+
+
+@register("ta_winnowing", None)
+def ta_winnowing(spark, sf_dir):
+    """Winnowing fingerprint sets (rows-only: xxhash64 is engine-internal)."""
+    from cdrc_semantic_search_spark.operators.text_analysis import winnowing_fingerprints
+
+    d = load(spark, sf_dir, "documents").filter("doc_id < 100")
+    return d.select(
+        "doc_id",
+        F.size(winnowing_fingerprints(F.col("text"), k=5, window=4)).alias("n_fps"),
+    )
+
+
+# =====================================================================
+# graph / canonicalization
+# =====================================================================
+
+@register(
+    "cc_components",
+    """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT l_suppkey AS a, 1000 + l_partkey % 100 AS b
+        FROM lineitem WHERE l_orderkey < 300
+    ),
+    sym(a, b) AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(n, m) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+    )
+    SELECT n AS id, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n
+    """,
+)
+def cc_components(spark, sf_dir):
+    """Connected components by iterative min-label propagation vs a DuckDB
+    recursive-CTE transitive closure — the canonicalization kernel
+    (SURVEY §4.3) cross-checked exactly."""
+    from cdrc_semantic_search_spark.operators.canonicalize import connected_components
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("id_a"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("id_b"),
+    ).distinct()
+    return connected_components(edges).select("id", "component")
+
+
+@register("kg_triples_fixture", None)
+def kg_triples_fixture(spark, sf_dir):
+    """The KG pipeline end-to-end on the deterministic transcript fixture
+    (rows-only; exact parity vs oracle + ground truth is enforced in
+    pytest — tests/test_kg_parity.py)."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities, Settings())
+    return pipe.triples(tdf).drop("ts")
+
+
+@register("kg_edges_fixture", None)
+def kg_edges_fixture(spark, sf_dir):
+    """kg_edges materialization over the fixture (rows-only)."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities, Settings())
+    return pipe.kg_edges(pipe.triples(tdf)).drop("first_ts", "last_ts")
+
+
+# =====================================================================
+# §2.10 incremental / event-time
+# =====================================================================
+
+@register(
+    "i1_windowed_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def i1_windowed_counts(spark, sf_dir):
+    """Tumbling event-time windows (the batch twin of the streaming
+    watermarked aggregation, streaming/incremental.py)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@register(
+    "a4_first_pick",
+    """
+    SELECT o_custkey AS c_custkey,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order_date,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+    """,
+)
+def a4_first_pick(spark, sf_dir):
+    """A4 first-element pick (datastore.py:33) done right: explicit min
+    over the group, not 'first row of the file'."""
+    o = load(spark, sf_dir, "orders").filter("o_custkey < 200")
+    return o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.min("o_orderdate").cast("date").alias("first_order_date"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
