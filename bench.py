@@ -1,0 +1,106 @@
+"""Headline benchmark — prints ONE JSON line per the driver contract.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` plus the KG
+pipeline over a deterministic transcript fixture sized to the SF, and
+reports per-query wall seconds:
+
+    {"metric": "headline_total_sec", "value": <sum>, "unit": "sec",
+     "queries": {...}, "sf": <sf>, "kg_turns_per_sec": <rate>}
+
+Scaling evidence (N vs 4N executors) is produced by
+``scripts/scaling_bench.py`` and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "a1_group_rollup",
+    "a2_count_by_value",
+    "w1_topk_per_group",
+    "w5_lag_lead_context",
+    "j3_topk_cosine",
+    "v4_hybrid_blend",
+    "v1_chunk_words",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ta_quality_features",
+    "ta_language_id",
+    "i1_windowed_counts",
+    "cc_components",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.catalog_queries import REGISTRY
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+    from cdrc_semantic_search_spark.session import get_spark
+
+    spark = get_spark(app_name="cdrc-kg-bench", parallelism=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warmup: JVM/parquet-reader/codegen init shouldn't be billed
+    # to the first headline query
+    for t in ("lineitem", "embeddings", "documents"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        # warm the IO/plan cache out of the measurement? No — cold per query,
+        # a driver-run comparison wants end-to-end cost including planning.
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    # KG pipeline throughput: fixture scaled with SF (sf0.1 → ~30k turns)
+    n_conv = max(200, int(2000 * (sf / 0.1)))
+    fx = fixtures.generate(seed=42, n_conversations=n_conv, n_entities=500)
+    tdf, _edf = fixtures.to_spark(spark, fx)
+    tdf = tdf.repartition(cpus * 2).localCheckpoint()  # materialize input
+    n_turns = tdf.count()
+    pipe = KGPipeline(spark, fx.entities, Settings())
+    t0 = time.time()
+    n_triples = pipe.triples(tdf).count()
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "kg_turns": n_turns,
+                "kg_triples": n_triples,
+                "kg_turns_per_sec": round(n_turns / kg_sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

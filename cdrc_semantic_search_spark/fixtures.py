@@ -7,19 +7,22 @@ Shapes mandated by FIXTURES.md / BASELINE.json ``input_hint``:
     entity_catalogue(entity_id, canonical_name, aliases array<string>,
                      description, entity_type, url, created)
 
-Generation is a pure function of ``seed`` (numpy PCG64; no wall-clock, no
-external data).  Turn text is templated with embedded entity mentions and
-explicit predicate phrases, so the expected (subj, pred, obj) triples are
-recorded exactly at generation time — they are the parity ground truth
-(FIXTURES.md §3).  ~5% of conversations are "hot" (10–50× median turns)
-and ~3% of entities are "hot" (sampled ~100× more often) to exercise the
-skew paths.  A small fraction of mention surfaces are perturbed (one char
-dropped) and NOT recorded as catalogue aliases — they exercise the
-embedding-fallback linking path.
+Generation is a pure function of ``seed`` with **per-conversation RNG
+streams** (``default_rng((seed, 1, conv_idx))``), so the same corpus can
+be produced either on the driver (``generate``, small scale, with ground
+truth) or distributed across executors (``generate_spark``, bench scale)
+— byte-identical rows either way.  No wall-clock, no external data.
 
-This file is the analog of the reference's corpus-building stage
-(/root/reference/src/query_api.py:74-94: catalogue records → synthesized
-note documents), collapsed into a deterministic generator.
+Turn text is templated with embedded entity mentions and explicit
+predicate phrases; expected (subj, pred, obj) triples are recorded at
+generation time — the parity ground truth (FIXTURES.md §3).  ~5% of
+conversations are "hot" (10–50× median turns) and ~3% of entities are
+"hot" (~100× sampling weight) to exercise skew paths.  A small fraction
+of mention surfaces are perturbed (one char dropped, not a catalogue
+alias) to exercise embedding-fallback linking.
+
+Analog of the reference's corpus-building stage
+(/root/reference/src/query_api.py:74-94), collapsed into a generator.
 """
 
 from __future__ import annotations
@@ -66,6 +69,10 @@ _FILLER = [
     "I will summarise the findings in the next message.",
 ]
 
+_BASE_TS = datetime(2026, 1, 1)
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
 
 @dataclass
 class Fixture:
@@ -74,11 +81,24 @@ class Fixture:
     truth_triples: pd.DataFrame  # (conv_id, turn_idx, subj_entity_id, pred, obj_entity_id)
 
 
+@dataclass
+class EntityPayload:
+    """Compact catalogue arrays shipped to executors for generation."""
+
+    ids: np.ndarray
+    names: np.ndarray
+    aliases: list[list[str]]
+    weights: np.ndarray  # normalized sampling weights (hot-entity skew)
+    tool_idx: np.ndarray
+    place_idx: np.ndarray
+
+
 def _title_case(words: list[str]) -> str:
     return " ".join(w if w[0].isupper() else w.capitalize() for w in words)
 
 
-def _make_entities(rng: np.random.Generator, n_entities: int) -> pd.DataFrame:
+def _make_entities(seed: int, n_entities: int) -> pd.DataFrame:
+    rng = np.random.default_rng((seed, 0))
     base_ts = datetime(2025, 1, 1)
     rows = []
     seen_names: set[str] = set()
@@ -100,8 +120,7 @@ def _make_entities(rng: np.random.Generator, n_entities: int) -> pd.DataFrame:
             k = int(rng.integers(2, 4))
             name = _title_case([str(w) for w in rng.choice(_NOUNS, size=k, replace=False)])
             name += " Index" if etype == "metric" else " Dataset"
-        # de-duplicate canonical names deterministically
-        if name in seen_names:
+        if name in seen_names:  # de-duplicate canonical names deterministically
             name = f"{name} {i:03d}"
         seen_names.add(name)
 
@@ -113,7 +132,6 @@ def _make_entities(rng: np.random.Generator, n_entities: int) -> pd.DataFrame:
         if len(name) > 8:
             drop = int(rng.integers(1, len(name) - 1))
             aliases.append(name[:drop] + name[drop + 1 :])  # typo variant
-        # dedupe aliases, drop any that collide with the canonical name
         aliases = sorted({a for a in aliases if a and a != name})
 
         desc_words = [str(w) for w in rng.choice(_NOUNS, size=6, replace=False)]
@@ -135,38 +153,92 @@ def _make_entities(rng: np.random.Generator, n_entities: int) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def _entity_sampler(rng: np.random.Generator, entities: pd.DataFrame):
-    """Skewed sampler: first 3% of entities are 'hot' (100× weight)."""
+def _payload(entities: pd.DataFrame) -> EntityPayload:
     n = len(entities)
     weights = np.ones(n)
-    weights[: max(1, n * 3 // 100)] = 100.0
+    weights[: max(1, n * 3 // 100)] = 100.0  # hot entities
     weights /= weights.sum()
-    ids = entities["entity_id"].to_numpy()
-    names = entities["canonical_name"].to_numpy()
-    aliases = entities["aliases"].to_list()
     types = entities["entity_type"].to_numpy()
-    tool_idx = np.flatnonzero(types == "tool")
-    place_idx = np.flatnonzero(types == "place")
+    return EntityPayload(
+        ids=entities["entity_id"].to_numpy(),
+        names=entities["canonical_name"].to_numpy(),
+        aliases=entities["aliases"].to_list(),
+        weights=weights,
+        tool_idx=np.flatnonzero(types == "tool"),
+        place_idx=np.flatnonzero(types == "place"),
+    )
 
-    def sample(kind: str | None = None) -> int:
-        if kind == "tool" and len(tool_idx):
-            return int(rng.choice(tool_idx))
-        if kind == "place" and len(place_idx):
-            return int(rng.choice(place_idx))
-        return int(rng.choice(n, p=weights))
 
-    def surface(idx: int, perturb_rate: float) -> str:
-        forms = [names[idx]] + list(aliases[idx])
-        # favour the canonical form; aliases less often
-        w = np.array([4.0] + [1.0] * len(aliases[idx]))
-        s = str(forms[int(rng.choice(len(forms), p=w / w.sum()))])
-        if rng.random() < perturb_rate and len(s) > 6:
-            # unseen surface: drop one interior char (not in catalogue aliases)
-            p = int(rng.integers(1, len(s) - 1))
-            s = s[:p] + s[p + 1 :]
-        return s
+def _sample(rng: np.random.Generator, ent: EntityPayload, kind: str | None) -> int:
+    if kind == "tool" and len(ent.tool_idx):
+        return int(rng.choice(ent.tool_idx))
+    if kind == "place" and len(ent.place_idx):
+        return int(rng.choice(ent.place_idx))
+    return int(rng.choice(len(ent.ids), p=ent.weights))
 
-    return sample, surface, ids
+
+def _surface(rng: np.random.Generator, ent: EntityPayload, idx: int, perturb_rate: float) -> str:
+    forms = [ent.names[idx]] + list(ent.aliases[idx])
+    w = np.array([4.0] + [1.0] * len(ent.aliases[idx]))  # favour canonical
+    s = str(forms[int(rng.choice(len(forms), p=w / w.sum()))])
+    if rng.random() < perturb_rate and len(s) > 6:
+        p = int(rng.integers(1, len(s) - 1))  # unseen surface: drop one char
+        s = s[:p] + s[p + 1 :]
+    return s
+
+
+def _gen_conversation(
+    c: int,
+    n_conversations: int,
+    seed: int,
+    ent: EntityPayload,
+    perturb_rate: float,
+) -> tuple[list[tuple], list[tuple]]:
+    """→ (turn rows, truth triples) for conversation ``c`` — pure function
+    of (seed, c); the distributed and driver paths both call this."""
+    rng = np.random.default_rng((seed, 1, c))
+    conv_id = f"conv_{c:06d}"
+    n_hot = max(1, n_conversations * 5 // 100)
+    if c < n_hot:  # hot conversations: 10–50× the ~12-turn median
+        n_turns = int(rng.integers(120, 600))
+    else:
+        n_turns = int(rng.integers(4, 24))
+    ts = _BASE_TS + timedelta(minutes=int(rng.integers(0, 300_000)))
+    rows: list[tuple] = []
+    truth: list[tuple] = []
+    for t in range(n_turns):
+        role = _ROLES[t % 2]
+        tool = ""
+        kind = rng.random()
+        if kind < 0.35:
+            text = str(rng.choice(_FILLER))
+        elif kind < 0.50:
+            i = _sample(rng, ent, None)
+            text = f"Tell me about {_surface(rng, ent, i, perturb_rate)}."
+        else:
+            pred = PREDICATES[int(rng.integers(0, len(PREDICATES)))]
+            if pred == "uses_tool":
+                si, oi = _sample(rng, ent, None), _sample(rng, ent, "tool")
+                role, tool = "tool", str(rng.choice(_TOOLS))
+            elif pred == "located_in":
+                si, oi = _sample(rng, ent, None), _sample(rng, ent, "place")
+            else:
+                si, oi = _sample(rng, ent, None), _sample(rng, ent, None)
+            while oi == si:  # KG has no self-loops; keep truth consistent
+                oi = _sample(
+                    rng,
+                    ent,
+                    "tool" if pred == "uses_tool" else "place" if pred == "located_in" else None,
+                )
+            s_surf = _surface(rng, ent, si, perturb_rate)
+            o_surf = _surface(rng, ent, oi, perturb_rate)
+            phrase = PRED_PHRASE[pred]
+            lead = str(rng.choice(["", "Note that ", "I found that ", "Records show "]))
+            text = f"{lead}{s_surf} {phrase} {o_surf}."
+            truth.append((conv_id, t, str(ent.ids[si]), pred, str(ent.ids[oi])))
+        ts = ts + timedelta(seconds=int(rng.integers(5, 120)))
+        rows.append((conv_id, np.int32(t), role, text, tool, ts))
+    return rows, truth
 
 
 def generate(
@@ -175,54 +247,16 @@ def generate(
     n_entities: int = 500,
     perturb_rate: float = 0.04,
 ) -> Fixture:
-    rng = np.random.default_rng(seed)
-    entities = _make_entities(rng, n_entities)
-    sample, surface, ids = _entity_sampler(rng, entities)
-
-    base_ts = datetime(2026, 1, 1)
-    n_hot = max(1, n_conversations * 5 // 100)
+    """Driver-side generation with ground truth (tests / oracle parity)."""
+    entities = _make_entities(seed, n_entities)
+    ent = _payload(entities)
     t_rows: list[tuple] = []
     truth: list[tuple] = []
-
     for c in range(n_conversations):
-        conv_id = f"conv_{c:06d}"
-        if c < n_hot:  # hot conversations: 10–50× the ~12-turn median
-            n_turns = int(rng.integers(120, 600))
-        else:
-            n_turns = int(rng.integers(4, 24))
-        ts = base_ts + timedelta(minutes=int(rng.integers(0, 300_000)))
-        for t in range(n_turns):
-            role = _ROLES[t % 2]
-            tool = ""
-            kind = rng.random()
-            if kind < 0.35:
-                text = str(rng.choice(_FILLER))
-            elif kind < 0.50:
-                i = sample()
-                text = f"Tell me about {surface(i, perturb_rate)}."
-            else:
-                pred = PREDICATES[int(rng.integers(0, len(PREDICATES)))]
-                if pred == "uses_tool":
-                    si, oi = sample(), sample("tool")
-                    role, tool = "tool", str(rng.choice(_TOOLS))
-                elif pred == "located_in":
-                    si, oi = sample(), sample("place")
-                else:
-                    si, oi = sample(), sample()
-                while oi == si:  # KG has no self-loops; keep truth consistent
-                    oi = sample("tool" if pred == "uses_tool" else "place" if pred == "located_in" else None)
-                s_surf = surface(si, perturb_rate)
-                o_surf = surface(oi, perturb_rate)
-                phrase = PRED_PHRASE[pred]
-                lead = str(rng.choice(["", "Note that ", "I found that ", "Records show "]))
-                text = f"{lead}{s_surf} {phrase} {o_surf}."
-                truth.append((conv_id, t, ids[si], pred, ids[oi]))
-            ts = ts + timedelta(seconds=int(rng.integers(5, 120)))
-            t_rows.append((conv_id, np.int32(t), role, text, tool, ts))
-
-    transcripts = pd.DataFrame(
-        t_rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    )
+        rows, tr = _gen_conversation(c, n_conversations, seed, ent, perturb_rate)
+        t_rows.extend(rows)
+        truth.extend(tr)
+    transcripts = pd.DataFrame(t_rows, columns=TRANSCRIPT_COLUMNS)
     transcripts["turn_idx"] = transcripts["turn_idx"].astype("int32")
     truth_df = pd.DataFrame(
         truth, columns=["conv_id", "turn_idx", "subj_entity_id", "pred", "obj_entity_id"]
@@ -230,10 +264,8 @@ def generate(
     return Fixture(transcripts=transcripts, entities=entities, truth_triples=truth_df)
 
 
-def to_spark(spark, fixture: Fixture):
-    """Materialize fixture frames as Spark DataFrames with explicit schemas."""
+def transcript_schema():
     from pyspark.sql.types import (
-        ArrayType,
         IntegerType,
         StringType,
         StructField,
@@ -241,7 +273,7 @@ def to_spark(spark, fixture: Fixture):
         TimestampType,
     )
 
-    t_schema = StructType(
+    return StructType(
         [
             StructField("conv_id", StringType()),
             StructField("turn_idx", IntegerType()),
@@ -251,6 +283,56 @@ def to_spark(spark, fixture: Fixture):
             StructField("ts", TimestampType()),
         ]
     )
+
+
+def generate_spark(
+    spark,
+    seed: int = 42,
+    n_conversations: int = 20_000,
+    n_entities: int = 500,
+    perturb_rate: float = 0.04,
+    partitions: int | None = None,
+):
+    """Executor-distributed generation (bench scale): conversations fan out
+    over ``spark.range``; per-conversation RNG streams make the output
+    byte-identical to ``generate`` at any parallelism.
+
+    → (transcripts DataFrame, entities pandas DataFrame)
+    """
+    from collections.abc import Iterator
+
+    entities = _make_entities(seed, n_entities)
+    bc = spark.sparkContext.broadcast(_payload(entities))
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ent = bc.value
+        for pdf in batches:
+            rows: list[tuple] = []
+            for c in pdf["id"]:
+                r, _ = _gen_conversation(int(c), n_conversations, seed, ent, perturb_rate)
+                rows.extend(r)
+            out = pd.DataFrame(rows, columns=TRANSCRIPT_COLUMNS)
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    tdf = (
+        spark.range(0, n_conversations, numPartitions=parts)
+        .mapInPandas(gen, schema=transcript_schema())
+    )
+    return tdf, entities
+
+
+def to_spark(spark, fixture: Fixture):
+    """Materialize fixture frames as Spark DataFrames with explicit schemas."""
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
     e_schema = StructType(
         [
             StructField("entity_id", StringType()),
@@ -262,6 +344,6 @@ def to_spark(spark, fixture: Fixture):
             StructField("created", TimestampType()),
         ]
     )
-    tdf = spark.createDataFrame(fixture.transcripts, schema=t_schema)
+    tdf = spark.createDataFrame(fixture.transcripts, schema=transcript_schema())
     edf = spark.createDataFrame(fixture.entities, schema=e_schema)
     return tdf, edf

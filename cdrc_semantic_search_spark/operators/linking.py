@@ -139,7 +139,7 @@ def embed_link_surfaces(
     thr = settings.retrieval.link_threshold
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        index: EntityIndex = bc_index.value
+        _token, index = bc_index.value  # (token, EntityIndex) broadcast
         for pdf in batches:
             surfaces = pdf["surface"].fillna("").tolist()
             ranked = _topk_blend(index, surfaces, k=1, alpha=alpha)

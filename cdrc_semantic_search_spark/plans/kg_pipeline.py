@@ -40,12 +40,14 @@ class KGPipeline:
     """Holds the broadcast state (catalogue + entity index) for a run."""
 
     def __init__(self, spark: SparkSession, entities_pdf: pd.DataFrame, settings: Settings | None = None):
+        import uuid
+
         self.spark = spark
         self.settings = settings or Settings()
         self.entities_pdf = entities_pdf
         self.bc_catalogue = broadcast_catalogue(spark, entities_pdf)
         self.index = build_entity_index(entities_pdf, self.settings)
-        self.bc_index = spark.sparkContext.broadcast(self.index)
+        self.bc_index = spark.sparkContext.broadcast((uuid.uuid4().hex, self.index))
 
     # ------------------------------------------------------------------ core
     def mentions(self, transcripts: DataFrame) -> DataFrame:
@@ -58,10 +60,31 @@ class KGPipeline:
     def triples(self, transcripts: DataFrame) -> DataFrame:
         """(conv_id, turn_idx, subj_entity_id, pred, obj_entity_id, score).
 
+        Production plan: fused map-only extraction+linking — one
+        mapInPandas stage against broadcast state, zero shuffles on the
+        fact table (operators/extraction.extract_linked_triples).
         score = min(subj link score, obj link score) — the weakest link
         bounds triple confidence (alias hits score 1.0; embedding-fallback
         links carry their hybrid α·dense+(1−α)·sparse score, the
         reference's blend from config.toml:14-15 / model.py:74-78).
+        """
+        from cdrc_semantic_search_spark.operators.extraction import (
+            extract_linked_triples,
+        )
+
+        return extract_linked_triples(
+            transcripts,
+            self.bc_catalogue,
+            self.bc_index,
+            alpha=self.settings.retrieval.alpha,
+            link_threshold=self.settings.retrieval.link_threshold,
+        )
+
+    def triples_joined(self, transcripts: DataFrame) -> DataFrame:
+        """The join-based formulation of ``triples`` (broadcast alias
+        equi-join + distinct-surface embedding fallback).  Semantically
+        identical to the fused plan (tested in test_kg_parity) but pays
+        four shuffle stages — kept as the didactic/verification twin.
         """
         cand = extract_candidates(transcripts, self.bc_catalogue)
         linked = link_surfaces(

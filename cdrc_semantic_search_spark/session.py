@@ -32,7 +32,10 @@ def package_zip() -> str:
     global _PKG_ZIP
     if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
-        base = os.path.join(tempfile.gettempdir(), "cdrc_semantic_search_spark_pkg")
+        # pid-suffixed: concurrent drivers must not race on one zip path
+        base = os.path.join(
+            tempfile.gettempdir(), f"cdrc_semantic_search_spark_pkg_{os.getpid()}"
+        )
         _PKG_ZIP = shutil.make_archive(base, "zip", os.path.dirname(pkg_dir),
                                        os.path.basename(pkg_dir))
     return _PKG_ZIP

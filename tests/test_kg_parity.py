@@ -41,6 +41,16 @@ def test_spark_triples_equal_oracle_exactly(spark, fixture, spark_fixture):
     assert got_set == want_set
 
 
+def test_fused_equals_joined_plan(spark, fixture, spark_fixture):
+    """The map-only fused plan and the broadcast-join plan must emit the
+    same triple set — the plans differ only physically."""
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    fused = {tuple(r) for r in pipe.triples(tdf).select(*KEY).collect()}
+    joined = {tuple(r) for r in pipe.triples_joined(tdf).select(*KEY).collect()}
+    assert fused == joined
+
+
 def test_per_turn_text_equality_under_stable_ordering(spark, fixture, spark_fixture):
     """input_hint invariant: after flowing through the engine's window
     ordering, every (conv_id, turn_idx) carries byte-identical text."""
