@@ -144,6 +144,72 @@ class KGPipeline:
             .select("entity_id", "canonical_name", "entity_type", "n_mentions")
         )
 
+    def surface_clusters(self, mentions: DataFrame) -> DataFrame:
+        """Canonicalization (north_rule stage 3): cluster distinct mention
+        surfaces by embedding similarity — LSH-bucketed candidate pairs ≥ τ,
+        then connected components (min-label propagation); canonical
+        surface = lexicographically smallest member.
+
+        Reference analog: grouping near-identical chunks under one parent
+        id (/root/reference/src/model.py:20-23), generalized to surface
+        forms. Operates on DISTINCT surfaces — cardinality ≪ mentions, so
+        the quadratic-ish clustering never touches the fact table.
+        → (surface, canonical_surface, entity_id)
+        """
+        from cdrc_semantic_search_spark.encoder import make_encoder_udf
+        from cdrc_semantic_search_spark.operators.canonicalize import (
+            canonicalize_embedded,
+        )
+        from cdrc_semantic_search_spark.operators.linking import norm_surface_col
+
+        enc = self.settings.encoder
+        distinct = (
+            mentions.select(
+                norm_surface_col(F.col("surface")).alias("surface"),
+                "entity_id",
+            )
+            .groupBy("surface")
+            .agg(F.min("entity_id").alias("entity_id"))
+        )
+        encode = make_encoder_udf(dim=enc.embed_dim, seed=enc.seed, ngram=enc.ngram)
+        with_vec = distinct.withColumn("vec", encode(F.col("surface")))
+        clusters = canonicalize_embedded(
+            with_vec, "surface", "vec", dim=enc.embed_dim, threshold=0.85,
+            seed=enc.seed,
+        ).withColumnRenamed("id", "surface").withColumnRenamed(
+            "canonical_id", "canonical_surface"
+        )
+        return clusters.join(distinct, "surface", "left").select(
+            "surface", "canonical_surface", "entity_id"
+        )
+
+    # ---------------------------------------------------------- full runs
+    def materialize(
+        self,
+        transcripts: DataFrame,
+        catalog: ParquetTableCatalog,
+        source_snapshot: str = "batch",
+    ) -> dict[str, int]:
+        """Full graph materialization: triples + mentions + kg_nodes +
+        kg_edges + surface_clusters written through the catalog (K1/K2
+        analog: create-or-replace node/edge tables,
+        /root/reference/src/datastore.py:80-95)."""
+        tri = self.triples(transcripts)
+        catalog.create_or_replace(tri, "triples")
+        tri_c = catalog.read_table(self.spark, "triples")
+
+        men = self.mentions(transcripts)
+        catalog.create_or_replace(men, "mentions")
+        men_c = catalog.read_table(self.spark, "mentions")
+
+        catalog.create_or_replace(self.kg_edges(tri_c), "kg_edges")
+        catalog.create_or_replace(self.kg_nodes(men_c), "kg_nodes")
+        catalog.create_or_replace(self.surface_clusters(men_c), "surface_clusters")
+        return {
+            name: catalog.read_table(self.spark, name).count()
+            for name in ["triples", "mentions", "kg_edges", "kg_nodes", "surface_clusters"]
+        }
+
     # ------------------------------------------------------------- resumable
     def run_partitioned(
         self,

@@ -1,0 +1,47 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.config import Settings
+from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+from cdrc_semantic_search_spark.sources.catalog import ParquetTableCatalog
+
+
+def test_materialize_all_tables(spark, fixture, spark_fixture, tmp_path):
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    cat = ParquetTableCatalog(str(tmp_path / "kg"))
+    counts = pipe.materialize(tdf, cat)
+    assert counts["triples"] > 0
+    assert counts["mentions"] > counts["triples"]
+    assert counts["kg_nodes"] == len(fixture.entities)
+    assert 0 < counts["kg_edges"] <= counts["triples"]
+    assert counts["surface_clusters"] > 0
+
+    # edge weights sum to triple count
+    edges = cat.read_table(spark, "kg_edges")
+    assert edges.agg(F.sum("weight")).collect()[0][0] == counts["triples"]
+
+    # every canonical surface is a member of its own cluster
+    sc = cat.read_table(spark, "surface_clusters").toPandas()
+    surfaces = set(sc["surface"])
+    assert set(sc["canonical_surface"]) <= surfaces
+    # clusters group same-entity variants: canonical surface maps to the
+    # same entity for the vast majority of members (embedding clusters of
+    # typo variants)
+    canon_entity = dict(zip(sc["surface"], sc["entity_id"]))
+    agree = sum(
+        1 for s, c in zip(sc["surface"], sc["canonical_surface"])
+        if canon_entity.get(c) == canon_entity.get(s)
+    )
+    assert agree / len(sc) > 0.9
+
+
+def test_surface_clusters_group_typo_variants(spark, fixture, spark_fixture):
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    sc = pipe.surface_clusters(pipe.mentions(tdf)).toPandas()
+    # at least some multi-member clusters exist (typo/case variants of the
+    # same canonical name cluster together)
+    sizes = sc.groupby("canonical_surface").size()
+    assert (sizes > 1).any()

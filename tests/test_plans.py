@@ -1,0 +1,107 @@
+"""Physical-plan assertions: the optimizations we claim must be visible in
+the plans Catalyst actually produces (SURVEY §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PySparkSQLUtils.explainString(  # pragma: no cover
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > "1996-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey")
+    plan = plan_of(df)
+    assert "ReadSchema: struct<l_orderkey:bigint>" in plan
+
+
+def test_dim_join_is_broadcast(spark):
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    plan = plan_of(joined)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fused_triples_plan_is_map_only(spark, fixture, spark_fixture):
+    """The production triples plan must contain NO exchange (shuffle) —
+    scan → project → mapInPandas, nothing else."""
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    plan = plan_of(pipe.triples(tdf))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan, f"unexpected shuffle in fused plan:\n{plan}"
+
+
+def test_kg_edges_aggregation_is_partial_then_final(spark, fixture, spark_fixture):
+    """Edge rollup must show map-side partial aggregation (two HashAggregate
+    levels around one Exchange) — shuffle volume is pre-reduced."""
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    plan = plan_of(pipe.kg_edges(pipe.triples(tdf)))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_linking_exact_path_is_broadcast_join(spark, fixture, spark_fixture):
+    """The joined formulation's alias map must broadcast — the fact side
+    never shuffles for linking."""
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    plan = plan_of(pipe.triples_joined(tdf))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_words_is_jvm_only(spark):
+    """Catalyst-only chunking: Generate+higher-order funcs, zero Python
+    eval nodes (Generate itself doesn't participate in codegen)."""
+    from cdrc_semantic_search_spark.operators.chunker import chunk_words
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(chunk_words(d, "doc_id", "text", 16, 4))
+    assert "Generate posexplode" in plan
+    for py_node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert py_node not in plan
+
+
+def test_topk_exact_query_side_broadcasts(spark):
+    from cdrc_semantic_search_spark.operators.similarity import topk_cosine_exact
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    plan = plan_of(topk_cosine_exact(q, c, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
