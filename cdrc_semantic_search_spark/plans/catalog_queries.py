@@ -1307,3 +1307,93 @@ def a4_first_pick(spark, sf_dir):
         F.min("o_orderdate").cast("date").alias("first_order_date"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
     )
+
+
+# =====================================================================
+# late additions: F1 / F6 / J5 / W4
+# =====================================================================
+
+@register(
+    "f1_regexp_extract_all",
+    """
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(regexp_extract_all(text, '\\b(s[a-z]+)', 1)) AS w
+        FROM documents
+    ) GROUP BY w ORDER BY n DESC, word ASC
+    """,
+)
+def f1_regexp_extract_all(spark, sf_dir):
+    """F1 regex findall (cdrc_logs.py:7-10,22-25): all s-words, counted."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(r"\b(s[a-z]+)"), F.lit(1))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+    )
+
+
+@register(
+    "f6_notes_template",
+    """
+    SELECT doc_id,
+           source || E'\\n\\n' || regexp_replace('<i>' || text || '</i>', '<[^<]+?>', '', 'g') AS notes_doc
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def f6_notes_template(spark, sf_dir):
+    """F6/K4 notes-document synthesis (query_api.py:90-94): title + blank
+    line + HTML-stripped body."""
+    d = load(spark, sf_dir, "documents").filter("doc_id < 50")
+    wrapped = F.concat(F.lit("<i>"), F.col("text"), F.lit("</i>"))
+    return d.select("doc_id", T.notes_document(F.col("source"), wrapped).alias("notes_doc"))
+
+
+@register(
+    "j5_zip_join",
+    """
+    WITH p AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY p_retailprice DESC, p_partkey ASC) AS rk, p_name
+        FROM part
+    ),
+    s AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS rk, s_name
+        FROM supplier
+    )
+    SELECT CAST(p.rk AS INT) AS rank, p.p_name, s.s_name
+    FROM p JOIN s ON p.rk = s.rk WHERE p.rk <= 10
+    """,
+)
+def j5_zip_join(spark, sf_dir):
+    """J5 positional zip join (streamlit_app.py:43) done safely: explicit
+    row_number on both sides + equi-join, never partition order."""
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    wp = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    ws = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    pr = p.select(F.row_number().over(wp).alias("rank"), "p_name").filter("rank <= 10")
+    sr = s.select(F.row_number().over(ws).alias("rank"), "s_name").filter("rank <= 10")
+    return pr.join(sr, "rank").select("rank", "p_name", "s_name")
+
+
+@register(
+    "w4_head_n",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def w4_head_n(spark, sf_dir):
+    """W4 head(100) (evaluation.py:43) — deterministic via explicit order
+    + unique-key tie-break before the limit."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
