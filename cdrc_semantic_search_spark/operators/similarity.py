@@ -181,3 +181,115 @@ def cosine_pairs_lsh(
     return pairs.select(
         "id_a", "id_b", V.cosine(F.col("vec_a"), F.col("vec_b")).alias("score")
     ).filter(F.col("score") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the scale path when the corpus outgrows broadcast
+# ---------------------------------------------------------------------------
+
+def train_centroids(
+    sample: np.ndarray, n_centroids: int, n_iter: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic mini Lloyd's k-means on a driver-side sample
+    (production: sample via df.sample(), train once, broadcast forever).
+    Returns unit-normalized (n_centroids, dim) float32 centroids."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = (sample / norms).astype(np.float32)
+    cent = x[rng.choice(n, size=min(n_centroids, n), replace=False)].copy()
+    for _ in range(n_iter):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[c] = v / nv
+    return cent
+
+
+def ivf_assign(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+) -> DataFrame:
+    """Attach the nearest-centroid bucket id (map-only, broadcast matmul)."""
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            bucket = ((v / n) @ cent.T).argmax(axis=1).astype(np.int32)
+            out = pdf[[id_col, vec_col]].copy()
+            out["bucket"] = bucket
+            yield out
+
+    vec_type = dict(df.dtypes)[vec_col]
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, {vec_col} {vec_type}, bucket int"
+    )
+
+
+def topk_cosine_ivf(
+    spark,
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k: queries probe their ``n_probe`` nearest centroid
+    buckets and re-rank exactly WITHIN those buckets only.
+
+    Physical shape at scale: corpus is bucket-assigned once (map-only) and
+    can be written bucket-partitioned; a query joins only its probed
+    buckets — the equi-join on ``bucket`` replaces the all-pairs cross
+    join, cutting compared candidates by ~n_centroids/n_probe.
+    Recall < 1.0 by construction; raise n_probe to trade compute back.
+    """
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        p = min(n_probe, len(cent))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[q_vec].to_numpy()).astype(np.float32)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            sims = (v / n) @ cent.T
+            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            out = pdf.loc[pdf.index.repeat(p), [q_id, q_vec]].reset_index(drop=True)
+            out["bucket"] = top.reshape(-1).astype(np.int32)
+            yield out
+
+    q_vec_type = dict(queries.dtypes)[q_vec]
+    q_id_type = dict(queries.dtypes)[q_id]
+    probed = queries.select(q_id, q_vec).mapInPandas(
+        probe, schema=f"{q_id} {q_id_type}, {q_vec} {q_vec_type}, bucket int"
+    )
+    tagged = ivf_assign(spark, corpus, c_id, c_vec, centroids)
+    scored = probed.join(tagged, "bucket").select(
+        q_id, c_id, V.cosine(F.col(q_vec), F.col(c_vec)).alias("score")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

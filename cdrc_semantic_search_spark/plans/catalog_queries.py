@@ -1397,3 +1397,61 @@ def w4_head_n(spark, sf_dir):
         .select("o_orderkey", "o_totalprice")
         .limit(100)
     )
+
+
+@register(
+    "a1b_ordered_assembly",
+    """
+    SELECT user_id,
+           string_agg(event_type, '|' ORDER BY ts, event_id) AS conversation_text,
+           CAST(COUNT(*) AS BIGINT) AS n_turns
+    FROM events WHERE user_id < 20
+    GROUP BY user_id
+    """,
+)
+def a1b_ordered_assembly(spark, sf_dir):
+    """W5/A1 conversation assembly: the two-stage order-stable concat
+    (operators/assembly.assemble_conversations) cross-checked against
+    SQL string_agg with explicit ORDER BY — proving the blocked concat
+    equals a global ordered concat."""
+    from cdrc_semantic_search_spark.operators.assembly import assemble_conversations
+
+    e = load(spark, sf_dir, "events").filter("user_id < 20")
+    # map the event stream onto the (conv_id, turn_idx, text, ts) shape;
+    # event_id is unique so it is a valid stable ordering key
+    turns = e.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+        "ts",
+    )
+    out = assemble_conversations(turns, sep="|", block_size=64)
+    return out.select(
+        F.col("conv_id").alias("user_id"),
+        "conversation_text",
+        F.col("n_turns").alias("n_turns"),
+    )
+
+
+@register("ann_ivf_topk", None)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-k (rows-only: approximation is
+    recall-tested in tests/test_ivf.py; the exact twin is j3_topk_cosine)."""
+    import numpy as np
+
+    from cdrc_semantic_search_spark.operators.similarity import (
+        topk_cosine_ivf,
+        train_centroids,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [np.asarray(r["embedding"], dtype=np.float32) for r in e.limit(256).collect()]
+    )
+    cent = train_centroids(sample, n_centroids=16, seed=42)
+    q = e.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = topk_cosine_ivf(spark, q, c, cent, k=5, n_probe=4)
+    return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")

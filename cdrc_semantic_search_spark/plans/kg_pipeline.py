@@ -230,10 +230,20 @@ class KGPipeline:
         todo = catalog.uncommitted("triples", all_parts) if resume else all_parts
         with_bucket = transcripts.withColumn("__bucket", bucket)
         ran = []
+        from pyspark.sql import Observation
+
         for part in todo:
             sub = with_bucket.filter(F.col("__bucket") == int(part)).drop("__bucket")
             n_turns = sub.count()
-            tri = self.triples(sub)
+            # Observation rides the write actions — score/link-quality
+            # lineage lands in the ledger with NO extra job (A6 analog)
+            obs = Observation(f"triples_part_{part}")
+            tri = self.triples(sub).observe(
+                obs,
+                F.count(F.lit(1)).alias("triple_count"),
+                F.round(F.avg("score"), 6).alias("avg_link_score"),
+                F.round(F.min("score"), 6).alias("min_link_score"),
+            )
             # ledger row_count == triple_count; lineage carries the turn count
             catalog.overwrite_partition(
                 tri,
@@ -241,6 +251,7 @@ class KGPipeline:
                 part,
                 source_snapshot=source_snapshot,
                 metrics={"turn_count": n_turns},
+                metrics_fn=lambda o=obs: o.get,
             )
             ran.append(part)
         return ran

@@ -73,21 +73,25 @@ class ParquetTableCatalog:
         partition: str,
         source_snapshot: str = "",
         metrics: dict[str, Any] | None = None,
+        metrics_fn: Any = None,
     ) -> CommitRecord:
         """Idempotent per-partition overwrite + ledger commit (I2 analog).
 
         Data lands first, the marker second — a crash between the two
         leaves an uncommitted (thus invisible, re-runnable) partition.
+        ``metrics_fn`` (if given) is called AFTER the data actions ran —
+        the hook for ``Observation`` metrics collected during the write.
         """
         path = self._partition_path(name, partition)
         row_count = df.count()
         df.write.mode("overwrite").parquet(path)
+        extra = dict(metrics_fn()) if metrics_fn is not None else {}
         rec = CommitRecord(
             table=name,
             partition=partition,
             source_snapshot=source_snapshot,
             row_count=row_count,
-            metrics=metrics or {},
+            metrics={**(metrics or {}), **extra},
             committed_at=time.time(),
         )
         os.makedirs(self._ledger_dir(name), exist_ok=True)

@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.operators import similarity
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    rng = np.random.default_rng(5)
+    # clustered corpus: IVF shines when data has cluster structure
+    centers = rng.standard_normal((8, 16)).astype(np.float32) * 3
+    pts = np.vstack([c + rng.standard_normal((40, 16)).astype(np.float32) for c in centers])
+    pdf = pd.DataFrame({"vid": range(len(pts)), "vec": [list(map(float, v)) for v in pts]})
+    df = spark.createDataFrame(pdf)
+
+    cent = similarity.train_centroids(pts, n_centroids=8, seed=42)
+    assert cent.shape == (8, 16)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-5)
+
+    q = df.filter("vid < 20").select(F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"))
+    c = df.select(F.col("vid").alias("c_id"), F.col("vec").alias("c_vec"))
+
+    exact = similarity.topk_cosine_exact(q, c, k=5).toPandas()
+    approx = similarity.topk_cosine_ivf(spark, q, c, cent, k=5, n_probe=3).toPandas()
+
+    # recall@5 of IVF vs exact must be high on clustered data
+    hits = 0
+    for qid in range(20):
+        e = set(exact[exact["q_id"] == qid]["c_id"])
+        a = set(approx[approx["q_id"] == qid]["c_id"])
+        hits += len(e & a)
+    recall = hits / (20 * 5)
+    assert recall >= 0.9, f"IVF recall {recall}"
+
+    # every approx hit carries the true cosine score (exact re-rank)
+    merged = approx.merge(exact, on=["q_id", "c_id"], suffixes=("_a", "_e"))
+    assert np.allclose(merged["score_a"], merged["score_e"], atol=1e-6)
+
+
+def test_ivf_assign_buckets_cover_all(spark):
+    rng = np.random.default_rng(6)
+    pts = rng.standard_normal((50, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"vid": range(50), "vec": [list(map(float, v)) for v in pts]})
+    df = spark.createDataFrame(pdf)
+    cent = similarity.train_centroids(pts, n_centroids=4, seed=1)
+    out = similarity.ivf_assign(spark, df, "vid", "vec", cent).toPandas()
+    assert len(out) == 50
+    assert set(out["bucket"]) <= set(range(4))

@@ -35,6 +35,14 @@ def test_resume_after_partial_run(spark, fixture, spark_fixture, tmp_path):
 
     ran = pipe.run_partitioned(tdf, cat, resume=True)
     assert sorted(ran) == ["2", "3"]
+    # observation lineage landed in the resumed partitions' ledger entries
+    for rec in cat.ledger("triples"):
+        if rec.partition in ("2", "3"):
+            assert rec.metrics["triple_count"] == rec.row_count
+            assert "turn_count" in rec.metrics
+            if rec.row_count:
+                assert 0.0 <= rec.metrics["min_link_score"] <= 1.0
+                assert rec.metrics["min_link_score"] <= rec.metrics["avg_link_score"]
     # earlier commits untouched
     for rec in cat.ledger("triples"):
         if rec.partition in committed_before:
