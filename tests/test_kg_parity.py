@@ -74,6 +74,21 @@ def test_per_turn_text_equality_under_stable_ordering(spark, fixture, spark_fixt
     assert (out["rn"] == out["turn_idx"] + 1).all()
 
 
+def test_parity_at_canonical_fixture_size(spark):
+    """The P/R ≥ 0.95 gate at the FIXTURES.md §1 spec size (200
+    conversations / 500 entities — harder linking than the small fixture;
+    measured ≈ 0.977, α=0.75 optimal across the sweep)."""
+    from cdrc_semantic_search_spark import fixtures as fxmod
+
+    fx = fxmod.generate(seed=42, n_conversations=200, n_entities=500)
+    tdf, _ = fxmod.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities, Settings())
+    got = pipe.triples(tdf).toPandas()
+    p, r = precision_recall(got, fx.truth_triples)
+    assert p >= 0.95, f"precision {p:.4f}"
+    assert r >= 0.95, f"recall {r:.4f}"
+
+
 def test_triple_scores_bounded(spark, fixture, spark_fixture):
     tdf, _ = spark_fixture
     pipe = KGPipeline(spark, fixture.entities, Settings())
