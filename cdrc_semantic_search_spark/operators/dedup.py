@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cdrc_semantic_search_spark.functions.text import tokens, word_shingles
+from cdrc_semantic_search_spark.functions.text import word_shingles
 
 
 # --------------------------------------------------------------- exact dedup

@@ -14,7 +14,7 @@ bounds retention, and emission is incremental.
 from __future__ import annotations
 
 from collections.abc import Iterator
-from typing import Any
+
 
 import pandas as pd
 from pyspark.sql import DataFrame

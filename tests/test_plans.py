@@ -3,7 +3,6 @@ the plans Catalyst actually produces (SURVEY §4)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"

@@ -2,7 +2,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
-from cdrc_semantic_search_spark.streaming import incremental, sessionize
+from cdrc_semantic_search_spark.streaming import sessionize
 
 
 def test_sessionize_emits_on_gap_timeout(spark, tmp_path):
