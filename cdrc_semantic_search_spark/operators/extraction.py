@@ -231,3 +231,98 @@ def extract_linked_triples(
     return transcripts.select("conv_id", "turn_idx", "ts", "text").mapInPandas(
         run, schema=TRIPLES_SCHEMA
     )
+
+
+def extract_linked_triples_arrow(
+    transcripts: DataFrame,
+    bc_catalogue,
+    bc_index,
+    alpha: float,
+    link_threshold: float,
+) -> DataFrame:
+    """``mapInArrow`` twin of :func:`extract_linked_triples`.
+
+    Skips the pandas materialization on BOTH sides of the worker: inputs
+    come as pyarrow RecordBatches (string column → one ``to_pylist``
+    call, no pandas object-array construction), outputs are built as
+    pyarrow arrays directly. Same semantics bit-for-bit (tested); ~the
+    serde share of task time is roughly equal to the extraction compute,
+    so shaving it matters at 10^12 turns.
+    """
+    import pyarrow as pa
+
+    from cdrc_semantic_search_spark.encoder import normalize_surface
+    from cdrc_semantic_search_spark.operators.linking import _topk_blend
+
+    def run(batches):
+        matcher = _get_matcher(bc_catalogue)
+        token, index = bc_index.value
+        cache = _LINK_CACHE.setdefault(token, {})
+        if len(_LINK_CACHE) > 1:
+            for k in [k for k in _LINK_CACHE if k != token]:
+                del _LINK_CACHE[k]
+        alias_map = matcher.alias_to_entity
+
+        for batch in batches:
+            conv = batch.column("conv_id").to_pylist()
+            turn = batch.column("turn_idx").to_pylist()
+            ts = batch.column("ts")
+            text = batch.column("text").to_pylist()
+            ts_type = ts.type
+
+            pending = []
+            unknown: set[str] = set()
+            for i, t in enumerate(text):
+                _, relations = extract_turn(t or "", matcher)
+                for pred, subj, obj in relations:
+                    s_key = normalize_surface(subj.surface)
+                    o_key = normalize_surface(obj.surface)
+                    for key in (s_key, o_key):
+                        if key not in alias_map and key not in cache:
+                            unknown.add(key)
+                    pending.append((i, pred, s_key, o_key))
+
+            if unknown:
+                forms = sorted(unknown)
+                ranked = _topk_blend(index, forms, k=1, alpha=alpha)
+                for form, r in zip(forms, ranked):
+                    if r and r[0][1] >= link_threshold:
+                        cache[form] = (r[0][0], r[0][1])
+                    else:
+                        cache[form] = (None, float("nan"))
+
+            idxs, c_s, c_p, c_o, c_sc = [], [], [], [], []
+            for i, pred, s_key, o_key in pending:
+                s_id, s_score = (
+                    (alias_map[s_key], 1.0) if s_key in alias_map else cache[s_key]
+                )
+                o_id, o_score = (
+                    (alias_map[o_key], 1.0) if o_key in alias_map else cache[o_key]
+                )
+                if s_id is not None and o_id is not None and s_id != o_id:
+                    idxs.append(i)
+                    c_s.append(s_id)
+                    c_p.append(pred)
+                    c_o.append(o_id)
+                    c_sc.append(s_score if s_score < o_score else o_score)
+
+            take = pa.array(idxs, type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([conv[i] for i in idxs], type=pa.string()),
+                    pa.array([turn[i] for i in idxs], type=pa.int32()),
+                    ts.take(take),
+                    pa.array(c_s, type=pa.string()),
+                    pa.array(c_p, type=pa.string()),
+                    pa.array(c_o, type=pa.string()),
+                    pa.array(c_sc, type=pa.float64()),
+                ],
+                names=[
+                    "conv_id", "turn_idx", "ts",
+                    "subj_entity_id", "pred", "obj_entity_id", "score",
+                ],
+            )
+
+    return transcripts.select("conv_id", "turn_idx", "ts", "text").mapInArrow(
+        run, schema=TRIPLES_SCHEMA
+    )

@@ -74,6 +74,22 @@ def test_per_turn_text_equality_under_stable_ordering(spark, fixture, spark_fixt
     assert (out["rn"] == out["turn_idx"] + 1).all()
 
 
+def test_arrow_variant_equals_pandas_fused(spark, fixture, spark_fixture):
+    """mapInArrow and mapInPandas fused operators are bit-equal twins
+    (measured same-speed at 1.2M turns; kept for the pyarrow-native path)."""
+    from cdrc_semantic_search_spark.operators.extraction import (
+        extract_linked_triples,
+        extract_linked_triples_arrow,
+    )
+
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    a = extract_linked_triples(tdf, pipe.bc_catalogue, pipe.bc_index, 0.75, 0.0)
+    b = extract_linked_triples_arrow(tdf, pipe.bc_catalogue, pipe.bc_index, 0.75, 0.0)
+    assert a.select(*KEY).exceptAll(b.select(*KEY)).count() == 0
+    assert b.select(*KEY).exceptAll(a.select(*KEY)).count() == 0
+
+
 def test_parity_at_canonical_fixture_size(spark):
     """The P/R ≥ 0.95 gate at the FIXTURES.md §1 spec size (200
     conversations / 500 entities — harder linking than the small fixture;
