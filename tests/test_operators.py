@@ -251,3 +251,18 @@ def test_canonicalize_embedded_clusters_duplicates(spark):
     got = dict((r["id"], r["canonical_id"]) for r in out.collect())
     assert got["m6"] == "m0" and got["m0"] == "m0"
     assert got["m3"] == "m3"
+
+
+def test_group_rollup_pandas_equals_builtin(spark):
+    rows = [
+        ("d1", 2, 0.5, "second"),
+        ("d1", 1, 0.9, "first"),
+        ("d1", 3, 0.1, "third"),
+        ("d2", 1, 0.1, "only"),
+    ]
+    df = spark.createDataFrame(rows, "doc string, rank int, score double, chunk string")
+    a = rollup.group_rollup(df.repartition(4), ["doc"], "score", "chunk", ["rank"])
+    b = rollup.group_rollup_pandas(df.repartition(3), ["doc"], "score", "chunk", ["rank"])
+    got_a = {tuple(r) for r in a.select("doc", "score", "text", "n_chunks").collect()}
+    got_b = {tuple(r) for r in b.select("doc", "score", "text", "n_chunks").collect()}
+    assert got_a == got_b

@@ -1,0 +1,91 @@
+"""Skew handling: salted repartition balance + AQE skew-join splitting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.operators.assembly import (
+    hot_conversations,
+    salted_repartition,
+)
+
+
+def test_hot_conversations_detects_skew(spark, spark_fixture):
+    tdf, _ = spark_fixture
+    hot = hot_conversations(tdf, threshold=100).toPandas()
+    # fixture guarantees ~5% hot conversations (120-600 turns)
+    assert len(hot) >= 1
+    assert (hot["n_turns"] > 100).all()
+
+
+def test_salted_repartition_balances_hot_conversations(spark, spark_fixture):
+    tdf, _ = spark_fixture
+    # contiguous-by-conv partitioning: one partition owns a whole hot conv
+    skewed = tdf.repartition(16, "conv_id")
+    salted = salted_repartition(tdf, 16, salt=16)
+
+    def max_partition_fraction(df):
+        sizes = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .toPandas()["count"]
+        )
+        return sizes.max() / sizes.sum()
+
+    assert max_partition_fraction(salted) <= max_partition_fraction(skewed)
+    # salted spread is near-uniform given the small key space of the test
+    # fixture (60 convs × 16 salts hashed into 16 partitions): no partition
+    # above 3× the fair share; the unsalted layout can park a whole hot
+    # conversation (up to ~600 turns ≈ 40% of rows) in one partition
+    assert max_partition_fraction(salted) < 3.0 / 16
+
+
+def test_aqe_splits_skewed_join(spark, spark_fixture):
+    """Force a skewed sort-merge join and assert AQE's skew-split marker
+    appears in the final adaptive plan (SURVEY §4.1 backstop)."""
+    tdf, _ = spark_fixture
+    # skewed fact: every turn keyed to ONE hot key + a few cold keys
+    fact = tdf.select(
+        F.when(F.col("turn_idx") % 20 != 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("conv_id"), F.lit(50)))
+        .alias("k"),
+        "text",
+    )
+    dim = spark.range(0, 50).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "spark.sql.adaptive.coalescePartitions.enabled": spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        # coalescing would merge the small partitions and mask the skew
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        joined = fact.join(dim, "k")
+        # collect() executes THIS queryExecution (count() would plan anew
+        # and leave this one isFinalPlan=false)
+        assert len(joined.collect()) > 0
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, f"no skew split in:\n{final_plan[:2000]}"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
