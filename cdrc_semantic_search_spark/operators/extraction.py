@@ -141,6 +141,7 @@ def extract_linked_triples(
     bc_index,
     alpha: float,
     link_threshold: float,
+    query_mode: str = "hybrid",
 ) -> DataFrame:
     """transcripts → fully linked triples in ONE mapInPandas pass.
 
@@ -189,7 +190,7 @@ def extract_linked_triples(
 
             if unknown:  # one batched encode+top-k for all new surfaces
                 forms = sorted(unknown)
-                ranked = _topk_blend(index, forms, k=1, alpha=alpha)
+                ranked = _topk_blend(index, forms, k=1, alpha=alpha, mode=query_mode)
                 for form, r in zip(forms, ranked):
                     if r and r[0][1] >= link_threshold:
                         cache[form] = (r[0][0], r[0][1])
@@ -239,6 +240,7 @@ def extract_linked_triples_arrow(
     bc_index,
     alpha: float,
     link_threshold: float,
+    query_mode: str = "hybrid",
 ) -> DataFrame:
     """``mapInArrow`` twin of :func:`extract_linked_triples`.
 
@@ -284,7 +286,7 @@ def extract_linked_triples_arrow(
 
             if unknown:
                 forms = sorted(unknown)
-                ranked = _topk_blend(index, forms, k=1, alpha=alpha)
+                ranked = _topk_blend(index, forms, k=1, alpha=alpha, mode=query_mode)
                 for form, r in zip(forms, ranked):
                     if r and r[0][1] >= link_threshold:
                         cache[form] = (r[0][0], r[0][1])

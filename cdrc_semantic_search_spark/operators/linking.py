@@ -99,11 +99,22 @@ def _topk_blend(
     surfaces: list[str],
     k: int,
     alpha: float,
+    mode: str = "hybrid",
 ) -> list[list[tuple[str, float]]]:
     """Per surface: top-k (entity_id, blended score), deduped by entity,
-    ordered by (score desc, entity_id asc)."""
+    ordered by (score desc, entity_id asc).
+
+    ``mode`` mirrors the reference's vector_store_query_mode enum
+    (/root/reference/src/common/utils.py:30): ``default`` = dense-only,
+    ``sparse`` = lexical-only, ``hybrid`` = α·dense + (1−α)·sparse
+    (model.py:74-78). Effective weights: default → α=1; sparse → α=0.
+    """
     if not surfaces:
         return []
+    if mode == "default":
+        alpha = 1.0
+    elif mode == "sparse":
+        alpha = 0.0
     q = index.encode(surfaces)  # same encoder config as the index rows
     sims = q @ index.matrix.T  # (B, M) BLAS
     kk = min(max(k * 4, k), sims.shape[1])  # extra form rows; dedupe to k entities
@@ -136,13 +147,14 @@ def embed_link_surfaces(
     ``retrieval.link_threshold`` come back with NULL entity_id.
     """
     alpha = settings.retrieval.alpha
+    mode = settings.retrieval.query_mode
     thr = settings.retrieval.link_threshold
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         _token, index = bc_index.value  # (token, EntityIndex) broadcast
         for pdf in batches:
             surfaces = pdf["surface"].fillna("").tolist()
-            ranked = _topk_blend(index, surfaces, k=1, alpha=alpha)
+            ranked = _topk_blend(index, surfaces, k=1, alpha=alpha, mode=mode)
             ids, scores = [], []
             for r in ranked:
                 if r and r[0][1] >= thr:

@@ -78,6 +78,7 @@ class KGPipeline:
             self.bc_index,
             alpha=self.settings.retrieval.alpha,
             link_threshold=self.settings.retrieval.link_threshold,
+            query_mode=self.settings.retrieval.query_mode,
         )
 
     def triples_joined(self, transcripts: DataFrame) -> DataFrame:
