@@ -1521,3 +1521,78 @@ def q18_large_volume_customer(spark, sf_dir):
             "total_qty",
         )
     )
+
+
+@register(
+    "w7_sessionization",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WHERE user_id < 30
+    ),
+    sessions AS (
+        SELECT user_id, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def w7_sessionization(spark, sf_dir):
+    """Batch sessionization (gap > 30 min starts a session): lag → marker
+    → running-sum session id — the batch twin of the stateful streaming
+    operator (streaming/sessionize.py), exactly oracle-checkable."""
+    e = load(spark, sf_dir, "events").filter("user_id < 30")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; go NTZ → TZ (session is UTC) → epoch
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = marked.withColumn(
+        "session_id", F.sum("new_session").over(wsum).cast("long")
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+
+
+@register(
+    "curation_filter",
+    f"""
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               len(toks) AS n_tokens,
+               CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE)/len(toks) ELSE 0.0 END AS distinct_ratio
+        FROM (SELECT doc_id, n_chars, {_SQL_TOKS} AS toks FROM documents)
+    ) WHERE n_tokens BETWEEN 20 AND 200 AND distinct_ratio >= 0.3
+    """,
+)
+def curation_filter(spark, sf_dir):
+    """Training-data curation filter: token-count band + lexical-diversity
+    floor — the composed quality gate a 100-TB pipeline scans with
+    (predicates stay Catalyst-side; nothing leaves the scan+filter)."""
+    from cdrc_semantic_search_spark.functions.text import token_count, tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    distinct_ratio = F.when(
+        n > 0, F.size(F.array_distinct(toks)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    return (
+        d.withColumn("n_tokens", n)
+        .withColumn("dr", distinct_ratio)
+        .filter((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 200) & (F.col("dr") >= 0.3))
+        .select("doc_id", "n_chars")
+    )
