@@ -69,11 +69,15 @@ def token_count(col: Column) -> Column:
 def word_shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles as strings — basis for MinHash / Jaccard dedup.
 
-    Pure Catalyst: transform over a sliced token array.
+    Pure Catalyst: transform over a sliced token array. Degenerate texts
+    (< k tokens) shingle to their full token join; EMPTY texts produce zero
+    shingles (not ['']), matching the pure-Python minhash twin — otherwise
+    two empty documents would surface as Jaccard-1.0 near-duplicates.
     """
     toks = tokens(col)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    raw = F.when(
+        n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.filter(raw, lambda s: s != F.lit(""))

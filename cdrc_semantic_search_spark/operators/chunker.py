@@ -29,8 +29,20 @@ from cdrc_semantic_search_spark.functions.text import tokens
 _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 
 
+def _check_chunk_params(chunk_size: int, overlap: int) -> None:
+    """Mirror of ChunkSettings.__post_init__: overlap >= chunk_size makes the
+    stride non-positive and documents would silently vanish."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_size, got overlap={overlap} chunk_size={chunk_size}"
+        )
+
+
 def chunk_words_col(text: Column, chunk_size: int, overlap: int) -> Column:
     """array<string> of word-window chunks (stride = chunk_size - overlap)."""
+    _check_chunk_params(chunk_size, overlap)
     toks = tokens(text)
     stride = chunk_size - overlap
     n = F.size(toks)
@@ -58,6 +70,7 @@ def pack_sentences(text: str, chunk_size: int, overlap: int) -> list[str]:
     """Sentence-aware packing: greedy fill up to chunk_size tokens; the last
     ``overlap`` tokens of a chunk seed the next (pure function, shared with
     the oracle and tests)."""
+    _check_chunk_params(chunk_size, overlap)
     sents = [s for s in _SENT_RE.split(text or "") if s.strip()]
     if not sents:
         return []

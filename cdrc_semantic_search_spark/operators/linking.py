@@ -115,17 +115,28 @@ def _topk_blend(
         alpha = 1.0
     elif mode == "sparse":
         alpha = 0.0
-    q = index.encode(surfaces)  # same encoder config as the index rows
-    sims = q @ index.matrix.T  # (B, M) BLAS
-    kk = min(max(k * 4, k), sims.shape[1])  # extra form rows; dedupe to k entities
+    m = len(index.forms)
+    if alpha > 0.0:
+        q = index.encode(surfaces)  # same encoder config as the index rows
+        sims = q @ index.matrix.T  # (B, M) BLAS
+    else:
+        # sparse/α=0: dense contributes nothing, so candidates must NOT be
+        # dense-gated — score the lexical side over every index row (the
+        # reference queries its sparse store directly, utils.py:30).
+        sims = None
+    kk = min(max(k * 4, k), m)  # extra form rows; dedupe to k entities
     out: list[list[tuple[str, float]]] = []
     for bi, surf in enumerate(surfaces):
-        row = sims[bi]
-        cand = np.argpartition(-row, kk - 1)[:kk] if kk < len(row) else np.arange(len(row))
+        if sims is not None:
+            row = sims[bi]
+            cand = np.argpartition(-row, kk - 1)[:kk] if kk < m else np.arange(m)
+        else:
+            row = None
+            cand = range(m)
         stoks = frozenset(normalize_surface(surf).split())
         best: dict[str, float] = {}
         for ci in cand:
-            dense = float(row[ci])
+            dense = float(row[ci]) if row is not None else 0.0
             ts = index.token_sets[ci]
             union = len(stoks | ts)
             jac = (len(stoks & ts) / union) if union else 0.0

@@ -83,7 +83,6 @@ def topk_cosine_broadcast(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, mat = bc.value
-        order = np.argsort(ids, kind="stable")  # id-asc tie-break support
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -91,19 +90,27 @@ def topk_cosine_broadcast(
             qn = np.linalg.norm(q, axis=1, keepdims=True)
             qn[qn == 0] = 1.0
             sims = (q / qn) @ mat.T
-            kk = min(k, sims.shape[1])
-            rows = []
-            for bi in range(sims.shape[0]):
-                row = sims[bi]
-                cand = (
-                    np.argpartition(-row, kk - 1)[:kk]
-                    if kk < len(row)
-                    else np.arange(len(row))
-                )
-                ranked = sorted(cand, key=lambda ci: (-row[ci], ids[ci]))
-                for r, ci in enumerate(ranked, start=1):
-                    rows.append((pdf[q_id].iloc[bi], ids[ci], float(row[ci]), r))
-            yield pd.DataFrame(rows, columns=[q_id, "c_id", "score", "rank"])
+            nq, m = sims.shape
+            kk = min(k, m)
+            # vectorized top-k with (score desc, id asc) tie-break: O(M) partition
+            # per row, then lexsort only the k-slice — no per-row Python sort.
+            if kk < m:
+                part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            else:
+                part = np.tile(np.arange(m), (nq, 1))
+            cand_scores = np.take_along_axis(sims, part, axis=1)
+            cand_ids = ids[part]
+            order = np.lexsort((cand_ids, -cand_scores), axis=1)
+            ranked_ids = np.take_along_axis(cand_ids, order, axis=1)
+            ranked_scores = np.take_along_axis(cand_scores, order, axis=1)
+            yield pd.DataFrame(
+                {
+                    q_id: np.repeat(pdf[q_id].to_numpy(), kk),
+                    "c_id": ranked_ids.reshape(-1),
+                    "score": ranked_scores.reshape(-1).astype(np.float64),
+                    "rank": np.tile(np.arange(1, kk + 1, dtype=np.int32), nq),
+                }
+            )
 
     return queries.select(q_id, q_vec).mapInPandas(
         run, schema=f"{q_id} {q_id_type}, c_id {c_id_type}, score double, rank int"

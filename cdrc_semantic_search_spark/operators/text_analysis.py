@@ -23,23 +23,31 @@ _STOPWORDS = {
 }
 
 
-def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
-    """fraction of tokens that are stopwords of ``lang``."""
-    toks = tokens(text_col)
+def stopword_ratio_from_tokens(toks: Column, lang: str = "en") -> Column:
+    """fraction of tokens that are stopwords of ``lang`` (``toks`` should be a
+    projected column attribute so the tokenization is computed once)."""
     sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
     n = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def detect_language(text_col: Column) -> Column:
+def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
+    """fraction of tokens that are stopwords of ``lang``."""
+    return stopword_ratio_from_tokens(tokens(text_col), lang)
+
+
+def detect_language_from_tokens(toks: Column) -> Column:
     """argmax over per-language stopword ratios; 'und' when all zero.
 
-    A deterministic n-gram-free heuristic: real deployments plug a model
-    UDF here; the operator shape (scalar column in, label out) is what the
-    pipeline depends on.
+    Pass a PROJECTED token column (``df.withColumn("toks", tokens(c))``):
+    Catalyst does not CSE the regexp tokenization across the four ratio
+    expressions, so feeding ``tokens(text)`` inline re-splits the text once
+    per language. A real attribute keeps one split per row (the projection
+    boundary survives CollapseProject because the alias is non-cheap and
+    multiply referenced).
     """
-    pairs = [(lang, stopword_ratio(text_col, lang)) for lang in _STOPWORDS]
+    pairs = [(lang, stopword_ratio_from_tokens(toks, lang)) for lang in _STOPWORDS]
     best_score = F.greatest(*[p[1] for p in pairs])
     out = F.lit("und")
     for lang, score in reversed(pairs):  # earlier langs win ties
@@ -47,13 +55,28 @@ def detect_language(text_col: Column) -> Column:
     return out
 
 
+def detect_language(df: DataFrame, text_col: str, out_col: str = "lang_guess") -> DataFrame:
+    """Attach an ``out_col`` language label per row (argmax stopword ratio).
+
+    A deterministic n-gram-free heuristic: real deployments plug a model
+    UDF here; the operator shape (text column in, label out) is what the
+    pipeline depends on. DataFrame-level so the token array is projected
+    once and shared by all four language scores.
+    """
+    with_toks = df.withColumn("__ta_toks", tokens(F.col(text_col)))
+    return with_toks.withColumn(
+        out_col, detect_language_from_tokens(F.col("__ta_toks"))
+    ).drop("__ta_toks")
+
+
 def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Attach length/punctuation/stopword/repetition features + a blended
     quality score in [0,1] (heuristics in the Gopher/C4-rule family)."""
     t = F.col(text_col)
+    df = df.withColumn("__q_toks", tokens(t))  # one split per row, shared below
+    toks = F.col("__q_toks")
     n_chars = F.length(t)
-    n_tokens = token_count(t)
-    toks = tokens(t)
+    n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     mean_word_len = F.when(n_tokens > 0, (F.length(F.regexp_replace(t, "[^A-Za-z0-9]", "")).cast("double")) / n_tokens).otherwise(F.lit(0.0))
     punct_ratio = F.when(
@@ -61,7 +84,7 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
         (n_chars - F.length(F.regexp_replace(t, "[^A-Za-z0-9\\s]", ""))).cast("double") / n_chars,
     ).otherwise(F.lit(0.0))
     distinct_ratio = F.when(n_tokens > 0, n_distinct.cast("double") / n_tokens).otherwise(F.lit(0.0))
-    sw_ratio = stopword_ratio(t)
+    sw_ratio = stopword_ratio_from_tokens(toks)
 
     # blended score: reward moderate length, lexical diversity, some
     # stopwords (fluent prose), low punctuation noise
@@ -81,7 +104,7 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
         F.round(distinct_ratio, 4).alias("q_distinct_ratio"),
         F.round(sw_ratio, 4).alias("q_stopword_ratio"),
         F.round(score, 4).alias("q_score"),
-    )
+    ).drop("__q_toks")
 
 
 def fingerprint(text_col: Column) -> Column:

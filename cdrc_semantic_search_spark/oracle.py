@@ -33,7 +33,13 @@ def _link(
         i = -1
     if i >= 0:
         return str(index.entity_ids[i]), 1.0
-    ranked = _topk_blend(index, [key], k=1, alpha=settings.retrieval.alpha)[0]
+    ranked = _topk_blend(
+        index,
+        [key],
+        k=1,
+        alpha=settings.retrieval.alpha,
+        mode=settings.retrieval.query_mode,
+    )[0]
     if ranked and ranked[0][1] >= settings.retrieval.link_threshold:
         return ranked[0][0], ranked[0][1]
     return None, float("nan")

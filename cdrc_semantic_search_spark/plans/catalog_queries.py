@@ -936,7 +936,7 @@ def v1_chunk_words(spark, sf_dir):
     "dedup_exact_groups",
     """
     SELECT dup_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
-           list_sort(list(doc_id)) AS doc_ids,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids,
            MIN(doc_id) AS keeper
     FROM (
         SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS dup_key FROM documents
@@ -949,7 +949,9 @@ def v1_chunk_words(spark, sf_dir):
 def dedup_exact_groups(spark, sf_dir):
     """Exact dedup via digest groupBy; duplicates synthesized by unioning a
     shifted copy of the first 50 docs (corpus texts are all distinct).
-    md5 digest so the oracle reproduces the key."""
+    md5 digest so the oracle reproduces the key. ``doc_ids`` is emitted as a
+    comma-joined string (sorted numerically first) — the driver's value-hash
+    canonicalizer cannot factorize array-typed cells."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter("doc_id < 50").select(
         (F.col("doc_id") + 10000).alias("doc_id"), "text"
@@ -961,7 +963,13 @@ def dedup_exact_groups(spark, sf_dir):
         .groupBy("dup_key")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
             F.min("doc_id").alias("keeper"),
         )
         .filter(F.col("n_docs") > 1)
@@ -1004,10 +1012,42 @@ def dedup_token_jaccard(spark, sf_dir):
     )
 
 
-@register("dedup_ngram_jaccard", None)  # shingle hashes are engine-internal
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM documents WHERE doc_id < 200
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(
+                   CASE WHEN len(toks) >= 3
+                        THEN list_transform(generate_series(1, len(toks) - 2),
+                                            i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                        ELSE list_filter([array_to_string(toks, ' ')], x -> x <> '')
+                   END
+               ) AS sh
+        FROM t
+    ),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS n_inter,
+               CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS n_union
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, ROUND(n_inter / n_union, 6) AS jaccard
+    FROM p WHERE n_union > 0 AND n_inter / n_union >= 0.2
+    """,
+)
 def dedup_ngram_jaccard(spark, sf_dir):
     """3-gram shingle Jaccard pairs via the inverted-index self-join
-    (operators/dedup.py) — rows-only check (xxhash64 shingle keys)."""
+    (operators/dedup.py). The candidate set is EXACT (any pair with
+    Jaccard ≥ τ > 0 shares ≥ 1 shingle, so the inverted index misses
+    nothing) and the xxhash64 shingle keys never leave the engine — the
+    (id_a, id_b, jaccard) output hash-matches a small-n all-pairs DuckDB
+    3-gram-Jaccard oracle."""
     from cdrc_semantic_search_spark.operators.dedup import ngram_jaccard_pairs
 
     d = load(spark, sf_dir, "documents").filter("doc_id < 200")
@@ -1148,12 +1188,14 @@ def ta_quality_features(spark, sf_dir):
     """,
 )
 def ta_language_id(spark, sf_dir):
-    """Language-ID heuristic (stopword-ratio argmax) aggregated per corpus."""
+    """Language-ID heuristic (stopword-ratio argmax) aggregated per corpus.
+    DataFrame-level detect_language projects the token array once — the four
+    per-language ratios share one regexp split per row."""
     from cdrc_semantic_search_spark.operators.text_analysis import detect_language
 
     d = load(spark, sf_dir, "documents")
     return (
-        d.select(detect_language(F.col("text")).alias("lang_guess"))
+        detect_language(d.select("text"), "text")
         .groupBy("lang_guess")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )

@@ -26,7 +26,52 @@ from cdrc_semantic_search_spark.config import (
 from cdrc_semantic_search_spark.oracle import precision_recall
 from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
 
-ALPHA_GRID = (0.25, 0.75, 1.0)  # reference grid has 0.0; alpha ∈ (0,1]
+# The reference sweeps α ∈ {0.0, 0.75, 1.0} (/root/reference/src/evaluation.py:60)
+# while config bounds α ∈ (0, 1] (utils.py:31) — its α=0 point is exactly the
+# "sparse" query mode (utils.py:30), and α=1 is "default" (dense-only). The
+# engine therefore sweeps (query_mode, α) PAIRS to cover the reference grid
+# without violating the α bound.
+MODE_ALPHA_GRID: tuple[tuple[str, float], ...] = (
+    ("sparse", 0.75),  # effective α = 0.0 — the reference's α=0 grid point
+    ("hybrid", 0.75),
+    ("default", 0.75),  # effective α = 1.0 — the reference's α=1 grid point
+)
+
+_EFFECTIVE_ALPHA = {"sparse": 0.0, "default": 1.0}
+
+ALPHA_GRID = (0.25, 0.75, 1.0)  # legacy pure-α sweep (hybrid mode)
+
+
+def evaluate_mode_alpha_grid(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    entities_pdf: pd.DataFrame,
+    truth: pd.DataFrame,
+    grid: tuple[tuple[str, float], ...] = MODE_ALPHA_GRID,
+) -> pd.DataFrame:
+    """→ metrics frame (query_mode, alpha, effective_alpha, precision,
+    recall, n_triples) — one row per (mode, α) pair, reference grid order."""
+    rows = []
+    for mode, alpha in grid:
+        settings = Settings(
+            encoder=EncoderSettings(),
+            retrieval=RetrievalSettings(alpha=alpha, query_mode=mode),
+            pipeline=PipelineSettings(),
+        )
+        pipe = KGPipeline(spark, entities_pdf, settings)
+        got = pipe.triples(transcripts).toPandas()
+        p, r = precision_recall(got, truth)
+        rows.append(
+            {
+                "query_mode": mode,
+                "alpha": alpha,
+                "effective_alpha": _EFFECTIVE_ALPHA.get(mode, alpha),
+                "precision": round(p, 4),
+                "recall": round(r, 4),
+                "n_triples": len(got),
+            }
+        )
+    return pd.DataFrame(rows)
 
 
 def evaluate_alpha_grid(
@@ -36,19 +81,12 @@ def evaluate_alpha_grid(
     truth: pd.DataFrame,
     alphas: tuple[float, ...] = ALPHA_GRID,
 ) -> pd.DataFrame:
-    """→ metrics frame (alpha, precision, recall, n_triples)."""
-    rows = []
-    for alpha in alphas:
-        settings = Settings(
-            encoder=EncoderSettings(),
-            retrieval=RetrievalSettings(alpha=alpha),
-            pipeline=PipelineSettings(),
-        )
-        pipe = KGPipeline(spark, entities_pdf, settings)
-        got = pipe.triples(transcripts).toPandas()
-        p, r = precision_recall(got, truth)
-        rows.append(
-            {"alpha": alpha, "precision": round(p, 4), "recall": round(r, 4),
-             "n_triples": len(got)}
-        )
-    return pd.DataFrame(rows)
+    """Pure-α sweep in hybrid mode → (alpha, precision, recall, n_triples)."""
+    out = evaluate_mode_alpha_grid(
+        spark,
+        transcripts,
+        entities_pdf,
+        truth,
+        grid=tuple(("hybrid", a) for a in alphas),
+    )
+    return out[["alpha", "precision", "recall", "n_triples"]]

@@ -41,6 +41,23 @@ def test_spark_triples_equal_oracle_exactly(spark, fixture, spark_fixture):
     assert got_set == want_set
 
 
+def test_spark_equals_oracle_per_mode(spark, fixture, spark_fixture):
+    """Spark ≡ oracle for EVERY query_mode of the reference enum
+    (utils.py:30) — guards the mode plumbing end-to-end (the round-1 oracle
+    silently stayed hybrid; ADVICE.md)."""
+    from cdrc_semantic_search_spark.config import RetrievalSettings
+
+    tdf, _ = spark_fixture
+    for mode in ("default", "sparse", "hybrid"):
+        settings = Settings(retrieval=RetrievalSettings(query_mode=mode))
+        pipe = KGPipeline(spark, fixture.entities, settings)
+        got = pipe.triples(tdf).toPandas()
+        want = oracle_triples(fixture.transcripts, fixture.entities, settings)
+        got_set = {tuple(t) for t in got[KEY].itertuples(index=False)}
+        want_set = {tuple(t) for t in want[KEY].itertuples(index=False)}
+        assert got_set == want_set, f"mode={mode}: spark/oracle triple sets differ"
+
+
 def test_fused_equals_joined_plan(spark, fixture, spark_fixture):
     """The map-only fused plan and the broadcast-join plan must emit the
     same triple set — the plans differ only physically."""

@@ -34,6 +34,42 @@ def test_chunk_words_short_text_single_chunk(spark):
     assert len(out) == 1 and out[0].chunk_text == "a b"
 
 
+def test_chunk_params_validated():
+    """overlap >= chunk_size makes the stride non-positive — documents would
+    silently vanish from posexplode output; must raise instead (ADVICE.md)."""
+    with pytest.raises(ValueError):
+        chunker.chunk_words_col(F.col("text"), chunk_size=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunker.chunk_words_col(F.col("text"), chunk_size=4, overlap=7)
+    with pytest.raises(ValueError):
+        chunker.chunk_words_col(F.col("text"), chunk_size=4, overlap=-1)
+    with pytest.raises(ValueError):
+        chunker.pack_sentences("a b c", chunk_size=2, overlap=2)
+    chunker.chunk_words_col(F.col("text"), chunk_size=4, overlap=0)  # ok
+
+
+def test_word_shingles_degenerate_texts(spark):
+    """Empty/whitespace texts must produce ZERO shingles (not ['']) so two
+    empty docs don't surface as Jaccard-1.0 near-dups; short texts shingle
+    to their full token join — matching the pure-Python minhash twin."""
+    from cdrc_semantic_search_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "only two"), (4, None), (5, "a b c d")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert out[1] == [] and out[2] == [] and out[4] == []
+    assert out[3] == ["only two"]
+    assert out[5] == ["a b c", "b c d"]
+    # consequence: empty docs never pair up in ngram jaccard
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.5).collect()
+    assert all({r.id_a, r.id_b} != {1, 2} for r in pairs)
+
+
 def test_pack_sentences_boundaries():
     text = "One two three. Four five. Six seven eight nine."
     chunks = chunker.pack_sentences(text, chunk_size=6, overlap=2)
@@ -200,9 +236,12 @@ def test_quality_and_language(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = text_analysis.quality_features(df, "text").toPandas().set_index("doc_id")
     assert out.loc[1, "q_score"] > out.loc[3, "q_score"]
-    langs = df.select(
-        "doc_id", text_analysis.detect_language(F.col("text")).alias("lang")
-    ).toPandas().set_index("doc_id")
+    langs = (
+        text_analysis.detect_language(df, "text", out_col="lang")
+        .select("doc_id", "lang")
+        .toPandas()
+        .set_index("doc_id")
+    )
     assert langs.loc[1, "lang"] == "en"
     assert langs.loc[2, "lang"] == "fr"
     assert langs.loc[3, "lang"] == "und"
