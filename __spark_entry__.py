@@ -32,6 +32,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # driver-side collect of the INDEX side only — the broadcast-BLAS plan
+    # requires the corpus matrix to fit one executor (true for entity
+    # catalogues / centroid tables; the streaming fact side never collects)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
     corpus_ids = emb["vec_id"].to_numpy()
     corpus = np.array([np.asarray(v, dtype=np.float32) for v in emb["embedding"]])

@@ -1566,6 +1566,104 @@ def q18_large_volume_customer(spark, sf_dir):
 
 
 @register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) / 7.0, 4) AS DOUBLE) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+      AND l.l_quantity < 0.2 * (
+          SELECT AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average gates
+    the outer row). Decorrelated the way Catalyst would: the per-partkey
+    average aggregates to ≤|part| rows and joins back BROADCAST — the
+    lineitem fact side never shuffles. l_quantity is integral, so the
+    double AVG is exact and the 0.2·avg comparison is engine-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13"))
+        .select("p_partkey")
+    )
+    avg_q = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey")
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(avg_q), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q21_lone_returner_suppliers",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21_lone_returner_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: the multi-EXISTS idiom — suppliers who were the
+    ONLY returner ('R') in a finished multi-supplier order. EXISTS →
+    left-semi join, NOT EXISTS → left-anti join, both hash-joined on
+    l_orderkey with the suppkey inequality as a residual condition (the
+    testdata has no commit/receipt dates, so returnflag stands in for
+    'kept waiting'). The two fact-fact joins share the l_orderkey
+    partitioning, so the exchange is reused across semi and anti."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    # orders is a fact table — it joins on the same l_orderkey partitioning
+    # (exchange reuse), only the supplier dim broadcasts
+    return (
+        cand.join(o, F.col("l1.l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+@register(
     "w7_sessionization",
     """
     WITH marked AS (

@@ -45,15 +45,19 @@ def test_dim_join_is_broadcast(spark):
 
 def test_fused_triples_plan_is_map_only(spark, fixture, spark_fixture):
     """The production triples plan must contain NO exchange (shuffle) —
-    scan → project → mapInPandas, nothing else."""
+    scan → project → one fused map operator, nothing else (mapInArrow by
+    default; the mapInPandas twin must keep the same shape)."""
     from cdrc_semantic_search_spark.config import Settings
     from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
 
     tdf, _ = spark_fixture
     pipe = KGPipeline(spark, fixture.entities, Settings())
     plan = plan_of(pipe.triples(tdf))
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan
     assert "Exchange" not in plan, f"unexpected shuffle in fused plan:\n{plan}"
+    plan_pd = plan_of(pipe.triples(tdf, impl="pandas"))
+    assert "MapInPandas" in plan_pd
+    assert "Exchange" not in plan_pd, f"unexpected shuffle in fused plan:\n{plan_pd}"
 
 
 def test_kg_edges_aggregation_is_partial_then_final(spark, fixture, spark_fixture):
