@@ -55,6 +55,33 @@ def notes_document(title: Column, notes: Column) -> Column:
     return F.concat_ws("\n\n", title, strip_html(notes))
 
 
+# the reference's composite-LLM-response segment separator
+# (/root/reference/search_service/streamlit_app.py:37)
+LLM_RESPONSE_SEP = "---------------------"
+
+
+def parse_llm_response(seg: Column) -> tuple[Column, Column, Column]:
+    """F11: parse one LLM response segment → (valid, summary, relevance).
+
+    Mirror of the reference's
+    ``r.split("Summary: ")[1].split("Relevance: ")``
+    (/root/reference/search_service/streamlit_app.py:38-47): a segment is
+    valid iff it contains both markers; summary is the text between them,
+    relevance the tail. Invalid segments yield NULLs (the reference keeps a
+    ``None`` placeholder to stay zip-aligned with metadata).
+    """
+    valid = seg.contains("Summary: ") & seg.contains("Relevance: ")
+    after_summary = F.element_at(F.split(seg, "Summary: "), 2)
+    summary = F.element_at(F.split(after_summary, "Relevance: "), 1)
+    relevance = F.element_at(F.split(seg, "Relevance: "), 2)
+    null = F.lit(None).cast("string")
+    return (
+        valid,
+        F.when(valid, summary).otherwise(null),
+        F.when(valid, relevance).otherwise(null),
+    )
+
+
 def tokens(col: Column) -> Column:
     """Whitespace/punctuation tokenization → array<string> (lowercased)."""
     return F.filter(

@@ -47,6 +47,10 @@ class EntityIndex:
     dim: int
     seed: int = 42
     ngram: int = 3
+    # sparse inverted index: token → sorted form-row indices. EXACT candidate
+    # source for α=0 scoring (any form with Jaccard > 0 shares ≥ 1 token) —
+    # the analog of querying the reference's sparse vector store directly.
+    token_postings: dict | None = None
 
     def encode(self, texts: list[str]) -> np.ndarray:
         return encode_texts(texts, dim=self.dim, seed=self.seed, ngram=self.ngram)
@@ -70,6 +74,10 @@ def build_entity_index(entities_pdf: pd.DataFrame, settings: Settings) -> Entity
     enc = settings.encoder
     matrix = encode_texts(forms, dim=enc.embed_dim, seed=enc.seed, ngram=enc.ngram)
     token_sets = [frozenset(f.split()) for f in forms]
+    postings: dict[str, list[int]] = {}
+    for i, ts in enumerate(token_sets):
+        for t in ts:
+            postings.setdefault(t, []).append(i)  # i ascending by construction
     return EntityIndex(
         entity_ids=np.array([form_to_entity[f] for f in forms], dtype=object),
         forms=forms,
@@ -78,6 +86,7 @@ def build_entity_index(entities_pdf: pd.DataFrame, settings: Settings) -> Entity
         dim=enc.embed_dim,
         seed=enc.seed,
         ngram=enc.ngram,
+        token_postings=postings,
     )
 
 
@@ -121,19 +130,29 @@ def _topk_blend(
         sims = q @ index.matrix.T  # (B, M) BLAS
     else:
         # sparse/α=0: dense contributes nothing, so candidates must NOT be
-        # dense-gated — score the lexical side over every index row (the
-        # reference queries its sparse store directly, utils.py:30).
+        # dense-gated — gate by the sparse inverted index instead (the
+        # reference queries its sparse store directly, utils.py:30). Exact:
+        # any form with Jaccard > 0 shares ≥ 1 token with the query; forms
+        # sharing none score 0 and are correctly absent (no-overlap
+        # surfaces stay UNLINKED rather than tie-breaking onto an
+        # arbitrary 0.0-scored entity).
         sims = None
     kk = min(max(k * 4, k), m)  # extra form rows; dedupe to k entities
     out: list[list[tuple[str, float]]] = []
     for bi, surf in enumerate(surfaces):
+        stoks = frozenset(normalize_surface(surf).split())
         if sims is not None:
             row = sims[bi]
             cand = np.argpartition(-row, kk - 1)[:kk] if kk < m else np.arange(m)
+        elif index.token_postings is not None:
+            row = None
+            hits: set[int] = set()
+            for t in stoks:
+                hits.update(index.token_postings.get(t, ()))
+            cand = sorted(hits)
         else:
             row = None
             cand = range(m)
-        stoks = frozenset(normalize_surface(surf).split())
         best: dict[str, float] = {}
         for ci in cand:
             dense = float(row[ci]) if row is not None else 0.0

@@ -245,6 +245,84 @@ def f10_contains(spark, sf_dir):
     )
 
 
+@register(
+    "f11_response_parse",
+    """
+    WITH seg AS (
+        SELECT CAST(doc_id // 4 AS BIGINT) AS grp, doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'note ' || source
+                    ELSE 'Title: doc ' || doc_id || chr(10) || 'Summary: ' ||
+                         substr(text, 1, 40) || ' Relevance: ' || source END AS s
+        FROM documents WHERE doc_id < 40
+    ),
+    comp AS (
+        SELECT grp, string_agg(s, '---------------------' ORDER BY doc_id) AS c
+        FROM seg GROUP BY grp
+    ),
+    ex AS (
+        SELECT grp, unnest(string_split(c, '---------------------')) AS one
+        FROM comp
+    )
+    SELECT grp,
+           (one LIKE '%Summary: %' AND one LIKE '%Relevance: %') AS valid,
+           CASE WHEN one LIKE '%Summary: %' AND one LIKE '%Relevance: %'
+                THEN string_split(string_split(one, 'Summary: ')[2], 'Relevance: ')[1]
+           END AS summary,
+           CASE WHEN one LIKE '%Summary: %' AND one LIKE '%Relevance: %'
+                THEN string_split(one, 'Relevance: ')[2]
+           END AS relevance
+    FROM ex
+    """,
+)
+def f11_response_parse(spark, sf_dir):
+    """F11: composite LLM-response split + per-segment Summary/Relevance
+    parse (/root/reference/search_service/streamlit_app.py:37-47). The
+    composite is synthesized deterministically from documents (every third
+    segment lacks the markers, exercising the reference's None
+    placeholder), split on the 21-dash separator, and parsed Catalyst-only."""
+    from cdrc_semantic_search_spark.functions.text import (
+        LLM_RESPONSE_SEP,
+        parse_llm_response,
+    )
+
+    d = load(spark, sf_dir, "documents").filter("doc_id < 40")
+    seg = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.lit("note "), F.col("source"))
+    ).otherwise(
+        F.concat(
+            F.lit("Title: doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("\nSummary: "),
+            F.substring("text", 1, 40),
+            F.lit(" Relevance: "),
+            F.col("source"),
+        )
+    )
+    comp = (
+        d.select((F.col("doc_id") / 4).cast("long").alias("grp"), "doc_id", seg.alias("s"))
+        .groupBy("grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "s"))),
+                    lambda x: x["s"],
+                ),
+                LLM_RESPONSE_SEP,
+            ).alias("c")
+        )
+    )
+    exploded = comp.select(
+        "grp", F.explode(F.split("c", "\\-{21}")).alias("one")
+    )
+    valid, summary, relevance = parse_llm_response(F.col("one"))
+    return exploded.select(
+        "grp",
+        valid.alias("valid"),
+        summary.alias("summary"),
+        relevance.alias("relevance"),
+    )
+
+
 # =====================================================================
 # §2.4 joins
 # =====================================================================

@@ -125,12 +125,24 @@ mean N rate = {mean_rate_n:,.0f} turns/sec →
 All levels produce identical triple counts ({r_4n['n_triples']:,}) —
 results are parallelism-independent (asserted in tests/test_resume.py).
 
+### Reading the ratio
+
+* Per-core heap parity (2 GB/core per JVM) mirrors a real cluster where
+  4N executors have 4× the total memory; a flat heap GC-throttles only
+  the big configuration (measured 0.68 "efficiency" — a config
+  artifact).
+* Each pinned N cluster's driver burns ~a core of its own 4-CPU set
+  (~25%) vs ~6% for the single 4N driver; real clusters host drivers
+  off-node for both sizes, so mild superlinearity (>1.0) is this
+  simulation's known bias and the pure-compute ceiling (~0.93, below)
+  bounds it from the other side.
+
 ## Cross-checks
 
 * Pure-python extraction (multiprocessing, no Spark) scales at ~0.93
   from 4 → 16 pinned processes on this host — the hardware ceiling.
 * Plan shape: the fact table never shuffles (extraction+linking is one
-  mapInPandas stage against broadcast state); per-executor state (alias
+  mapInArrow stage against broadcast state); per-executor state (alias
   automaton + entity index) is broadcast once per process; the only
   aggregations group on key spaces ≪ input. Nothing in the plan grows
   with cluster size, which is why the measured ratio extrapolates.

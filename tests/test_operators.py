@@ -247,6 +247,32 @@ def test_quality_and_language(spark):
     assert langs.loc[3, "lang"] == "und"
 
 
+def test_parse_llm_response_matches_reference_semantics(spark):
+    """F11 twin of streamlit_app.py:37-47: valid segments parse to
+    (summary, relevance); segments missing either marker yield NULLs."""
+    from cdrc_semantic_search_spark.functions.text import (
+        LLM_RESPONSE_SEP,
+        parse_llm_response,
+    )
+
+    segs = [
+        "Title\nSummary: a short recap Relevance: high",
+        "no markers at all",
+        "Summary: only summary present",
+    ]
+    composite = LLM_RESPONSE_SEP.join(segs)
+    df = spark.createDataFrame([(composite,)], "resp string")
+    exploded = df.select(F.explode(F.split("resp", "\\-{21}")).alias("one"))
+    valid, summary, relevance = parse_llm_response(F.col("one"))
+    out = exploded.select(
+        valid.alias("valid"), summary.alias("summary"), relevance.alias("relevance")
+    ).collect()
+    assert [r.valid for r in out] == [True, False, False]
+    assert out[0].summary == "a short recap "
+    assert out[0].relevance == "high"
+    assert out[1].summary is None and out[2].relevance is None
+
+
 def test_fingerprint_ws_invariant(spark):
     df = spark.createDataFrame(
         [(1, "a  b\tc"), (2, "a b c"), (3, "a b d")], "doc_id long, text string"
