@@ -93,6 +93,25 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenization pattern (GPT-2-style, ASCII subset): common
+# English contractions, letter runs, digit runs, punctuation runs. No
+# lookarounds, so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\s']+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokenization → array<string> (lowercased).
+
+    The training-data token counter: whitespace tokens undercount what a
+    BPE vocabulary sees (punctuation and digit runs become separate
+    tokens, contractions split). Pure Catalyst (regexp_extract_all)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles as strings — basis for MinHash / Jaccard dedup.
 

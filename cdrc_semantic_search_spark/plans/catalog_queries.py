@@ -1313,6 +1313,28 @@ def ta_token_counts(spark, sf_dir):
     )
 
 
+@register(
+    "ta_bpe_token_counts",
+    """
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s'']+'))) AS BIGINT) AS total_bpe_tokens,
+           CAST(MAX(len(regexp_extract_all(lower(text), '''(?:s|t|re|ve|m|ll|d)|[a-z]+|[0-9]+|[^a-z0-9\\s'']+'))) AS BIGINT) AS max_bpe_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def ta_bpe_token_counts(spark, sf_dir):
+    """BPE-ish token counting per source — what a BPE vocab sees (digit /
+    punctuation runs and contractions count separately), vs the
+    whitespace counter in ta_token_counts. Catalyst regexp_extract_all;
+    the pattern avoids lookarounds so Java regex ≡ RE2."""
+    d = load(spark, sf_dir, "documents")
+    n = T.bpe_token_count(F.col("text"))
+    return d.groupBy("source").agg(
+        F.sum(n).cast("long").alias("total_bpe_tokens"),
+        F.max(n).cast("long").alias("max_bpe_tokens"),
+    )
+
+
 @register("ta_winnowing", None)
 def ta_winnowing(spark, sf_dir):
     """Winnowing fingerprint sets (rows-only: xxhash64 is engine-internal)."""

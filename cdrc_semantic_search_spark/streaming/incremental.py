@@ -80,6 +80,35 @@ def stream_triples(
     q.awaitTermination()
 
 
+def stream_dedup_exact(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication — the streaming twin of
+    operators/dedup.exact_duplicate_groups for document/turn streams.
+
+    Keys on the 64-bit whitespace-normalized fingerprint
+    (text_analysis.fingerprint) and keeps the FIRST arrival per key via
+    ``dropDuplicatesWithinWatermark``: duplicate-key state is retained
+    only within the event-time watermark, so state is bounded on an
+    unbounded stream (the batch operator's full-corpus groupBy has no
+    such bound). A duplicate arriving later than the watermark is
+    re-admitted — the standard recall/state trade every streaming
+    training-data pipeline makes; tighten with a periodic batch dedup
+    over the materialized table.
+    """
+    from cdrc_semantic_search_spark.operators.text_analysis import fingerprint
+
+    return (
+        stream_df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+        .drop("__fp")
+    )
+
+
 def windowed_turn_counts(
     stream_df: DataFrame,
     window: str = "10 minutes",

@@ -273,6 +273,27 @@ def test_parse_llm_response_matches_reference_semantics(spark):
     assert out[1].summary is None and out[2].relevance is None
 
 
+def test_bpe_tokens_split_runs_and_contractions(spark):
+    from cdrc_semantic_search_spark.functions.text import bpe_tokens, token_count
+
+    df = spark.createDataFrame(
+        [(1, "It's 2026: GPT-4 rocks!!"), (2, "plain words only")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.toks
+        for r in df.select("doc_id", bpe_tokens(F.col("text")).alias("toks")).collect()
+    }
+    # contraction splits; digit and punctuation runs are separate tokens
+    assert out[1] == ["it", "'s", "2026", ":", "gpt", "-", "4", "rocks", "!!"]
+    assert out[2] == ["plain", "words", "only"]
+    # BPE-ish counts >= whitespace counts
+    cmp = df.select(
+        (F.size(bpe_tokens(F.col("text"))) >= token_count(F.col("text"))).alias("ge")
+    ).collect()
+    assert all(r.ge for r in cmp)
+
+
 def test_fingerprint_ws_invariant(spark):
     df = spark.createDataFrame(
         [(1, "a  b\tc"), (2, "a b c"), (3, "a b d")], "doc_id long, text string"

@@ -43,6 +43,44 @@ def test_stream_triples_matches_batch(spark, fixture, spark_fixture, transcript_
     assert cat.read_committed(spark, "stream_triples").count() == n_before
 
 
+def test_stream_dedup_exact_keeps_one_per_fingerprint(spark, tmp_path):
+    """Duplicated texts (whitespace-variant) collapse to one row per
+    fingerprint within the watermark; distinct texts all survive."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "alpha beta gamma", base),
+        (2, "alpha  beta\tgamma", base + dt.timedelta(minutes=1)),  # ws-dup of 1
+        (3, "delta epsilon", base + dt.timedelta(minutes=2)),
+        (4, "alpha beta gamma", base + dt.timedelta(minutes=3)),  # exact dup of 1
+        (5, "zeta eta", base + dt.timedelta(minutes=4)),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string, ts timestamp").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    )
+    deduped = incremental.stream_dedup_exact(stream, watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from dedup_stream").collect()
+    texts = sorted(r.doc_id for r in got)
+    # one survivor per fingerprint: {1,2,4} collapse to one row; 3 and 5 kept
+    assert len(got) == 3
+    assert 3 in texts and 5 in texts
+    assert len({1, 2, 4} & set(texts)) == 1
+
+
 def test_windowed_counts_with_watermark(spark, spark_fixture, transcript_dir, tmp_path):
     stream = incremental.transcript_stream(spark, transcript_dir)
     agg = incremental.windowed_turn_counts(stream, window="1 hour", watermark="2 hours")
