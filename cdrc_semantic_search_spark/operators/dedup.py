@@ -74,6 +74,13 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
     ).select("id", F.xxhash64("sh").alias("shash"))
+    # cache the posting list ONCE: it feeds three plan branches (a-side,
+    # b-side, per-doc sizes) and Spark does not share subtrees across
+    # self-join branches — without this the shingling runs 3×. persist()
+    # (not eager checkpoint) so the first action computes it once and the
+    # sibling stages read cache; production writes the (id, shingle_hash)
+    # table once and joins against it.
+    shingled = shingled.persist()
 
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
@@ -168,7 +175,13 @@ def minhash_lsh_pairs(
     rows-per-band = n_perm/n_bands; a pair collides in ≥1 band with
     probability 1-(1-j^r)^b. Estimated Jaccard = matching-component
     fraction of the two signatures (zip_with equality mean).
+
+    The signature table is cached before the self-join: both join
+    branches reference it, and Spark would otherwise run the signature
+    UDF twice (production shape: signatures land in a table once —
+    they're ~500 bytes/doc vs the full text).
     """
+    sigs = sigs.persist()
     r = n_perm // n_bands
     banded = sigs.select(
         F.col(id_col).alias("id"),
@@ -241,7 +254,11 @@ def simhash_near_pairs(
     is identical — candidates join on (band, chunk), then exact hamming
     (bit_count of xor) filters. Choose n_bands > max_hamming for a
     completeness guarantee; no all-pairs join ever runs.
+
+    Signatures are cached before the self-join (same rationale as
+    minhash_lsh_pairs: both branches would re-run the signature UDF).
     """
+    sigs = sigs.persist()
     assert 64 % n_bands == 0, "n_bands must divide 64"
     bits = 64 // n_bands
     mask = (1 << bits) - 1

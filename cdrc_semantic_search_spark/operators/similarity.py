@@ -167,10 +167,14 @@ def cosine_pairs_lsh(
 
     Shuffle is on (band, bucket) — sub-quadratic candidate generation;
     exact cosine re-check after. The all-pairs cross join never happens.
+
+    The tagged (band, bucket) table is cached before the self-join:
+    both branches reference it and the signature bits (n_planes dot
+    products per row) would otherwise compute twice.
     """
     tagged = lsh_assign(
         df.select(F.col(id_col), F.col(vec_col)), vec_col, dim, n_planes, n_bands, seed
-    )
+    ).persist()
     a = tagged.select(
         F.col("band"), F.col("bucket"),
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),

@@ -1172,17 +1172,19 @@ def dedup_simhash(spark, sf_dir):
                list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
                (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
                 sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS score
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM (SELECT * FROM embeddings WHERE vec_id < 500) a
+    JOIN (SELECT * FROM embeddings WHERE vec_id < 500) b ON a.vec_id < b.vec_id
     WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
           (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
            sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.5
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs ≥ 0.5 (exact; the LSH-bucketed
-    variant is exercised in tests — its candidate set is probabilistic so
-    the exact form is the SQL-checked one)."""
-    e = load(spark, sf_dir, "embeddings")
+    """Embedding-cosine near-dup pairs ≥ 0.5 — the deliberately-SMALL
+    all-pairs oracle twin (vec_id < 500 keeps it quadratic-but-bounded at
+    every SF); the scale path is the LSH-bucketed cosine_pairs_lsh
+    (probabilistic candidate set → pytest-checked, not SQL-checked)."""
+    e = load(spark, sf_dir, "embeddings").filter("vec_id < 500")
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     cos = V.cosine(F.col("va"), F.col("vb"))
@@ -1192,6 +1194,27 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("score_raw") >= 0.5)
         .select("id_a", "id_b", F.round("score_raw", 6).alias("score"))
     )
+
+
+@register("dedup_embedding_lsh", None)  # probabilistic candidate set
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup at corpus scale: random-hyperplane LSH buckets →
+    exact cosine re-check (operators/similarity.cosine_pairs_lsh). Runs
+    over the FULL embeddings table plus a shifted copy of the first 50
+    vectors (guaranteed duplicates — identical vectors always share every
+    bucket, so LSH must surface ≥ 50 pairs). Shuffle is on (band, bucket),
+    never all-pairs; rows-only (bucket membership is seed-dependent)."""
+    from cdrc_semantic_search_spark.operators.similarity import cosine_pairs_lsh
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.filter("vec_id < 50").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    uni = e.unionByName(dup)
+    dim = len(e.select("embedding").first()[0])
+    return cosine_pairs_lsh(
+        uni, "vec_id", "embedding", dim=dim, threshold=0.9, n_planes=16, n_bands=4
+    ).select("id_a", "id_b", F.round("score", 6).alias("score"))
 
 
 # =====================================================================
