@@ -1,0 +1,73 @@
+"""Graph analytics over materialized KG edge tables.
+
+The pipeline's kg_edges output (plans/kg_pipeline.kg_edges) is a weighted
+entity graph; ranking its nodes is the classic downstream consumer
+(entity importance for canonicalization tie-breaks, curation boosts).
+Connected components lives in operators/canonicalize; this module adds
+fixed-iteration PageRank.
+
+100-TB shape per iteration: one equi-join of the (static, persisted)
+out-degree-annotated edge list with the current rank vector, one
+map-side-combined sum per destination, one broadcast-size rank update —
+no all-pairs anything; ``localCheckpoint`` truncates lineage so iteration
+N never re-optimizes 1..N-1 (same discipline as connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration simplified PageRank → (id, rank).
+
+    rank_{t+1}(v) = (1-d)/N + d · Σ_{u→v} rank_t(u)/outdeg(u)
+
+    Simplified = dangling mass leaks (no redistribution term): the update
+    is a pure join+sum, identical in any SQL engine, so a DuckDB oracle
+    can reproduce it bit-for-bit-modulo-1e-15 (ROUND(,6) absorbs the
+    summation-order drift). Fixed iteration count keeps it deterministic;
+    production runs to an L1 convergence threshold instead.
+
+    ``N`` (vertex count) is a driver-side scalar — one cheap distinct
+    count over ids, the same class of action as IVF's centroid sample.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = v.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+    # static across iterations: annotate each edge with its source degree once
+    fanout = e.join(deg, "src").persist()
+    base = (1.0 - damping) / n
+    ranks = v.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contrib = (
+            fanout.join(ranks, fanout["src"] == ranks["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = v.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint()
+    return ranks

@@ -1404,6 +1404,64 @@ def cc_components(spark, sf_dir):
     return connected_components(edges).select("id", "component")
 
 
+@register(
+    "graph_pagerank",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS src, 1000 + l_partkey % 100 AS dst
+        FROM lineitem WHERE l_orderkey < 300
+    ),
+    v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM v),
+    r1 AS (
+        SELECT v.id,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * COALESCE(SUM(r0.rank / deg.outdeg), 0) AS rank
+        FROM v LEFT JOIN e ON e.dst = v.id
+               LEFT JOIN deg ON deg.src = e.src
+               LEFT JOIN r0 ON r0.id = e.src
+        GROUP BY v.id
+    ),
+    r2 AS (
+        SELECT v.id,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * COALESCE(SUM(r1.rank / deg.outdeg), 0) AS rank
+        FROM v LEFT JOIN e ON e.dst = v.id
+               LEFT JOIN deg ON deg.src = e.src
+               LEFT JOIN r1 ON r1.id = e.src
+        GROUP BY v.id
+    ),
+    r3 AS (
+        SELECT v.id,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * COALESCE(SUM(r2.rank / deg.outdeg), 0) AS rank
+        FROM v LEFT JOIN e ON e.dst = v.id
+               LEFT JOIN deg ON deg.src = e.src
+               LEFT JOIN r2 ON r2.id = e.src
+        GROUP BY v.id
+    )
+    SELECT id, ROUND(rank, 6) AS rank FROM r3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Fixed-iteration (3) simplified PageRank over the same supplier→bucket
+    graph as cc_components, hash-matched against a DuckDB oracle that
+    unrolls the three iterations as chained CTEs (recursive CTEs cannot
+    aggregate in the recursive member). The entity-importance consumer of
+    the materialized kg_edges table (operators/graph.pagerank_fixed)."""
+    from cdrc_semantic_search_spark.operators.graph import pagerank_fixed
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    ).distinct()
+    out = pagerank_fixed(edges, n_iter=3, damping=0.85)
+    return out.select("id", F.round("rank", 6).alias("rank"))
+
+
 @register("kg_triples_fixture", None)
 def kg_triples_fixture(spark, sf_dir):
     """The KG pipeline end-to-end on the deterministic transcript fixture

@@ -316,6 +316,21 @@ def test_winnowing_overlap(spark):
 
 
 # ------------------------------------------------------------ canonicalize
+def test_pagerank_fixed_symmetry_and_sink_gain(spark):
+    """2-cycle A↔B: equal ranks by symmetry. A→C sink: C gains rank from A
+    but never returns it; total mass stays ≤ 1 (dangling leak)."""
+    from cdrc_semantic_search_spark.operators.graph import pagerank_fixed
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    r = {row.id: row.rank for row in pagerank_fixed(cyc, n_iter=5).collect()}
+    assert abs(r[1] - r[2]) < 1e-12 and abs(r[1] - 0.5) < 1e-12
+
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    r = {row.id: row.rank for row in pagerank_fixed(chain, n_iter=3).collect()}
+    assert r[3] > r[2] > r[1]  # downstream accumulates
+    assert sum(r.values()) <= 1.0 + 1e-9
+
+
 def test_connected_components_chain_and_island(spark):
     edges = spark.createDataFrame(
         [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
