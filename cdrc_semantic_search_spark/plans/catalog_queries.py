@@ -1845,6 +1845,79 @@ def q21_lone_returner_suppliers(spark, sf_dir):
 
 
 @register(
+    "ev_funnel_stages",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'signup') AS t1
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'view' AND s1.t1 IS NOT NULL
+          AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 48 HOUR
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 48 HOUR
+        GROUP BY e.user_id
+    )
+    SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS funnel_stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    WHERE t1 IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def ev_funnel_stages(spark, sf_dir):
+    """Ordered funnel analysis (signup → view within 48 h → purchase
+    within 48 h of the view): how many users reach each stage, honoring
+    event-time order + conversion windows. Staged conditional
+    aggregation — each stage table is one groupBy over the events
+    filtered by the previous stage's timestamp; all three joins share
+    the user_id partitioning (exchange reuse), no window over the full
+    event stream needed."""
+    ev = load(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 48 HOURS")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1.filter(F.col("t1").isNotNull()), "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .otherwise(1)
+        .cast("int")
+    )
+    return (
+        s1.filter(F.col("t1").isNotNull())
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@register(
     "w7_sessionization",
     """
     WITH marked AS (
