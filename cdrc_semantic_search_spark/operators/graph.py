@@ -19,6 +19,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over an undirected graph → 1 row (n_triangles).
+
+    Edges are normalized to (a < b) so each undirected edge appears once,
+    then each triangle is found exactly once as an ordered wedge
+    a < b < c closed by (a, c): two equi-joins, no cross product. At
+    scale, orienting by DEGREE instead of id (low-degree endpoint first)
+    bounds per-vertex wedge fan-out by sqrt(m) — swap the orientation
+    key; the join shape is identical.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()  # three plan branches below — compute the edge set once
+    )
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b")  # a < b < c by construction
+    closed = wedges.join(
+        e3, (wedges["a"] == e3["ta"]) & (wedges["c"] == e3["c"])
+    )
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
 def pagerank_fixed(
     edges: DataFrame,
     src: str = "src",

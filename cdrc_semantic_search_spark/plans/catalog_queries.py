@@ -1462,6 +1462,42 @@ def graph_pagerank(spark, sf_dir):
     return out.select("id", F.round("rank", 6).alias("rank"))
 
 
+@register(
+    "graph_triangles",
+    """
+    WITH e AS (
+        SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS a,
+                        GREATEST(a.l_suppkey, b.l_suppkey) AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_orderkey < 200 AND b.l_orderkey < 200
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1 JOIN e e2 ON e1.b = e2.a
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle counting over the supplier co-occurrence graph (suppliers
+    sharing an order are connected). Ordered-wedge formulation — each
+    triangle found once as a < b < c (operators/graph.triangle_count);
+    degree-orientation is the documented scale swap."""
+    from cdrc_semantic_search_spark.operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 200").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
 @register("kg_triples_fixture", None)
 def kg_triples_fixture(spark, sf_dir):
     """The KG pipeline end-to-end on the deterministic transcript fixture

@@ -331,6 +331,20 @@ def test_pagerank_fixed_symmetry_and_sink_gain(spark):
     assert sum(r.values()) <= 1.0 + 1e-9
 
 
+def test_triangle_count_k4_and_bipartite(spark):
+    from cdrc_semantic_search_spark.operators.graph import triangle_count
+
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    assert triangle_count(k4).first()["n_triangles"] == 4
+    # bipartite graphs are triangle-free; reversed/duplicate edges collapse
+    bip = spark.createDataFrame(
+        [(1, 10), (10, 1), (2, 10), (1, 20), (2, 20)], "src long, dst long"
+    )
+    assert triangle_count(bip).first()["n_triangles"] == 0
+
+
 def test_connected_components_chain_and_island(spark):
     edges = spark.createDataFrame(
         [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
