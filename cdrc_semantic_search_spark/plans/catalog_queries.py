@@ -1783,6 +1783,75 @@ def q18_large_volume_customer(spark, sf_dir):
 
 
 @register(
+    "a7_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS qty_p25
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a7_percentiles(spark, sf_dir):
+    """Exact continuous percentiles per group — Spark's `percentile`
+    (exact, sort-based) ≡ DuckDB quantile_cont: both linearly interpolate
+    at rank p·(n−1). The scale path swaps in approx_percentile (t-digest,
+    map-side mergeable) when an exact sort per group is too expensive."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("qty_p25"),
+    )
+
+
+@register(
+    "a8_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def a8_rollup(spark, sf_dir):
+    """Hierarchical subtotals via ROLLUP — grand total + per-flag +
+    per-(flag,status) in ONE pass (Spark expands grouping sets inside the
+    same partial/final aggregation; no extra scans or self-unions)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        _dec_sum("l_quantity", "sum_qty"),
+    )
+
+
+@register(
+    "a9_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a9_pivot(spark, sf_dir):
+    """Pivot (dict→columns transpose, the F12 idiom as real columns):
+    groupBy().pivot() with EXPLICIT pivot values — at scale the implicit
+    form pays a distinct-values job first; naming them keeps it one pass."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").alias("qty_F"),
+        F.col("O").alias("qty_O"),
+    )
+
+
+@register(
     "q17_small_quantity_revenue",
     """
     SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) / 7.0, 4) AS DOUBLE) AS avg_yearly
