@@ -1358,6 +1358,21 @@ def ta_bpe_token_counts(spark, sf_dir):
     )
 
 
+@register("sketch_approx_distinct", None)  # HLL estimates are engine-internal
+def sketch_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct estimation per event_type — the sketch
+    aggregate a 100-TB pipeline uses where exact COUNT(DISTINCT) would
+    shuffle every key (HLL registers are map-side mergeable, fixed-size
+    state). rows-only: estimates are engine-specific; the ≤5%%
+    relative-error bound vs exact is pinned in pytest
+    (test_operators.test_approx_count_distinct_error_bound)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", rsd=0.02).alias("approx_events"),
+    )
+
+
 @register("ta_winnowing", None)
 def ta_winnowing(spark, sf_dir):
     """Winnowing fingerprint sets (rows-only: xxhash64 is engine-internal)."""

@@ -80,6 +80,31 @@ def stream_triples(
     q.awaitTermination()
 
 
+def stream_join_turns_metadata(
+    turn_stream: DataFrame,
+    meta_stream: DataFrame,
+    watermark: str = "1 hour",
+    max_lag: str = "24 hours",
+) -> DataFrame:
+    """Stream-stream INNER join: turns ⋈ per-conversation metadata events.
+
+    Both sides carry watermarks and the join predicate bounds the
+    event-time distance (turn within ``max_lag`` after its conversation's
+    registration event) — the two conditions Structured Streaming needs
+    to evict join state instead of buffering both streams forever.
+    ``meta_stream`` columns: (m_conv_id, m_ts, channel).
+    """
+    t = turn_stream.withWatermark("ts", watermark)
+    m = meta_stream.withWatermark("m_ts", watermark)
+    return t.join(
+        m,
+        F.expr(
+            f"conv_id = m_conv_id AND ts >= m_ts AND ts <= m_ts + INTERVAL {max_lag}"
+        ),
+        "inner",
+    ).drop("m_conv_id")
+
+
 def stream_dedup_exact(
     stream_df: DataFrame,
     text_col: str = "text",

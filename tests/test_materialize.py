@@ -37,6 +37,27 @@ def test_materialize_all_tables(spark, fixture, spark_fixture, tmp_path):
     assert agree / len(sc) > 0.9
 
 
+def test_pagerank_over_materialized_kg_edges(spark, fixture, spark_fixture):
+    """Graph analytics consume the pipeline's own edge table: the highest-
+    PageRank entity must be one of the most-connected entities (hub
+    entities accrue rank from their many neighbors)."""
+    from cdrc_semantic_search_spark.operators.graph import pagerank_fixed
+
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    edges = pipe.kg_edges(pipe.triples(tdf))
+    pr = pagerank_fixed(
+        edges, src="subj_entity_id", dst="obj_entity_id", n_iter=5
+    ).toPandas()
+    assert len(pr) > 0 and abs(pr["rank"].sum()) <= 1.0 + 1e-9
+    top = pr.sort_values(["rank", "id"], ascending=[False, True]).iloc[0]["id"]
+    deg = (
+        edges.select(F.col("obj_entity_id").alias("id"))
+        .groupBy("id").count().toPandas().set_index("id")["count"]
+    )
+    assert deg.get(top, 0) >= deg.quantile(0.9)  # top-ranked is a hub
+
+
 def test_surface_clusters_group_typo_variants(spark, fixture, spark_fixture):
     tdf, _ = spark_fixture
     pipe = KGPipeline(spark, fixture.entities, Settings())

@@ -331,6 +331,14 @@ def test_pagerank_fixed_symmetry_and_sink_gain(spark):
     assert sum(r.values()) <= 1.0 + 1e-9
 
 
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ at rsd=0.02 stays within 5% of exact on a 20k-key column."""
+    df = spark.range(0, 100_000).select((F.col("id") % 20_000).alias("k"))
+    exact = df.select(F.countDistinct("k")).first()[0]
+    approx = df.select(F.approx_count_distinct("k", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+
 def test_triangle_count_k4_and_bipartite(spark):
     from cdrc_semantic_search_spark.operators.graph import triangle_count
 

@@ -43,6 +43,40 @@ def test_stream_triples_matches_batch(spark, fixture, spark_fixture, transcript_
     assert cat.read_committed(spark, "stream_triples").count() == n_before
 
 
+def test_stream_stream_join_bounded_state(spark, spark_fixture, transcript_dir, tmp_path):
+    """Turns join their conversation's registration event within the lag
+    bound; a registration far in the past joins nothing."""
+    tdf, _ = spark_fixture
+    meta = (
+        tdf.groupBy("conv_id")
+        .agg(F.min("ts").alias("m_ts"))
+        .withColumn("channel", F.concat(F.lit("ch_"), F.col("conv_id")))
+        .select(F.col("conv_id").alias("m_conv_id"), "m_ts", "channel")
+    )
+    meta_dir = str(tmp_path / "meta")
+    meta.coalesce(1).write.mode("overwrite").parquet(meta_dir)
+    turn_stream = incremental.transcript_stream(spark, transcript_dir)
+    meta_stream = spark.readStream.schema(
+        "m_conv_id string, m_ts timestamp, channel string"
+    ).parquet(meta_dir)
+    joined = incremental.stream_join_turns_metadata(
+        turn_stream, meta_stream, watermark="1 hour", max_lag="30 days"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from ss_join")
+    n_turns = tdf.count()
+    assert got.count() == n_turns  # every turn within 30 days of its conv start
+    assert got.filter(F.col("channel") != F.concat(F.lit("ch_"), F.col("conv_id"))).count() == 0
+
+
 def test_stream_dedup_exact_keeps_one_per_fingerprint(spark, tmp_path):
     """Duplicated texts (whitespace-variant) collapse to one row per
     fingerprint within the watermark; distinct texts all survive."""
