@@ -72,8 +72,11 @@ def parse_llm_response(seg: Column) -> tuple[Column, Column, Column]:
     """
     valid = seg.contains("Summary: ") & seg.contains("Relevance: ")
     after_summary = F.element_at(F.split(seg, "Summary: "), 2)
+    # both pieces come from the text AFTER the summary marker, exactly like
+    # the reference's chained .split — a 'Relevance: ' occurring BEFORE
+    # 'Summary: ' must not win
     summary = F.element_at(F.split(after_summary, "Relevance: "), 1)
-    relevance = F.element_at(F.split(seg, "Relevance: "), 2)
+    relevance = F.element_at(F.split(after_summary, "Relevance: "), 2)
     null = F.lit(None).cast("string")
     return (
         valid,

@@ -32,8 +32,6 @@ from pyspark.sql import functions as F
 
 from cdrc_semantic_search_spark.operators.similarity import cosine_pairs_lsh
 
-_CC_EPOCH = 0  # Observation names must be unique per SparkSession
-
 
 def connected_components(
     edges: DataFrame,
@@ -53,7 +51,8 @@ def connected_components(
     broadcast-size label update join. ``localCheckpoint`` truncates lineage
     so round N's plan never re-optimizes rounds 1..N-1.
     """
-    global _CC_EPOCH
+    import uuid
+
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct()
@@ -95,8 +94,9 @@ def connected_components(
                 "component"
             ),
         )
-        _CC_EPOCH += 1
-        obs = Observation(f"__cc_round_{_CC_EPOCH}")
+        # uuid name: Observation names must be unique per SparkSession, and
+        # concurrent connected_components calls may share one session
+        obs = Observation(f"__cc_round_{uuid.uuid4().hex}")
         new_labels = (
             jumped.select(
                 "id",
@@ -127,6 +127,11 @@ def canonicalize_embedded(
     threshold through any path; canonical = min id in the component."""
     pairs = cosine_pairs_lsh(df, id_col, vec_col, dim, threshold, seed=seed)
     comp = connected_components(pairs)
+    # connected_components eagerly checkpointed its edge list, so the LSH
+    # candidate cache inside cosine_pairs_lsh is fully consumed — release
+    # it rather than pinning executor storage for the session's lifetime
+    for cached in getattr(pairs, "_cached_inputs", []):
+        cached.unpersist()
     return (
         df.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")

@@ -30,14 +30,12 @@ _SENT_RE = re.compile(r"(?<=[.!?])\s+")
 
 
 def _check_chunk_params(chunk_size: int, overlap: int) -> None:
-    """Mirror of ChunkSettings.__post_init__: overlap >= chunk_size makes the
-    stride non-positive and documents would silently vanish."""
-    if chunk_size <= 0:
-        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
-    if not 0 <= overlap < chunk_size:
-        raise ValueError(
-            f"overlap must satisfy 0 <= overlap < chunk_size, got overlap={overlap} chunk_size={chunk_size}"
-        )
+    """Single source of truth: delegate to ChunkSettings' own validation
+    (overlap >= chunk_size makes the stride non-positive and documents
+    would silently vanish from the posexplode output)."""
+    from cdrc_semantic_search_spark.config import ChunkSettings
+
+    ChunkSettings(chunk_size=chunk_size, chunk_overlap=overlap)
 
 
 def chunk_words_col(text: Column, chunk_size: int, overlap: int) -> Column:

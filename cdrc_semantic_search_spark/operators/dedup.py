@@ -79,7 +79,9 @@ def ngram_jaccard_pairs(
     # self-join branches — without this the shingling runs 3×. persist()
     # (not eager checkpoint) so the first action computes it once and the
     # sibling stages read cache; production writes the (id, shingle_hash)
-    # table once and joins against it.
+    # table once and joins against it. Not unpersisted here (the operator
+    # never runs an action); the ContextCleaner reclaims the blocks when
+    # the result frame is dropped.
     shingled = shingled.persist()
 
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))

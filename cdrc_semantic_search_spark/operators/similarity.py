@@ -170,7 +170,10 @@ def cosine_pairs_lsh(
 
     The tagged (band, bucket) table is cached before the self-join:
     both branches reference it and the signature bits (n_planes dot
-    products per row) would otherwise compute twice.
+    products per row) would otherwise compute twice. The handle is
+    attached to the result as ``_cached_inputs`` so pipeline callers can
+    unpersist once consumed (canonicalize_embedded does); otherwise the
+    ContextCleaner reclaims the blocks when the frames are dropped.
     """
     tagged = lsh_assign(
         df.select(F.col(id_col), F.col(vec_col)), vec_col, dim, n_planes, n_bands, seed
@@ -189,9 +192,11 @@ def cosine_pairs_lsh(
         .select("id_a", "id_b", "vec_a", "vec_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.select(
+    out = pairs.select(
         "id_a", "id_b", V.cosine(F.col("vec_a"), F.col("vec_b")).alias("score")
     ).filter(F.col("score") >= threshold)
+    out._cached_inputs = [tagged]  # release hook for pipeline callers
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -269,7 +269,7 @@ def f10_contains(spark, sf_dir):
                 THEN string_split(string_split(one, 'Summary: ')[2], 'Relevance: ')[1]
            END AS summary,
            CASE WHEN one LIKE '%Summary: %' AND one LIKE '%Relevance: %'
-                THEN string_split(one, 'Relevance: ')[2]
+                THEN string_split(string_split(one, 'Summary: ')[2], 'Relevance: ')[2]
            END AS relevance
     FROM ex
     """,
@@ -1363,7 +1363,7 @@ def sketch_approx_distinct(spark, sf_dir):
     """HyperLogLog++ distinct estimation per event_type — the sketch
     aggregate a 100-TB pipeline uses where exact COUNT(DISTINCT) would
     shuffle every key (HLL registers are map-side mergeable, fixed-size
-    state). rows-only: estimates are engine-specific; the ≤5%%
+    state). rows-only: estimates are engine-specific; the ≤5%
     relative-error bound vs exact is pinned in pytest
     (test_operators.test_approx_count_distinct_error_bound)."""
     ev = load(spark, sf_dir, "events")
@@ -1469,10 +1469,11 @@ def graph_pagerank(spark, sf_dir):
     from cdrc_semantic_search_spark.operators.graph import pagerank_fixed
 
     li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    # no .distinct() here: pagerank_fixed normalizes+distincts internally
     edges = li.select(
         F.col("l_suppkey").alias("src"),
         (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
-    ).distinct()
+    )
     out = pagerank_fixed(edges, n_iter=3, damping=0.85)
     return out.select("id", F.round("rank", 6).alias("rank"))
 
@@ -1504,11 +1505,11 @@ def graph_triangles(spark, sf_dir):
     )
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    # no .distinct() here: triangle_count normalizes+distincts internally
     edges = (
         a.join(b, "ok")
         .filter(F.col("sa") < F.col("sb"))
         .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
-        .distinct()
     )
     return triangle_count(edges)
 

@@ -259,6 +259,10 @@ def test_parse_llm_response_matches_reference_semantics(spark):
         "Title\nSummary: a short recap Relevance: high",
         "no markers at all",
         "Summary: only summary present",
+        # adversarial: a 'Relevance: ' BEFORE the summary must not win —
+        # both pieces parse from after the Summary marker (reference
+        # chains .split('Summary: ')[1].split('Relevance: '))
+        "Relevance: decoy Summary: real recap Relevance: high",
     ]
     composite = LLM_RESPONSE_SEP.join(segs)
     df = spark.createDataFrame([(composite,)], "resp string")
@@ -267,10 +271,11 @@ def test_parse_llm_response_matches_reference_semantics(spark):
     out = exploded.select(
         valid.alias("valid"), summary.alias("summary"), relevance.alias("relevance")
     ).collect()
-    assert [r.valid for r in out] == [True, False, False]
+    assert [r.valid for r in out] == [True, False, False, True]
     assert out[0].summary == "a short recap "
     assert out[0].relevance == "high"
     assert out[1].summary is None and out[2].relevance is None
+    assert out[3].summary == "real recap " and out[3].relevance == "high"
 
 
 def test_bpe_tokens_split_runs_and_contractions(spark):

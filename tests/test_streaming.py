@@ -45,11 +45,22 @@ def test_stream_triples_matches_batch(spark, fixture, spark_fixture, transcript_
 
 def test_stream_stream_join_bounded_state(spark, spark_fixture, transcript_dir, tmp_path):
     """Turns join their conversation's registration event within the lag
-    bound; a registration far in the past joins nothing."""
+    bound; a registration far in the past joins nothing (the event-time
+    range predicate, not just the key match, gates the join)."""
     tdf, _ = spark_fixture
+    stale_conv = tdf.select("conv_id").first()["conv_id"]
     meta = (
         tdf.groupBy("conv_id")
         .agg(F.min("ts").alias("m_ts"))
+        # one conversation registered 90 days before its turns: outside
+        # max_lag, so its turns must NOT join
+        .withColumn(
+            "m_ts",
+            F.when(
+                F.col("conv_id") == stale_conv,
+                F.col("m_ts") - F.expr("INTERVAL 90 DAYS"),
+            ).otherwise(F.col("m_ts")),
+        )
         .withColumn("channel", F.concat(F.lit("ch_"), F.col("conv_id")))
         .select(F.col("conv_id").alias("m_conv_id"), "m_ts", "channel")
     )
@@ -73,7 +84,11 @@ def test_stream_stream_join_bounded_state(spark, spark_fixture, transcript_dir, 
     q.awaitTermination()
     got = spark.sql("select * from ss_join")
     n_turns = tdf.count()
-    assert got.count() == n_turns  # every turn within 30 days of its conv start
+    n_stale = tdf.filter(F.col("conv_id") == stale_conv).count()
+    assert n_stale > 0
+    # every in-window turn joined; the back-dated conversation joined NOTHING
+    assert got.count() == n_turns - n_stale
+    assert got.filter(F.col("conv_id") == stale_conv).count() == 0
     assert got.filter(F.col("channel") != F.concat(F.lit("ch_"), F.col("conv_id"))).count() == 0
 
 
