@@ -1966,6 +1966,113 @@ def q21_lone_returner_suppliers(spark, sf_dir):
 
 
 @register(
+    "t1_asof_enrich",
+    """
+    WITH purch AS (
+        SELECT user_id, ts, MAX(value) AS value
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           ROUND(p.value, 6) AS last_purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def t1_asof_enrich(spark, sf_dir):
+    """As-of join (backward, inclusive): each click gets the user's most
+    recent purchase value at-or-before its timestamp, NULL when none.
+    The operator (operators/temporal.asof_join_backward) is a union +
+    single window pass — one shuffle on user_id, no inequality-join
+    candidate explosion; the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from cdrc_semantic_search_spark.operators.temporal import asof_join_backward
+
+    ev = load(spark, sf_dir, "events")
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))  # dedupe equal-ts snapshots
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_backward(
+        clicks, purch, key="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value", 6).alias("last_purchase_value")
+    )
+
+
+@register(
+    "t2_range_join",
+    """
+    WITH ranges AS (
+        SELECT event_id AS range_id, ts AS r_start, ts + INTERVAL 6 HOUR AS r_end
+        FROM events WHERE event_type = 'signup' AND event_id < 400
+    )
+    SELECT r.range_id, CAST(COUNT(*) AS BIGINT) AS n_facts
+    FROM events e JOIN ranges r
+      ON e.ts >= r.r_start AND e.ts < r.r_end
+    GROUP BY r.range_id
+    """,
+)
+def t2_range_join(spark, sf_dir):
+    """Range (interval) join: count events inside each 6-hour window
+    opened by an early signup. The range side broadcasts (ranges ≪
+    facts), so the fact table is scanned once with a nested-loop probe
+    per range — the plan you want when the interval table is dimension-
+    sized (operators/temporal.range_join_count)."""
+    from cdrc_semantic_search_spark.operators.temporal import range_join_count
+
+    ev = load(spark, sf_dir, "events")
+    ranges = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("event_id") < 400))
+        .select(
+            F.col("event_id").alias("range_id"),
+            F.col("ts").alias("r_start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("r_end"),
+        )
+    )
+    return range_join_count(
+        ev, ranges, fact_ts="ts", range_start="r_start", range_end="r_end",
+        range_keys=["range_id"],
+    )
+
+
+@register(
+    "t3_hypertable_rollup",
+    """
+    SELECT '1 hour' AS level, date_trunc('hour', ts) AS bucket_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT '1 day', date_trunc('day', ts), event_type,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM events GROUP BY 2, 3
+    """,
+)
+def t3_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style cascading rollup (continuous-aggregate analog):
+    hourly buckets aggregate the raw rows once; the daily level
+    re-aggregates the HOURLY table (sums of exact decimal sums). The
+    oracle aggregates each level directly from raw — hash equality IS the
+    cascade-correctness invariant."""
+    from cdrc_semantic_search_spark.operators.temporal import hypertable_rollup
+
+    ev = load(spark, sf_dir, "events")
+    return hypertable_rollup(
+        ev, ts_col="ts", group_cols=["event_type"], agg_col="value",
+        levels=("1 hour", "1 day"),
+    )
+
+
+@register(
     "ev_funnel_stages",
     """
     WITH s1 AS (

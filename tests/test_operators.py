@@ -336,6 +336,63 @@ def test_pagerank_fixed_symmetry_and_sink_gain(spark):
     assert sum(r.values()) <= 1.0 + 1e-9
 
 
+def test_asof_join_backward_semantics(spark):
+    """Inclusive at equal ts, most-recent-wins, NULL before any snapshot,
+    keys never cross."""
+    import datetime as dt
+
+    from cdrc_semantic_search_spark.operators.temporal import asof_join_backward
+
+    t0 = dt.datetime(2026, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)
+    left = spark.createDataFrame(
+        [(1, s(0), "a"), (1, s(10), "b"), (1, s(20), "c"), (2, s(10), "d")],
+        "k long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, s(10), 1.5), (1, s(15), 2.5), (2, s(99), 9.9)],
+        "k long, ts timestamp, v double",
+    )
+    out = {
+        r.tag: r.v
+        for r in asof_join_backward(left, right, key="k", value_cols=["v"]).collect()
+    }
+    assert out["a"] is None  # before any snapshot
+    assert out["b"] == 1.5  # equal ts is inclusive
+    assert out["c"] == 2.5  # most recent wins
+    assert out["d"] is None  # other key's snapshots invisible
+
+
+def test_hypertable_rollup_cascade_equals_direct(spark):
+    """The daily level (re-aggregated from hourly) equals direct daily
+    aggregation of the raw rows — sums of exact decimal sums."""
+    import datetime as dt
+
+    from cdrc_semantic_search_spark.operators.temporal import hypertable_rollup
+
+    t0 = dt.datetime(2026, 3, 1)
+    rows = [
+        ("x", t0 + dt.timedelta(minutes=37 * i % (3 * 1440)), float(i) / 7)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    out = hypertable_rollup(df, "ts", ["g"], "value", levels=("1 hour", "1 day"))
+    daily = out.filter(F.col("level") == "1 day").toPandas()
+    direct = (
+        df.groupBy(F.window("ts", "1 day").getField("start").alias("bucket_start"), "g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_val"),
+        )
+        .toPandas()
+    )
+    key = ["bucket_start", "g"]
+    assert (
+        daily.sort_values(key)[key + ["n_rows", "sum_val"]].reset_index(drop=True)
+        .equals(direct.sort_values(key)[key + ["n_rows", "sum_val"]].reset_index(drop=True))
+    )
+
+
 def test_approx_count_distinct_error_bound(spark):
     """HLL++ at rsd=0.02 stays within 5% of exact on a 20k-key column."""
     df = spark.range(0, 100_000).select((F.col("id") % 20_000).alias("k"))
