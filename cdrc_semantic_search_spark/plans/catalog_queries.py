@@ -2190,6 +2190,45 @@ def w7_sessionization(spark, sf_dir):
 
 
 @register(
+    "w8_session_window",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WHERE user_id < 30
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def w8_session_window(spark, sf_dir):
+    """Spark's NATIVE session_window aggregation cross-checked against the
+    classic lag/cumsum SQL formulation (w7's shape with the >= gap rule —
+    session_window's window end is exclusive, so a gap of exactly the
+    timeout starts a new session). One aggregation, no window function on
+    the Spark side; the same expression works under a watermark in
+    streaming."""
+    ev = load(spark, sf_dir, "events").filter("user_id < 30")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "curation_filter",
     f"""
     SELECT doc_id, n_chars FROM (

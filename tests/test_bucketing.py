@@ -1,0 +1,74 @@
+"""Bucketed-table co-located joins: the shuffle-elimination technique for
+repeated big-big joins (SURVEY §4 / task brief: "bucketing for co-located
+joins"). Writing both sides bucketed by the join key lets every
+subsequent join run shuffle-FREE — at 100 TB this converts the dominant
+recurring cost (re-shuffling the fact tables per query) into a one-time
+write-side sort."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bucketed")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    for name in ("li_bkt", "ord_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # external tables: explicit paths keep the metastore-managed warehouse
+    # dir (a static config) out of the picture
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", str(root / "li_bkt"))
+        .mode("overwrite").format("parquet").saveAsTable("li_bkt")
+    )
+    (
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", str(root / "ord_bkt"))
+        .mode("overwrite").format("parquet").saveAsTable("ord_bkt")
+    )
+    yield "li_bkt", "ord_bkt"
+    for name in ("li_bkt", "ord_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    """Joining two tables bucketed on the join key with matching bucket
+    counts must not shuffle EITHER side."""
+    li_t, ord_t = bucketed_tables
+    # force a non-broadcast plan so the join strategy itself is under test
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(li_t).join(
+            spark.table(ord_t),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it returns the same rows as the shuffling plan
+        n_bucketed = joined.count()
+        n_plain = (
+            spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+            .join(
+                spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert n_bucketed == n_plain
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, bucketed_tables):
+    """groupBy on the bucketing key also rides the existing layout."""
+    li_t, _ = bucketed_tables
+    agg = spark.table(li_t).groupBy("l_orderkey").agg(F.sum("l_quantity"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"bucketed groupBy still shuffles:\n{plan}"
