@@ -125,12 +125,15 @@ def canonicalize_embedded(
 ) -> DataFrame:
     """→ (id, canonical_id): cluster rows whose embeddings reach cosine ≥
     threshold through any path; canonical = min id in the component."""
-    pairs = cosine_pairs_lsh(df, id_col, vec_col, dim, threshold, seed=seed)
+    caches: list = []
+    pairs = cosine_pairs_lsh(
+        df, id_col, vec_col, dim, threshold, seed=seed, cache_handle=caches
+    )
     comp = connected_components(pairs)
     # connected_components eagerly checkpointed its edge list, so the LSH
     # candidate cache inside cosine_pairs_lsh is fully consumed — release
     # it rather than pinning executor storage for the session's lifetime
-    for cached in getattr(pairs, "_cached_inputs", []):
+    for cached in caches:
         cached.unpersist()
     return (
         df.select(F.col(id_col).alias("id"))

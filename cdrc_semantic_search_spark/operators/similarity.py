@@ -162,6 +162,7 @@ def cosine_pairs_lsh(
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 42,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Self-join near-neighbor pairs (id_a < id_b, cosine ≥ threshold).
 
@@ -170,14 +171,16 @@ def cosine_pairs_lsh(
 
     The tagged (band, bucket) table is cached before the self-join:
     both branches reference it and the signature bits (n_planes dot
-    products per row) would otherwise compute twice. The handle is
-    attached to the result as ``_cached_inputs`` so pipeline callers can
-    unpersist once consumed (canonicalize_embedded does); otherwise the
+    products per row) would otherwise compute twice. Pass a list as
+    ``cache_handle`` to receive the persisted frame and unpersist it once
+    the result is consumed (canonicalize_embedded does); otherwise the
     ContextCleaner reclaims the blocks when the frames are dropped.
     """
     tagged = lsh_assign(
         df.select(F.col(id_col), F.col(vec_col)), vec_col, dim, n_planes, n_bands, seed
     ).persist()
+    if cache_handle is not None:
+        cache_handle.append(tagged)
     a = tagged.select(
         F.col("band"), F.col("bucket"),
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
@@ -192,11 +195,9 @@ def cosine_pairs_lsh(
         .select("id_a", "id_b", "vec_a", "vec_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    out = pairs.select(
+    return pairs.select(
         "id_a", "id_b", V.cosine(F.col("vec_a"), F.col("vec_b")).alias("score")
     ).filter(F.col("score") >= threshold)
-    out._cached_inputs = [tagged]  # release hook for pipeline callers
-    return out
 
 
 # ---------------------------------------------------------------------------

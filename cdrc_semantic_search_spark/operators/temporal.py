@@ -28,28 +28,42 @@ def asof_join_backward(
 
     NOT implemented as a join at all: both sides union into one stream
     per key, a single window pass carries the latest right payload
-    forward (``last(..., ignorenulls)``), then left rows filter back out.
-    One shuffle on the key, zero candidate-pair explosion — the classic
-    scalable as-of shape (an inequality join would make Catalyst buffer
-    every (left, right) key-pair candidate). Right rows sort BEFORE left
-    rows at equal timestamps so the match is inclusive.
+    forward, then left rows filter back out. One shuffle on the key, zero
+    candidate-pair explosion — the classic scalable as-of shape (an
+    inequality join would make Catalyst buffer every (left, right)
+    key-pair candidate). Right rows sort BEFORE left rows at equal
+    timestamps so the match is inclusive.
+
+    The right payload is carried as ONE struct, not per column: the most
+    recent right ROW wins as a whole, so a NULL inside the latest
+    snapshot stays NULL (per-column ``last(ignorenulls)`` would resurrect
+    an older value and could mix columns from different rows — not as-of
+    semantics).
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} collide with left columns — rename "
+            "the right-side payload columns before joining"
+        )
     l_tagged = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),  # left sorts after right at equal ts
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(f"struct<{', '.join(f'{c}:{dict(right.dtypes)[c]}' for c in value_cols)}>")
+        .alias("__rrow"),
     )
     r_tagged = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__side"),
         F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rrow"),
     )
     uni = l_tagged.unionByName(r_tagged)
     w = (
@@ -60,16 +74,12 @@ def asof_join_backward(
     carried = uni.select(
         "__side",
         "__lrow",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
-            for c in value_cols
-        ],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
     )
-    out = carried.filter(F.col("__side") == 1).select(
+    return carried.filter(F.col("__side") == 1).select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+        *[F.col(f"__rrow.{c}").alias(c) for c in value_cols],
     )
-    return out
 
 
 def range_join_count(
@@ -79,21 +89,51 @@ def range_join_count(
     range_start: str,
     range_end: str,
     range_keys: list[str],
+    broadcast_ranges: bool = True,
 ) -> DataFrame:
-    """Count facts falling inside each [start, end) range → ranges + n_facts.
+    """Count facts falling inside each [start, end) range → one row PER
+    RANGE (empty windows included with n_facts = 0).
 
-    Expressed as a conditional join so Catalyst can pick the physical
-    strategy: broadcast-nested-loop when the range side is small (typical
-    — ranges ≪ facts), or turn on AQE + a bucketed pre-filter for
-    range-side blowup. The fact side is scanned once.
+    ``broadcast_ranges=True`` (the typical shape: ranges ≪ facts) forces
+    a broadcast-nested-loop probe so the fact side is scanned once; pass
+    False when the interval table is itself large and let Catalyst/AQE
+    plan the conditional join (pair with a bucketed time pre-filter).
+    The inner-join counts are left-joined back to the range table so
+    no-match ranges survive.
     """
     cond = (F.col(fact_ts) >= F.col(range_start)) & (
         F.col(fact_ts) < F.col(range_end)
     )
-    joined = facts.join(F.broadcast(ranges), cond, "inner")
-    return joined.groupBy(*range_keys).agg(
-        F.count(F.lit(1)).cast("long").alias("n_facts")
+    r = F.broadcast(ranges) if broadcast_ranges else ranges
+    counts = (
+        facts.join(r, cond, "inner")
+        .groupBy(*range_keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
     )
+    return (
+        ranges.select(*range_keys)
+        .join(F.broadcast(counts) if broadcast_ranges else counts, range_keys, "left")
+        .select(
+            *range_keys,
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_facts"),
+        )
+    )
+
+
+_DURATION_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _duration_seconds(spec: str) -> int:
+    """'N unit' → seconds (the subset of window widths the rollup nests)."""
+    try:
+        n, unit = spec.strip().split()
+        return int(n) * _DURATION_UNITS[unit.lower()]
+    except (ValueError, KeyError):
+        raise ValueError(f"unsupported bucket width {spec!r}; use 'N second|minute|hour|day|week'") from None
 
 
 def hypertable_rollup(
@@ -110,8 +150,19 @@ def hypertable_rollup(
 
     → (level, bucket_start, *group_cols, n_rows, sum_val), all levels
     unioned. Correctness invariant (pinned by the oracle): the cascaded
-    coarse levels equal direct aggregation of the raw rows.
+    coarse levels equal direct aggregation of the raw rows — which only
+    holds when every level is an exact multiple of the one below it
+    (buckets nest); validated up front, misaligned levels raise.
     """
+    if not levels:
+        raise ValueError("levels must contain at least one bucket width")
+    secs = [_duration_seconds(lvl) for lvl in levels]
+    for prev, cur, pl, cl in zip(secs, secs[1:], levels, levels[1:]):
+        if cur % prev != 0 or cur <= prev:
+            raise ValueError(
+                f"level '{cl}' must be a proper exact multiple of '{pl}' "
+                "(coarser buckets must nest the finer ones)"
+            )
     finest = levels[0]
     cur = (
         df.groupBy(

@@ -2013,19 +2013,24 @@ def t1_asof_enrich(spark, sf_dir):
     WITH ranges AS (
         SELECT event_id AS range_id, ts AS r_start, ts + INTERVAL 6 HOUR AS r_end
         FROM events WHERE event_type = 'signup' AND event_id < 400
+    ),
+    counts AS (
+        SELECT r.range_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events e JOIN ranges r
+          ON e.ts >= r.r_start AND e.ts < r.r_end
+        GROUP BY r.range_id
     )
-    SELECT r.range_id, CAST(COUNT(*) AS BIGINT) AS n_facts
-    FROM events e JOIN ranges r
-      ON e.ts >= r.r_start AND e.ts < r.r_end
-    GROUP BY r.range_id
+    SELECT ranges.range_id, CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_facts
+    FROM ranges LEFT JOIN counts USING (range_id)
     """,
 )
 def t2_range_join(spark, sf_dir):
     """Range (interval) join: count events inside each 6-hour window
-    opened by an early signup. The range side broadcasts (ranges ≪
-    facts), so the fact table is scanned once with a nested-loop probe
-    per range — the plan you want when the interval table is dimension-
-    sized (operators/temporal.range_join_count)."""
+    opened by an early signup — one row per range, empty windows included
+    with 0. The range side broadcasts (ranges ≪ facts), so the fact table
+    is scanned once with a nested-loop probe per range — the plan you
+    want when the interval table is dimension-sized
+    (operators/temporal.range_join_count)."""
     from cdrc_semantic_search_spark.operators.temporal import range_join_count
 
     ev = load(spark, sf_dir, "events")

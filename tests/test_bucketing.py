@@ -40,6 +40,7 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
     counts must not shuffle EITHER side."""
     li_t, ord_t = bucketed_tables
     # force a non-broadcast plan so the join strategy itself is under test
+    orig_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = spark.table(li_t).join(
@@ -61,9 +62,7 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         )
         assert n_bucketed == n_plain
     finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_threshold)
 
 
 def test_bucketed_aggregation_has_no_exchange(spark, bucketed_tables):

@@ -362,6 +362,27 @@ def test_asof_join_backward_semantics(spark):
     assert out["c"] == 2.5  # most recent wins
     assert out["d"] is None  # other key's snapshots invisible
 
+    # the most recent right ROW wins as a whole: a NULL inside the latest
+    # snapshot stays NULL, and columns never mix across snapshots
+    right2 = spark.createDataFrame(
+        [(1, s(5), 1.0, 2.0), (1, s(15), 3.0, None)],
+        "k long, ts timestamp, v1 double, v2 double",
+    )
+    got = {
+        r.tag: (r.v1, r.v2)
+        for r in asof_join_backward(
+            left, right2, key="k", value_cols=["v1", "v2"]
+        ).collect()
+    }
+    assert got["c"] == (3.0, None)  # NOT (3.0, 2.0) — no cross-row mixing
+    assert got["b"] == (1.0, 2.0)
+
+    # payload column names must not collide with left columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join_backward(left, right.withColumnRenamed("v", "tag"), key="k")
+
 
 def test_hypertable_rollup_cascade_equals_direct(spark):
     """The daily level (re-aggregated from hourly) equals direct daily
