@@ -1909,6 +1909,99 @@ def q17_small_quantity_revenue(spark, sf_dir):
 
 
 @register(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(
+        100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l.l_discount AS DECIMAL(8,4))
+                   ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE),
+        6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-09-01' AND l.l_shipdate < DATE '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo share of
+    revenue). Both sums are exact decimals cast to double BEFORE the
+    division, so the ratio is engine-independent; the part dim
+    broadcasts into the date-pruned lineitem scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(15,4)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,4)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(24,8)")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q22_dormant_rich_customers",
+    """
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS ab
+        FROM customer WHERE c_acctbal > 0.0 AND c_nationkey < 10
+    )
+    SELECT c_nationkey AS nation, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_nationkey < 10
+      AND c_acctbal > (SELECT ab FROM avg_bal)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: global scalar-subquery threshold (above-average
+    balance, computed as exact-decimal-sum / count so the cutoff is
+    engine-independent) + NOT EXISTS anti-join (customers without urgent
+    orders — every synthetic customer has SOME order). The scalar joins
+    in as a broadcast cross join, not a driver collect."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 10)
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ab")
+        )
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    dormant = rich.join(
+        o, rich["c_custkey"] == o["o_custkey"], "left_anti"
+    )
+    return dormant.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 4)
+        .cast("double")
+        .alias("totacctbal"),
+    )
+
+
+@register(
     "q21_lone_returner_suppliers",
     """
     SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
