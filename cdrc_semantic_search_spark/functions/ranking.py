@@ -1,0 +1,75 @@
+"""BM25 lexical ranking as pure DataFrame algebra.
+
+The reference's sparse retrieval side is a vector-store keyword query
+(/root/reference/src/model.py:73-79, query_mode="sparse"); BM25 is the
+classic scorer behind such sparse indexes. Expressed entirely as
+groupBy/join/arithmetic — no UDFs — so it scales like any aggregation:
+
+* term frequencies: one explode + groupBy (map-side combined);
+* document frequencies + avg doc length: one aggregation over the
+  posting table — dimension-sized (≤ |vocab|), broadcast back;
+* per-(doc, term) partial scores sum per doc.
+
+At 10^12 docs the posting table is the only large intermediate and it
+shuffles once on (term); the idf/avgdl side is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.functions.text import tokens
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every document against a bag of query terms → (id, score).
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    idf(t)   = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)   (Robertson/Lucene)
+
+    Documents matching no term score 0 (kept — callers filter/top-k).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    doclen = toks.groupBy("id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    n_docs = docs.count()  # scalar N, same class of action as IVF's sample
+    stats = doclen.agg(F.avg("dl").alias("avgdl"))
+
+    tf = (
+        toks.filter(F.col("term").isin(query_terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("id").cast("double").alias("df"))
+    idf = df_.select(
+        "term",
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
+    )
+    partial = (
+        tf.join(F.broadcast(idf), "term")
+        .join(doclen, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    scored = partial.groupBy("id").agg(F.sum("s").alias("score"))
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )

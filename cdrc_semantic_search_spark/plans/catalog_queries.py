@@ -1196,6 +1196,52 @@ def dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+@register(
+    "r1_bm25_scores",
+    """
+    WITH d AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    tk AS (SELECT doc_id, unnest(toks) AS term FROM d),
+    doclen AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tk GROUP BY doc_id),
+    stats AS (SELECT AVG(dl) AS avgdl FROM doclen),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tk WHERE term IN ('data', 'model', 'spark') GROUP BY doc_id, term
+    ),
+    idf AS (
+        SELECT term,
+               ln(((SELECT n FROM nn) - CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5)
+                  / (CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5) + 1.0) AS idf
+        FROM tf GROUP BY term
+    ),
+    part AS (
+        SELECT tf.doc_id,
+               idf.idf * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.dl / (SELECT avgdl FROM stats))) AS s
+        FROM tf JOIN idf USING (term) JOIN doclen USING (doc_id)
+    ),
+    scored AS (SELECT doc_id, SUM(s) AS score FROM part GROUP BY doc_id)
+    SELECT d2.doc_id AS id, ROUND(COALESCE(scored.score, 0.0), 6) AS score
+    FROM documents d2 LEFT JOIN scored ON scored.doc_id = d2.doc_id
+    """,
+)
+def r1_bm25_scores(spark, sf_dir):
+    """BM25 lexical scoring of every document against a 3-term query
+    (functions/ranking.bm25_scores) — the classic scorer behind the
+    reference's sparse retrieval mode, as pure DataFrame algebra (one
+    posting-table shuffle; idf/avgdl broadcast). Exact DuckDB oracle:
+    tf/df/doclen are integers, avgdl is an exact-sum average, and ln
+    drift is ~1 ulp — invisible at ROUND 6."""
+    from cdrc_semantic_search_spark.functions.ranking import bm25_scores
+
+    d = load(spark, sf_dir, "documents")
+    out = bm25_scores(d, ["data", "model", "spark"], k1=1.2, b=0.75)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
 @register("dedup_embedding_lsh", None)  # probabilistic candidate set
 def dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup at corpus scale: random-hyperplane LSH buckets →

@@ -336,6 +336,27 @@ def test_pagerank_fixed_symmetry_and_sink_gain(spark):
     assert sum(r.values()) <= 1.0 + 1e-9
 
 
+def test_bm25_ranking_properties(spark):
+    """More query-term mass ranks higher; term-free docs score exactly 0;
+    rare terms outweigh common ones (idf)."""
+    from cdrc_semantic_search_spark.functions.ranking import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data data data model"),  # heavy on common term
+            (2, "spark pipeline"),  # one rare term
+            (3, "nothing relevant here at all"),
+            (4, "data pipeline"),  # one common term
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r.score for r in bm25_scores(docs, ["data", "spark"]).collect()}
+    assert out[3] == 0.0
+    assert out[2] > out[4]  # 'spark' (df=1) beats 'data' (df=2) — idf
+    assert out[1] > out[4]  # repeated hits beat a single hit of the same term
+    assert all(v >= 0 for v in out.values())
+
+
 def test_asof_join_backward_semantics(spark):
     """Inclusive at equal ts, most-recent-wins, NULL before any snapshot,
     keys never cross."""
