@@ -405,6 +405,40 @@ def test_asof_join_backward_semantics(spark):
         asof_join_backward(left, right.withColumnRenamed("v", "tag"), key="k")
 
 
+def test_asof_join_randomized_vs_python_reference(spark):
+    """300 random left rows × 120 random snapshots across 8 keys, checked
+    against a brute-force Python as-of (seeded — deterministic)."""
+    import datetime as dt
+
+    from cdrc_semantic_search_spark.operators.temporal import asof_join_backward
+
+    rng = np.random.default_rng(7)
+    t0 = dt.datetime(2026, 1, 1)
+    lrows = [
+        (int(rng.integers(0, 8)), t0 + dt.timedelta(seconds=int(rng.integers(0, 5000))), i)
+        for i in range(300)
+    ]
+    rrows = [
+        (int(rng.integers(0, 8)), t0 + dt.timedelta(seconds=int(rng.integers(0, 5000))), float(i))
+        for i in range(120)
+    ]
+    # dedupe right on (k, ts) keeping max v — mirrors the operator contract
+    best = {}
+    for k, ts, v in rrows:
+        best[(k, ts)] = max(best.get((k, ts), v), v)
+    rrows = [(k, ts, v) for (k, ts), v in best.items()]
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, rid long")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, v double")
+    got = {
+        r.rid: r.v
+        for r in asof_join_backward(left, right, key="k", value_cols=["v"]).collect()
+    }
+    for k, ts, rid in lrows:
+        cands = [(rts, v) for (rk, rts, v) in rrows if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[rid] == want, (rid, got[rid], want)
+
+
 def test_hypertable_rollup_cascade_equals_direct(spark):
     """The daily level (re-aggregated from hourly) equals direct daily
     aggregation of the raw rows — sums of exact decimal sums."""
