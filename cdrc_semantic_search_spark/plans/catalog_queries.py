@@ -1404,6 +1404,38 @@ def ta_bpe_token_counts(spark, sf_dir):
     )
 
 
+@register(
+    "split_train_val_test",
+    """
+    WITH b AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('split|' || doc_id), 1, 8)) AS UBIGINT) % 10000 AS bkt
+        FROM documents
+    )
+    SELECT CASE WHEN bkt < 8000 THEN 'train'
+                WHEN bkt < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY 1
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split keyed on doc_id
+    (operators/split.deterministic_split): md5-bucket thresholds, so the
+    assignment is a pure function of the key — stable across runs,
+    partitionings, and engines (the DuckDB oracle reproduces every
+    bucket), unlike randomSplit which reassigns rows after a repartition."""
+    from cdrc_semantic_search_spark.operators.split import deterministic_split
+
+    d = load(spark, sf_dir, "documents")
+    out = deterministic_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
 @register("sketch_approx_distinct", None)  # HLL estimates are engine-internal
 def sketch_approx_distinct(spark, sf_dir):
     """HyperLogLog++ distinct estimation per event_type — the sketch

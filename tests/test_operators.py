@@ -336,6 +336,29 @@ def test_pagerank_fixed_symmetry_and_sink_gain(spark):
     assert sum(r.values()) <= 1.0 + 1e-9
 
 
+def test_deterministic_split_stable_and_validated(spark):
+    """Split is a pure function of the key: stable across repartitioning,
+    exhaustive, and fraction-validated."""
+    import pytest as _pytest
+
+    from cdrc_semantic_search_spark.operators.split import deterministic_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = deterministic_split(df, "k", fr).toPandas().sort_values("k").reset_index(drop=True)
+    b = (
+        deterministic_split(df.repartition(17), "k", fr)
+        .toPandas().sort_values("k").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    counts = a["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts.sum() == 2000
+    assert 0.75 < counts["train"] / 2000 < 0.85  # ~binomial around 0.8
+    with _pytest.raises(ValueError):
+        deterministic_split(df, "k", {"train": 0.5, "val": 0.2})
+
+
 def test_bm25_ranking_properties(spark):
     """More query-term mass ranks higher; term-free docs score exactly 0;
     rare terms outweigh common ones (idf)."""
