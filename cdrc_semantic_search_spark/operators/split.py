@@ -1,4 +1,5 @@
-"""Deterministic dataset splitting for training pipelines.
+"""Deterministic dataset splitting and MERGE-style upsert for training
+pipelines.
 
 ``df.randomSample``/``randomSplit`` are seed-dependent AND
 partitioning-dependent — rerunning after a repartition reassigns rows,
@@ -51,3 +52,34 @@ def deterministic_split(
     for name, bound in reversed(list(zip(names[:-1], bounds[:-1]))):
         col = F.when(bucket < bound, F.lit(name)).otherwise(col)
     return df.withColumn(out_col, col)
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """MERGE INTO semantics without a table format: updated rows replace
+    matching target rows, new rows append, unmatched target rows survive.
+
+    Declarative shape: one full-outer join on the keys + per-column
+    coalesce preferring the update side — the exact logical plan Iceberg/
+    Delta MERGE compiles to before their file-level pruning; writing the
+    result through catalog.create_or_replace gives the copy-on-write
+    upsert (K1's vector-index upsert analog at table granularity).
+    Updates must be unique per key (enforce upstream); schemas must match.
+    """
+    if set(target.columns) != set(updates.columns):
+        raise ValueError(
+            f"schema mismatch: {sorted(target.columns)} vs {sorted(updates.columns)}"
+        )
+    value_cols = [c for c in target.columns if c not in key_cols]
+    t = target.select(
+        *[F.col(c) for c in key_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__t"),
+    )
+    u = updates.select(
+        *[F.col(c) for c in key_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__u"),
+    )
+    merged = t.join(u, key_cols, "full_outer")
+    picked = F.coalesce(F.col("__u"), F.col("__t"))
+    return merged.select(
+        *key_cols, *[picked.getField(c).alias(c) for c in value_cols]
+    )

@@ -1436,6 +1436,48 @@ def split_train_val_test(spark, sf_dir):
     )
 
 
+@register(
+    "merge_upsert_docs",
+    """
+    WITH t AS (SELECT doc_id, source, n_chars FROM documents),
+    u AS (
+        SELECT doc_id, 'updated' AS source, n_chars + 1 AS n_chars
+        FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, 'new' AS source, CAST(0 AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id < 20
+    )
+    SELECT COALESCE(u.doc_id, t.doc_id) AS doc_id,
+           CASE WHEN u.doc_id IS NOT NULL THEN u.source ELSE t.source END AS source,
+           CASE WHEN u.doc_id IS NOT NULL THEN u.n_chars ELSE t.n_chars END AS n_chars
+    FROM t FULL OUTER JOIN u ON t.doc_id = u.doc_id
+    """,
+)
+def merge_upsert_docs(spark, sf_dir):
+    """MERGE INTO semantics (operators/split.merge_upsert): 30 updated
+    rows replace their targets, 20 new rows append, everything else
+    survives — one full-outer join + struct coalesce, the logical plan
+    Iceberg/Delta MERGE compiles to."""
+    from cdrc_semantic_search_spark.operators.split import merge_upsert
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    nct = dict(d.dtypes)["n_chars"]
+    upd = (
+        d.filter("doc_id < 30").select(
+            "doc_id",
+            F.lit("updated").alias("source"),
+            (F.col("n_chars") + 1).cast(nct).alias("n_chars"),
+        )
+    ).unionByName(
+        d.filter("doc_id < 20").select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.lit("new").alias("source"),
+            F.lit(0).cast(nct).alias("n_chars"),
+        )
+    )
+    return merge_upsert(d, upd, key_cols=["doc_id"])
+
+
 @register("sketch_approx_distinct", None)  # HLL estimates are engine-internal
 def sketch_approx_distinct(spark, sf_dir):
     """HyperLogLog++ distinct estimation per event_type — the sketch

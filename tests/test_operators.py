@@ -336,6 +336,26 @@ def test_pagerank_fixed_symmetry_and_sink_gain(spark):
     assert sum(r.values()) <= 1.0 + 1e-9
 
 
+def test_merge_upsert_semantics(spark):
+    """Matched rows take the UPDATE side entirely (even NULL fields — the
+    update row wins as a whole), new keys append, unmatched targets
+    survive, schema mismatch raises."""
+    import pytest as _pytest
+
+    from cdrc_semantic_search_spark.operators.split import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    )
+    updates = spark.createDataFrame(
+        [(2, None, 99), (4, "d", 40)], "k long, s string, v long"
+    )
+    got = {r.k: (r.s, r.v) for r in merge_upsert(target, updates, ["k"]).collect()}
+    assert got == {1: ("a", 10), 2: (None, 99), 3: ("c", 30), 4: ("d", 40)}
+    with _pytest.raises(ValueError):
+        merge_upsert(target, updates.drop("v"), ["k"])
+
+
 def test_deterministic_split_stable_and_validated(spark):
     """Split is a pure function of the key: stable across repartitioning,
     exhaustive, and fraction-validated."""
