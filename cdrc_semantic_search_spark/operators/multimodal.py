@@ -87,6 +87,58 @@ def image_features(
     )
 
 
+def _decode_audio_stub(payload: bytes, n_samples: int = 2048) -> np.ndarray:
+    """STUB decode: deterministic fake PCM from the payload hash.
+
+    Production: ``soundfile.read(io.BytesIO(payload))`` / ffmpeg. The fake
+    keeps the contract (n_samples,) float32 in [-1, 1] so the feature
+    logic downstream is exercised for real.
+    """
+    h = zlib.crc32(payload or b"")
+    rng = np.random.default_rng(h)
+    return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0)
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    frame: int = 512,
+) -> DataFrame:
+    """binary → per-asset audio features via mapInPandas batches:
+    per-frame RMS energy mean/max + zero-crossing rate. The decode kernel
+    is stubbed (no audio libs in the sandbox); the framing/feature math
+    and the Spark plumbing (schema, batching, fixed-width output) are
+    real — swap the decoder in production, nothing else changes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rms_mean, rms_max, zcr = [], [], []
+            for payload in pdf[payload_col]:
+                pcm = _decode_audio_stub(
+                    bytes(payload) if payload is not None else b""
+                )
+                frames = pcm[: len(pcm) - len(pcm) % frame].reshape(-1, frame)
+                r = np.sqrt((frames**2).mean(axis=1))
+                rms_mean.append(float(r.mean()))
+                rms_max.append(float(r.max()))
+                zcr.append(float((np.diff(np.signbit(pcm)) != 0).mean()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "rms_mean": rms_mean,
+                    "rms_max": rms_max,
+                    "zero_crossing_rate": zcr,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        schema=f"{id_col} string, rms_mean double, rms_max double, zero_crossing_rate double",
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     id_col: str = "asset_id",

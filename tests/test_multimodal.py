@@ -34,3 +34,15 @@ def test_frame_sample_plan(spark):
     v1 = sorted(out[out["asset_id"] == "v1"]["frame_idx"])
     assert v1 == [0, 30, 60, 90]
     assert sorted(out[out["asset_id"] == "v2"]["frame_idx"]) == [0]
+
+
+def test_audio_features_shape_and_determinism(spark):
+    df = _assets(spark)
+    out1 = multimodal.audio_features(df).toPandas().set_index("asset_id")
+    out2 = multimodal.audio_features(df).toPandas().set_index("asset_id")
+    for aid in ["a1", "a2", "a3"]:
+        assert out1.loc[aid].equals(out2.loc[aid])  # stub decode deterministic
+        assert 0.0 <= out1.loc[aid, "rms_mean"] <= out1.loc[aid, "rms_max"] <= 1.0
+        assert 0.0 <= out1.loc[aid, "zero_crossing_rate"] <= 1.0
+    # different payloads yield different fake PCM → different features
+    assert out1.loc["a1", "rms_mean"] != out1.loc["a2", "rms_mean"]
