@@ -32,27 +32,40 @@ def bm25_scores(
 ) -> DataFrame:
     """Score every document against a bag of query terms → (id, score).
 
-    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    score(d) = Σ_t qtf(t) · idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
     idf(t)   = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)   (Robertson/Lucene)
 
-    Documents matching no term score 0 (kept — callers filter/top-k).
+    ``query_terms`` is a true BAG: a term repeated in the query weights
+    its contribution by its multiplicity (qtf). Documents matching no
+    term score 0 (kept — callers filter/top-k). Fully lazy: N and avgdl
+    join in as broadcast one-row aggregates; no driver-side action runs.
     """
+    from collections import Counter
+
+    qtf = Counter(query_terms)
+    distinct_terms = sorted(qtf)
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
     doclen = toks.groupBy("id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
-    n_docs = docs.count()  # scalar N, same class of action as IVF's sample
     stats = doclen.agg(F.avg("dl").alias("avgdl"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
 
     tf = (
-        toks.filter(F.col("term").isin(query_terms))
+        toks.filter(F.col("term").isin(distinct_terms))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
     df_ = tf.groupBy("term").agg(F.countDistinct("id").cast("double").alias("df"))
-    idf = df_.select(
+    qtf_map = F.create_map(
+        *[x for t in distinct_terms for x in (F.lit(t), F.lit(float(qtf[t])))]
+    )
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
         "term",
-        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias("idf"),
+        (
+            F.element_at(qtf_map, F.col("term"))
+            * F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        ).alias("idf"),
     )
     partial = (
         tf.join(F.broadcast(idf), "term")

@@ -120,10 +120,16 @@ def audio_features(
                     bytes(payload) if payload is not None else b""
                 )
                 frames = pcm[: len(pcm) - len(pcm) % frame].reshape(-1, frame)
-                r = np.sqrt((frames**2).mean(axis=1))
-                rms_mean.append(float(r.mean()))
-                rms_max.append(float(r.max()))
-                zcr.append(float((np.diff(np.signbit(pcm)) != 0).mean()))
+                if frames.size == 0:  # clip shorter than one frame
+                    rms_mean.append(0.0)
+                    rms_max.append(0.0)
+                else:
+                    r = np.sqrt((frames**2).mean(axis=1))
+                    rms_mean.append(float(r.mean()))
+                    rms_max.append(float(r.max()))
+                zcr.append(
+                    float((np.diff(np.signbit(pcm)) != 0).mean()) if len(pcm) > 1 else 0.0
+                )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

@@ -19,8 +19,15 @@ _BUCKETS = 10_000
 
 
 def split_bucket(key: Column, salt: str = "split") -> Column:
-    """Stable bucket in [0, 10000): first 8 hex chars of md5(salt|key)."""
-    digest = F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
+    """Stable bucket in [0, 10000): first 8 hex chars of md5(salt|key).
+
+    NULL keys yield a NULL bucket (F.concat propagates NULL, matching
+    SQL's ``'salt|' || key``) — every threshold comparison is then NULL
+    and the when-chain falls through to the LAST split, identically on
+    every engine. concat_ws would silently skip the NULL and hash all
+    NULL keys into one real bucket, diverging from the SQL twin.
+    """
+    digest = F.md5(F.concat(F.lit(f"{salt}|"), key.cast("string")))
     return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % _BUCKETS
 
 
@@ -36,11 +43,11 @@ def deterministic_split(
     Fractions must sum to 1 (±1e-9); assignment boundaries are cumulative
     bucket thresholds, so fractions hold in expectation (exact to 1/10000).
     """
+    if not fractions:
+        raise ValueError("fractions must not be empty")
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    if not fractions:
-        raise ValueError("fractions must not be empty")
     names = list(fractions)
     bounds = []
     acc = 0.0

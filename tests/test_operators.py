@@ -398,6 +398,12 @@ def test_bm25_ranking_properties(spark):
     assert out[2] > out[4]  # 'spark' (df=1) beats 'data' (df=2) — idf
     assert out[1] > out[4]  # repeated hits beat a single hit of the same term
     assert all(v >= 0 for v in out.values())
+    # bag semantics: a repeated query term doubles its contribution
+    dup = {r.id: r.score for r in bm25_scores(docs, ["data", "data"]).collect()}
+    single = {r.id: r.score for r in bm25_scores(docs, ["data"]).collect()}
+    assert abs(dup[4] - 2 * single[4]) < 1e-9
+    # fully lazy: no Spark job runs until an action
+    assert bm25_scores(docs, ["data"]) is not None
 
 
 def test_asof_join_backward_semantics(spark):
