@@ -540,6 +540,20 @@ def test_triangle_count_k4_and_bipartite(spark):
     assert triangle_count(bip).first()["n_triangles"] == 0
 
 
+def test_connected_components_long_path_converges(spark):
+    """A 200-node path is the worst case for min-label flooding (diameter
+    199): contraction must still converge inside the round budget and
+    label every node with the path's minimum."""
+    from cdrc_semantic_search_spark.operators.canonicalize import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    out = connected_components(edges, max_iter=20).toPandas()
+    assert len(out) == 200
+    assert set(out["component"]) == {0}
+
+
 def test_connected_components_chain_and_island(spark):
     edges = spark.createDataFrame(
         [("b", "c"), ("a", "b"), ("x", "y")], "id_a string, id_b string"
