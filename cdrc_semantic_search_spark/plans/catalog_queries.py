@@ -2179,6 +2179,46 @@ def q21_lone_returner_suppliers(spark, sf_dir):
 
 
 @register(
+    "ev_retention_cohorts",
+    """
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    )
+    SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
+           CAST((epoch(a.day) - epoch(f.cohort_day)) / 86400 AS INT) AS days_since,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def ev_retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix: users grouped by first-seen day, activity
+    counted per days-since-cohort — the classic growth-analytics rollup.
+    Two aggregations plus one join on user_id (shared partitioning);
+    day-truncation and the epoch difference are engine-identical, so the
+    full matrix hash-matches."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    days_since = (
+        (F.unix_timestamp("day") - F.unix_timestamp("cohort_day")) / 86400
+    ).cast("int")
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort_day", days_since.alias("days_since"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active"))
+    )
+
+
+@register(
     "t1_asof_enrich",
     """
     WITH purch AS (
