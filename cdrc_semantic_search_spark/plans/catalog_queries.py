@@ -2487,6 +2487,67 @@ def w8_session_window(spark, sf_dir):
 
 
 @register(
+    "curation_pipeline",
+    f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 300
+    ),
+    dup_pairs AS (
+        SELECT b.doc_id AS loser
+        FROM (SELECT doc_id, list_distinct(toks) AS s FROM t) a
+        JOIN (SELECT doc_id, list_distinct(toks) AS s FROM t) b
+          ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    ),
+    survivors AS (
+        SELECT * FROM t WHERE doc_id NOT IN (SELECT loser FROM dup_pairs)
+    ),
+    kept AS (
+        SELECT doc_id FROM survivors
+        WHERE len(toks) BETWEEN 20 AND 200
+          AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+    )
+    SELECT CASE WHEN CAST(('0x' || substr(md5('split|' || doc_id), 1, 8)) AS UBIGINT) % 10000 < 8000 THEN 'train'
+                WHEN CAST(('0x' || substr(md5('split|' || doc_id), 1, 8)) AS UBIGINT) % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM kept GROUP BY 1
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """The composed training-data curation flow END-TO-END in one plan:
+    token-Jaccard near-dup removal (inverted-index candidates, losers =
+    higher id of each ≥0.8 pair) → quality gate (token band + lexical
+    diversity) → deterministic train/val/test split → per-split counts.
+    Every stage is the registry operator it reuses (ngram_jaccard_pairs
+    k=1, curation predicates, deterministic_split), and the whole
+    composition still hash-matches one DuckDB query."""
+    from cdrc_semantic_search_spark.operators.dedup import ngram_jaccard_pairs
+    from cdrc_semantic_search_spark.operators.split import deterministic_split
+
+    d = load(spark, sf_dir, "documents").filter("doc_id < 300")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=1, threshold=0.8)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = d.join(losers, "doc_id", "left_anti")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    dr = F.when(n > 0, F.size(F.array_distinct(toks)).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+    kept = (
+        survivors.withColumn("__n", n)
+        .withColumn("__dr", dr)
+        .filter((F.col("__n") >= 20) & (F.col("__n") <= 200) & (F.col("__dr") >= 0.3))
+    )
+    return (
+        deterministic_split(kept, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+@register(
     "curation_filter",
     f"""
     SELECT doc_id, n_chars FROM (
