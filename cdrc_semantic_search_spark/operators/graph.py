@@ -54,10 +54,16 @@ def pagerank_fixed(
     dst: str = "dst",
     n_iter: int = 3,
     damping: float = 0.85,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration simplified PageRank → (id, rank).
 
     rank_{t+1}(v) = (1-d)/N + d · Σ_{u→v} rank_t(u)/outdeg(u)
+
+    With ``weight`` (e.g. kg_edges' ``weight`` column), each edge carries
+    w/strength(u) of u's rank instead of 1/outdeg(u) — strength = sum of
+    u's outgoing weights. Same plan shape; only the per-edge fraction
+    changes.
 
     Simplified = dangling mass leaks (no redistribution term): the update
     is a pure join+sum, identical in any SQL engine, so a DuckDB oracle
@@ -68,7 +74,22 @@ def pagerank_fixed(
     ``N`` (vertex count) is a driver-side scalar — one cheap distinct
     count over ids, the same class of action as IVF's centroid sample.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if weight:
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))  # duplicate edges sum their weights
+        )
+    else:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .withColumn("w", F.lit(1.0))  # duplicate edges collapse to one
+        )
     v = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -76,8 +97,8 @@ def pagerank_fixed(
         .localCheckpoint()
     )
     n = v.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
-    # static across iterations: annotate each edge with its source degree once
+    deg = e.groupBy("src").agg(F.sum("w").alias("strength"))
+    # static across iterations: annotate each edge with its source strength once
     fanout = e.join(deg, "src").persist()
     base = (1.0 - damping) / n
     ranks = v.withColumn("rank", F.lit(1.0 / n))
@@ -86,7 +107,7 @@ def pagerank_fixed(
             fanout.join(ranks, fanout["src"] == ranks["id"])
             .select(
                 F.col("dst").alias("id"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
+                (F.col("rank") * F.col("w") / F.col("strength")).alias("c"),
             )
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))

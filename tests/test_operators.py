@@ -526,6 +526,21 @@ def test_approx_count_distinct_error_bound(spark):
     assert abs(approx - exact) / exact < 0.05, (approx, exact)
 
 
+def test_pagerank_weighted_shifts_mass(spark):
+    """Edge weights steer rank: with 1→2 weighted 9× over 1→3, node 2 must
+    out-rank node 3; unweighted they tie."""
+    from cdrc_semantic_search_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2, 9.0), (1, 3, 1.0)], "src long, dst long, w double"
+    )
+    un = {r.id: r.rank for r in pagerank_fixed(edges, n_iter=3).collect()}
+    assert abs(un[2] - un[3]) < 1e-12
+    wt = {r.id: r.rank for r in pagerank_fixed(edges, n_iter=3, weight="w").collect()}
+    assert wt[2] > wt[3]
+    assert abs((wt[2] + wt[3] + wt[1]) - (un[1] + un[2] + un[3])) < 1e-9
+
+
 def test_triangle_count_k4_and_bipartite(spark):
     from cdrc_semantic_search_spark.operators.graph import triangle_count
 

@@ -130,6 +130,47 @@ def test_stream_dedup_exact_keeps_one_per_fingerprint(spark, tmp_path):
     assert len({1, 2, 4} & set(texts)) == 1
 
 
+def test_session_window_streaming_matches_batch(spark, spark_fixture, transcript_dir, tmp_path):
+    """F.session_window under readStream + watermark: sessions sealed by
+    the watermark match the batch session_window aggregation exactly."""
+    stream = incremental.transcript_stream(spark, transcript_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("conv_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_turns",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from sess_stream")
+    batch = (
+        spark.read.parquet(transcript_dir)
+        .groupBy("conv_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_turns",
+        )
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    want_set = {tuple(r) for r in batch.collect()}
+    # append mode emits only watermark-sealed sessions — a subset of batch,
+    # but every emitted session must match the batch result exactly
+    assert got_set and got_set <= want_set
+
+
 def test_windowed_counts_with_watermark(spark, spark_fixture, transcript_dir, tmp_path):
     stream = incremental.transcript_stream(spark, transcript_dir)
     agg = incremental.windowed_turn_counts(stream, window="1 hour", watermark="2 hours")
