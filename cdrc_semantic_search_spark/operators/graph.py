@@ -62,8 +62,11 @@ def pagerank_fixed(
 
     With ``weight`` (e.g. kg_edges' ``weight`` column), each edge carries
     w/strength(u) of u's rank instead of 1/outdeg(u) — strength = sum of
-    u's outgoing weights. Same plan shape; only the per-edge fraction
-    changes.
+    u's outgoing weights. Edges with NULL or non-positive weight are
+    DROPPED up front (they carry no mass, and a vertex with only such
+    edges leaves the graph entirely) — this also guarantees strength > 0,
+    so the division can never hit ANSI DIVIDE_BY_ZERO. Same plan shape;
+    only the per-edge fraction changes.
 
     Simplified = dangling mass leaks (no redistribution term): the update
     is a pure join+sum, identical in any SQL engine, so a DuckDB oracle
@@ -81,6 +84,7 @@ def pagerank_fixed(
                 F.col(dst).alias("dst"),
                 F.col(weight).cast("double").alias("w"),
             )
+            .filter(F.col("w") > 0)  # NULL/non-positive weights carry no mass
             .groupBy("src", "dst")
             .agg(F.sum("w").alias("w"))  # duplicate edges sum their weights
         )

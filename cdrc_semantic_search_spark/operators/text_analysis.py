@@ -107,6 +107,30 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     ).drop("__q_toks")
 
 
+def quality_gate(
+    df: DataFrame,
+    text_col: str,
+    min_tokens: int = 20,
+    max_tokens: int = 200,
+    min_distinct_ratio: float = 0.3,
+) -> DataFrame:
+    """The composed curation predicate: token-count band + lexical-
+    diversity floor, Catalyst-only (one token projection per row). The
+    SINGLE implementation behind the curation_filter and
+    curation_pipeline registry queries — thresholds change in one place.
+    """
+    with_toks = df.withColumn("__qg_toks", tokens(F.col(text_col)))
+    n = F.size(F.col("__qg_toks"))
+    dr = F.when(
+        n > 0, F.size(F.array_distinct(F.col("__qg_toks"))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    return (
+        with_toks.filter(
+            (n >= min_tokens) & (n <= max_tokens) & (dr >= min_distinct_ratio)
+        ).drop("__qg_toks")
+    )
+
+
 def fingerprint(text_col: Column) -> Column:
     """64-bit rolling document fingerprint: xxhash64 over the
     whitespace-normalized text — the cheap dedup/lineage key."""

@@ -2525,21 +2525,13 @@ def curation_pipeline(spark, sf_dir):
     composition still hash-matches one DuckDB query."""
     from cdrc_semantic_search_spark.operators.dedup import ngram_jaccard_pairs
     from cdrc_semantic_search_spark.operators.split import deterministic_split
+    from cdrc_semantic_search_spark.operators.text_analysis import quality_gate
 
     d = load(spark, sf_dir, "documents").filter("doc_id < 300")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=1, threshold=0.8)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = d.join(losers, "doc_id", "left_anti")
-    toks = T.tokens(F.col("text"))
-    n = F.size(toks)
-    dr = F.when(n > 0, F.size(F.array_distinct(toks)).cast("double") / n).otherwise(
-        F.lit(0.0)
-    )
-    kept = (
-        survivors.withColumn("__n", n)
-        .withColumn("__dr", dr)
-        .filter((F.col("__n") >= 20) & (F.col("__n") <= 200) & (F.col("__dr") >= 0.3))
-    )
+    kept = quality_gate(survivors, "text")
     return (
         deterministic_split(kept, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
         .groupBy("split")
@@ -2561,18 +2553,10 @@ def curation_pipeline(spark, sf_dir):
 def curation_filter(spark, sf_dir):
     """Training-data curation filter: token-count band + lexical-diversity
     floor — the composed quality gate a 100-TB pipeline scans with
-    (predicates stay Catalyst-side; nothing leaves the scan+filter)."""
-    from cdrc_semantic_search_spark.functions.text import token_count, tokens
+    (predicates stay Catalyst-side; nothing leaves the scan+filter).
+    Shared implementation: operators/text_analysis.quality_gate (also the
+    dedup→gate→split stage in curation_pipeline)."""
+    from cdrc_semantic_search_spark.operators.text_analysis import quality_gate
 
     d = load(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
-    distinct_ratio = F.when(
-        n > 0, F.size(F.array_distinct(toks)).cast("double") / n
-    ).otherwise(F.lit(0.0))
-    return (
-        d.withColumn("n_tokens", n)
-        .withColumn("dr", distinct_ratio)
-        .filter((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 200) & (F.col("dr") >= 0.3))
-        .select("doc_id", "n_chars")
-    )
+    return quality_gate(d, "text").select("doc_id", "n_chars")
