@@ -12,7 +12,7 @@ DuckDB/Trino/pandas and stable across reprocessing runs at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 10_000
@@ -59,6 +59,35 @@ def deterministic_split(
     for name, bound in reversed(list(zip(names[:-1], bounds[:-1]))):
         col = F.when(bucket < bound, F.lit(name)).otherwise(col)
     return df.withColumn(out_col, col)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fraction: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACT stratified sampling: every stratum keeps exactly
+    ⌈n_stratum · fraction⌉ rows, chosen deterministically by md5-bucket
+    rank (tie-broken by key). ``df.sampleBy`` draws per-row Bernoulli —
+    stratum sizes vary run-to-run and with partitioning; this is the
+    reproducible class-balanced subset a training pipeline can audit.
+
+    One shuffle on the stratum (window rank + windowed count share it).
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    w = Window.partitionBy(strata_col).orderBy(
+        split_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    wc = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * fraction))
+        .drop("__rn", "__n")
+    )
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:

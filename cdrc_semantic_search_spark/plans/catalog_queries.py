@@ -1478,6 +1478,39 @@ def merge_upsert_docs(spark, sf_dir):
     return merge_upsert(d, upd, key_cols=["doc_id"])
 
 
+@register(
+    "stratified_sample_counts",
+    """
+    WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(('0x' || substr(md5('sample|' || doc_id), 1, 8)) AS UBIGINT) % 10000, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_sampled_id
+    FROM r WHERE rn <= CEIL(n * 0.2) GROUP BY source
+    """,
+)
+def stratified_sample_counts(spark, sf_dir):
+    """Exact stratified 20% sample per source
+    (operators/split.stratified_sample): every stratum keeps EXACTLY
+    ⌈n·0.2⌉ rows, picked by deterministic md5-bucket rank — reproducible
+    on any engine (the oracle reproduces the identical member set, not
+    just the counts: min_sampled_id pins membership)."""
+    from cdrc_semantic_search_spark.operators.split import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    out = stratified_sample(d, "source", "doc_id", fraction=0.2)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.min("doc_id").cast("long").alias("min_sampled_id"),
+    )
+
+
 @register("sketch_approx_distinct", None)  # HLL estimates are engine-internal
 def sketch_approx_distinct(spark, sf_dir):
     """HyperLogLog++ distinct estimation per event_type — the sketch

@@ -336,6 +336,29 @@ def test_pagerank_fixed_symmetry_and_sink_gain(spark):
     assert sum(r.values()) <= 1.0 + 1e-9
 
 
+def test_stratified_sample_exact_quotas_and_determinism(spark):
+    """Every stratum yields exactly ceil(n*frac) rows; the member SET is
+    stable across repartitioning; bad fractions raise."""
+    import math
+
+    import pytest as _pytest
+
+    from cdrc_semantic_search_spark.operators.split import stratified_sample
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("k")
+    )
+    out = stratified_sample(df, "g", "k", 0.3)
+    counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    base = {r.g: r.n for r in df.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {g: math.ceil(n * 0.3) for g, n in base.items()}
+    a = sorted(r.k for r in out.collect())
+    b = sorted(r.k for r in stratified_sample(df.repartition(13), "g", "k", 0.3).collect())
+    assert a == b
+    with _pytest.raises(ValueError):
+        stratified_sample(df, "g", "k", 0.0)
+
+
 def test_merge_upsert_semantics(spark):
     """Matched rows take the UPDATE side entirely (even NULL fields — the
     update row wins as a whole), new keys append, unmatched targets
