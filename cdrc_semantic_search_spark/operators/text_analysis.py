@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cdrc_semantic_search_spark.functions.text import token_count, tokens
+from cdrc_semantic_search_spark.functions.text import tokens
 
 # tiny per-language stopword lists: enough signal for an n-gram heuristic
 _STOPWORDS = {
