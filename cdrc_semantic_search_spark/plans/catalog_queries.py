@@ -2212,6 +2212,36 @@ def q21_lone_returner_suppliers(spark, sf_dir):
 
 
 @register(
+    "i2_sliding_windows",
+    """
+    WITH w AS (
+        SELECT event_type, unnest([
+            make_timestamp(CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)*1000000),
+            make_timestamp((CAST(floor(epoch(ts)/3600)*3600 AS BIGINT)-3600)*1000000)
+        ]) AS window_start
+        FROM events
+    )
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def i2_sliding_windows(spark, sf_dir):
+    """Sliding event-time windows (2 h wide, 1 h slide): each event lands
+    in exactly window/slide = 2 epoch-aligned windows. The oracle expands
+    the two member windows per event explicitly, proving Spark's
+    F.window(slide) assignment bucket-for-bucket. In streaming the same
+    expression runs under a watermark (tumbling twin: i1_windowed_counts)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@register(
     "ev_retention_cohorts",
     """
     WITH first_seen AS (
