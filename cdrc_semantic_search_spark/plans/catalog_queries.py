@@ -2467,6 +2467,72 @@ def ev_funnel_stages(spark, sf_dir):
 
 
 @register(
+    "w9_rank_family",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM lineitem WHERE l_orderkey < 100
+    WINDOW w AS (
+        PARTITION BY l_returnflag
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    )
+    """,
+)
+def w9_rank_family(spark, sf_dir):
+    """The full rank-function family over one reusable window spec (ties
+    broken by unique keys so every engine agrees): rank, dense_rank,
+    ntile, percent_rank, cume_dist — one shuffle, all five functions ride
+    the same sort."""
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 100")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "dedup_levenshtein",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 300) a
+    JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 300) b
+      ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def dedup_levenshtein(spark, sf_dir):
+    """Edit-distance fuzzy matching — the dedup family's string-metric
+    member (record-linkage style): customer-name pairs within Levenshtein
+    distance 2, small-n all-pairs twin. The scale path blocks candidates
+    first (shared prefix / length band / LSH buckets) and only then pays
+    the O(len²) distance — same pattern as the other dedup operators."""
+    c = load(spark, sf_dir, "customer").filter("c_custkey < 300").select(
+        "c_custkey", "c_name"
+    )
+    a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("na"))
+    b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("na", "nb").cast("int"))
+        .filter(F.col("edit_dist") <= 2)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+@register(
     "w7_sessionization",
     """
     WITH marked AS (
