@@ -2061,6 +2061,34 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
 
 
+_SQL_SURFACE = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM {orders} o
+    WHERE EXISTS (
+        SELECT 1 FROM {lineitem} l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+"""
+
+
+@register("sql_surface_exists", _SQL_SURFACE.format(orders="orders", lineitem="lineitem"))
+def sql_surface_exists(spark, sf_dir):
+    """The engine's SQL FRONT-END (spark.sql over temp views) running a
+    TPC-H Q4-shaped EXISTS aggregation — the identical ANSI string DuckDB
+    executes, proving both of the brief's declared API surfaces
+    (DataFrame AND spark.sql) produce oracle-exact results. Catalyst
+    rewrites EXISTS to the same left-semi join the DataFrame queries
+    build by hand."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__sql_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("__sql_lineitem")
+    return spark.sql(
+        _SQL_SURFACE.format(orders="__sql_orders", lineitem="__sql_lineitem")
+    )
+
+
 @register(
     "q14_promo_revenue",
     """
