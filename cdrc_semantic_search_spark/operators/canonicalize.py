@@ -61,6 +61,7 @@ def connected_components(
     )
     labels = labels.localCheckpoint()
     sym = sym.localCheckpoint()
+    last_changed = 0
     for _ in range(max_iter):
         # relabel both edge endpoints through the current labels, then take
         # the min opposing label PER COMPONENT (not per vertex): every vertex
@@ -110,8 +111,18 @@ def connected_components(
         # labels are monotone non-increasing, so zero changed rows is exact
         # convergence; the Observation rode the checkpoint action — the
         # probe costs NO extra job
-        if (obs.get["chg"] or 0) == 0:
+        last_changed = obs.get["chg"] or 0
+        if last_changed == 0:
             break
+    if last_changed != 0:
+        # unconverged labels are WRONG (over-split components) — never let
+        # that propagate silently into canonical ids
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({last_changed} labels still changing); raise max_iter "
+            "(component diameter shrinks ~exponentially per round, so a "
+            "few extra rounds cover any realistic graph)"
+        )
     return labels
 
 

@@ -61,6 +61,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with k-word-shingle Jaccard ≥ threshold.
 
@@ -79,10 +80,14 @@ def ngram_jaccard_pairs(
     # self-join branches — without this the shingling runs 3×. persist()
     # (not eager checkpoint) so the first action computes it once and the
     # sibling stages read cache; production writes the (id, shingle_hash)
-    # table once and joins against it. Not unpersisted here (the operator
-    # never runs an action); the ContextCleaner reclaims the blocks when
-    # the result frame is dropped.
+    # table once and joins against it. The persisted frame is an INTERNAL
+    # derived plan, never the caller's input. Pass a list as
+    # ``cache_handle`` to receive it and unpersist deterministically once
+    # the result is consumed; otherwise the ContextCleaner reclaims the
+    # blocks when the frames are dropped.
     shingled = shingled.persist()
+    if cache_handle is not None:
+        cache_handle.append(shingled)
 
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
@@ -171,6 +176,7 @@ def minhash_lsh_pairs(
     n_perm: int = 64,
     n_bands: int = 16,
     min_est_jaccard: float = 0.5,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded minhash buckets + estimated Jaccard.
 
@@ -178,12 +184,17 @@ def minhash_lsh_pairs(
     probability 1-(1-j^r)^b. Estimated Jaccard = matching-component
     fraction of the two signatures (zip_with equality mean).
 
-    The signature table is cached before the self-join: both join
-    branches reference it, and Spark would otherwise run the signature
-    UDF twice (production shape: signatures land in a table once —
-    they're ~500 bytes/doc vs the full text).
+    An INTERNAL projection of the signature table is cached before the
+    self-join (never the caller's frame — persisting an input is a
+    visible side effect the caller may not want): both join branches
+    reference it, and Spark would otherwise run the signature UDF twice
+    (production shape: signatures land in a table once — they're ~500
+    bytes/doc vs the full text). ``cache_handle`` (a list) receives the
+    persisted frame for deterministic unpersist by the caller.
     """
-    sigs = sigs.persist()
+    sigs = sigs.select(F.col(id_col), F.col("sig")).persist()
+    if cache_handle is not None:
+        cache_handle.append(sigs)
     r = n_perm // n_bands
     banded = sigs.select(
         F.col(id_col).alias("id"),
@@ -248,7 +259,11 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(
-    sigs: DataFrame, id_col: str, max_hamming: int = 3, n_bands: int = 4
+    sigs: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Pairs within hamming distance ≤ max_hamming via banded blocking.
 
@@ -257,10 +272,13 @@ def simhash_near_pairs(
     (bit_count of xor) filters. Choose n_bands > max_hamming for a
     completeness guarantee; no all-pairs join ever runs.
 
-    Signatures are cached before the self-join (same rationale as
+    An internal projection of the signatures is cached before the
+    self-join (same rationale and cache_handle contract as
     minhash_lsh_pairs: both branches would re-run the signature UDF).
     """
-    sigs = sigs.persist()
+    sigs = sigs.select(F.col(id_col), F.col("simhash")).persist()
+    if cache_handle is not None:
+        cache_handle.append(sigs)
     assert 64 % n_bands == 0, "n_bands must divide 64"
     bits = 64 // n_bands
     mask = (1 << bits) - 1

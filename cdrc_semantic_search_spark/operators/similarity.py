@@ -12,7 +12,7 @@ plus the scale paths a 100-TB pipeline needs:
   via argpartition. The big side streams, never shuffles. This is the
   production path when the index fits an executor (entity catalogues,
   centroid tables).
-* ``lsh_assign`` / ``topk_cosine_lsh`` — random-hyperplane signatures
+* ``lsh_assign`` / ``cosine_pairs_lsh`` — random-hyperplane signatures
   bucket both sides; candidates only join within a bucket (banded), then
   exact cosine re-rank. Sub-quadratic self-join for corpus×corpus jobs
   where neither side broadcasts.
@@ -117,6 +117,30 @@ def topk_cosine_broadcast(
     )
 
 
+def lsh_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    """The seeded random-hyperplane matrix (dim, n_planes), float32 —
+    shared by the Spark operator and the pure-Python oracle twin so both
+    compute bit-identical signatures."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, n_planes)).astype(np.float32)
+
+
+def lsh_bucket_matrix(
+    vecs: np.ndarray, planes: np.ndarray, n_bands: int
+) -> np.ndarray:
+    """(n_rows, n_bands) int64 bucket ids from sign(v @ planes), bits
+    packed MSB-first per band. float32 matmul throughout — deterministic
+    for a given BLAS, and the oracle twin calls this same kernel."""
+    bits = (vecs.astype(np.float32) @ planes) >= 0  # (B, n_planes) bool
+    n_planes = planes.shape[1]
+    bpb = n_planes // n_bands
+    weights = (1 << np.arange(bpb - 1, -1, -1)).astype(np.int64)
+    out = np.empty((len(vecs), n_bands), dtype=np.int64)
+    for b in range(n_bands):
+        out[:, b] = bits[:, b * bpb : (b + 1) * bpb].astype(np.int64) @ weights
+    return out
+
+
 def lsh_assign(
     df: DataFrame,
     vec_col: str,
@@ -124,6 +148,7 @@ def lsh_assign(
     n_planes: int = 16,
     n_bands: int = 4,
     seed: int = 42,
+    drop_vec: bool = False,
 ) -> DataFrame:
     """Attach (band, bucket) rows per input row via random hyperplanes.
 
@@ -131,26 +156,37 @@ def lsh_assign(
     bands; a row lands in one bucket per band → explode to n_bands rows.
     Two vectors share ≥1 (band, bucket) with probability rising steeply
     with cosine — the classic banding amplification.
-    """
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
-    bits_per_band = n_planes // n_bands
-    bc_planes_list = [[float(x) for x in planes[:, j]] for j in range(n_planes)]
 
-    sig_bits = [
-        F.when(V.dot(F.col(vec_col), F.array(*[F.lit(v) for v in bc_planes_list[j]])) >= 0, 1).otherwise(0)
-        for j in range(n_planes)
-    ]
-    bands = []
-    for b in range(n_bands):
-        chunk = sig_bits[b * bits_per_band : (b + 1) * bits_per_band]
-        acc = F.lit(0)
-        for bit in chunk:
-            acc = acc * 2 + bit
-        bands.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
-    return df.withColumn("__bb", F.explode(F.array(*bands))).select(
-        "*", F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
-    ).drop("__bb")
+    All n_planes signature bits come from ONE batched NumPy
+    (B, dim) @ (dim, n_planes) matmul per Arrow batch (the ivf_assign
+    pattern) — the previous form computed n_planes interpreted
+    higher-order ``aggregate`` folds per row, which NOTES.md measured at
+    ~8× a Python loop. ``drop_vec=True`` omits the vector from the
+    output so a downstream exchange on (band, bucket) never carries the
+    embedding payload.
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    planes = lsh_planes(dim, n_planes, seed)
+    in_cols = [c for c in df.columns]
+    out_cols = [c for c in in_cols if not (drop_vec and c == vec_col)]
+    out_schema = StructType(
+        [df.schema[c] for c in out_cols]
+        + [StructField("band", IntegerType()), StructField("bucket", LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy())
+            buckets = lsh_bucket_matrix(v, planes, n_bands)
+            out = pdf.loc[pdf.index.repeat(n_bands), out_cols].reset_index(drop=True)
+            out["band"] = np.tile(np.arange(n_bands, dtype=np.int32), len(pdf))
+            out["bucket"] = buckets.reshape(-1)
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
 
 
 def cosine_pairs_lsh(
@@ -169,35 +205,47 @@ def cosine_pairs_lsh(
     Shuffle is on (band, bucket) — sub-quadratic candidate generation;
     exact cosine re-check after. The all-pairs cross join never happens.
 
-    The tagged (band, bucket) table is cached before the self-join:
-    both branches reference it and the signature bits (n_planes dot
-    products per row) would otherwise compute twice. Pass a list as
-    ``cache_handle`` to receive the persisted frame and unpersist it once
-    the result is consumed (canonicalize_embedded does); otherwise the
-    ContextCleaner reclaims the blocks when the frames are dropped.
+    The candidate exchange carries IDS ONLY: the (band, bucket) tags are
+    joined without vectors, duplicates collapse on the bare id pair, and
+    the embeddings are re-joined ONCE per side afterwards. (Previously
+    both self-join branches shipped the full vector through the
+    (band, bucket) exchange — n_bands× duplication of the embedding
+    payload — and dropDuplicates re-shuffled the pairs with both vectors
+    attached; at a 100-TB embedding table the shuffle would be dominated
+    by redundant vector bytes.)
+
+    Two internal frames are cached: the (id, vec) base (three plan
+    branches: LSH input + both vector re-joins) and the small
+    (id, band, bucket) tag table (both self-join branches — the
+    signature matmul would otherwise run twice). Pass a list as
+    ``cache_handle`` to receive them and unpersist once the result is
+    consumed (canonicalize_embedded does); otherwise the ContextCleaner
+    reclaims the blocks when the frames are dropped.
     """
+    base = df.select(F.col(id_col), F.col(vec_col)).persist()
     tagged = lsh_assign(
-        df.select(F.col(id_col), F.col(vec_col)), vec_col, dim, n_planes, n_bands, seed
+        base, vec_col, dim, n_planes, n_bands, seed, drop_vec=True
     ).persist()
     if cache_handle is not None:
-        cache_handle.append(tagged)
-    a = tagged.select(
-        F.col("band"), F.col("bucket"),
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-    )
-    b = tagged.select(
-        F.col("band"), F.col("bucket"),
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-    )
-    pairs = (
+        cache_handle.extend([base, tagged])
+    a = tagged.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = tagged.select("band", "bucket", F.col(id_col).alias("id_b"))
+    cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.select(
-        "id_a", "id_b", V.cosine(F.col("vec_a"), F.col("vec_b")).alias("score")
-    ).filter(F.col("score") >= threshold)
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", V.cosine(F.col("vec_a"), F.col("vec_b")).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -74,10 +74,23 @@ def stratified_sample(
     stratum sizes vary run-to-run and with partitioning; this is the
     reproducible class-balanced subset a training pipeline can audit.
 
+    The quota is computed in exact rational arithmetic on the fraction's
+    decimal representation (``Fraction(str(fraction))``), never in
+    doubles: ``ceil(15 * 0.2)`` in float64 is 4 (0.2 has no exact binary
+    form), while the stated ⌈n·fraction⌉ contract says 3. With fraction
+    = num/den, ``rn ≤ ⌈n·num/den⌉  ⟺  (rn−1)·den < n·num`` for positive
+    integers — a pure integer comparison (decimal(38,0) so den up to
+    1e16 from ugly float fractions can't overflow), no division, exact
+    on any engine.
+
     One shuffle on the stratum (window rank + windowed count share it).
     """
+    from fractions import Fraction
+
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    frac = Fraction(str(fraction))
+    num, den = frac.numerator, frac.denominator
     w = Window.partitionBy(strata_col).orderBy(
         split_bucket(F.col(key_col), salt), F.col(key_col)
     )
@@ -85,7 +98,10 @@ def stratified_sample(
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(wc))
-        .filter(F.col("__rn") <= F.ceil(F.col("__n") * fraction))
+        .filter(
+            (F.col("__rn") - 1).cast("decimal(38,0)") * F.lit(den)
+            < F.col("__n").cast("decimal(38,0)") * F.lit(num)
+        )
         .drop("__rn", "__n")
     )
 

@@ -1492,7 +1492,7 @@ def merge_upsert_docs(spark, sf_dir):
     )
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
            CAST(MIN(doc_id) AS BIGINT) AS min_sampled_id
-    FROM r WHERE rn <= CEIL(n * 0.2) GROUP BY source
+    FROM r WHERE (rn - 1) * 5 < n * 1 GROUP BY source  -- exact ⌈n·1/5⌉ quota, integer math
     """,
 )
 def stratified_sample_counts(spark, sf_dir):
@@ -2608,7 +2608,7 @@ def w7_sessionization(spark, sf_dir):
     "w8_session_window",
     """
     WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          >= INTERVAL 30 MINUTE
                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -2616,8 +2616,11 @@ def w7_sessionization(spark, sf_dir):
         FROM events WHERE user_id < 30
     ),
     s AS (
+        -- event_id in the cumulative ORDER BY: equal-ts peers would otherwise
+        -- sort nondeterministically and could merge rows into the wrong
+        -- session at SFs with duplicate (user_id, ts)
         SELECT user_id, ts,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
         FROM marked
     )
     SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events

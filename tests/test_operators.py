@@ -339,8 +339,6 @@ def test_pagerank_fixed_symmetry_and_sink_gain(spark):
 def test_stratified_sample_exact_quotas_and_determinism(spark):
     """Every stratum yields exactly ceil(n*frac) rows; the member SET is
     stable across repartitioning; bad fractions raise."""
-    import math
-
     import pytest as _pytest
 
     from cdrc_semantic_search_spark.operators.split import stratified_sample
@@ -351,7 +349,13 @@ def test_stratified_sample_exact_quotas_and_determinism(spark):
     out = stratified_sample(df, "g", "k", 0.3)
     counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
     base = {r.g: r.n for r in df.groupBy("g").agg(F.count("*").alias("n")).collect()}
-    assert counts == {g: math.ceil(n * 0.3) for g, n in base.items()}
+    # exact rational quota: -(-n*3 // 10) == ceil(n * 3/10) in true math —
+    # double ceil(n*0.3) would claim 4 for n=10 strata boundaries like n=15·0.2
+    assert counts == {g: -(-n * 3 // 10) for g, n in base.items()}
+    # the documented float64 boundary case: 15 rows at fraction 0.2 keeps 3,
+    # not ceil(15*0.2-in-double)=4
+    small = spark.range(0, 15).select(F.lit(0).alias("g"), F.col("id").alias("k"))
+    assert stratified_sample(small, "g", "k", 0.2).count() == 3
     a = sorted(r.k for r in out.collect())
     b = sorted(r.k for r in stratified_sample(df.repartition(13), "g", "k", 0.3).collect())
     assert a == b
