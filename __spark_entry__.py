@@ -81,4 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from cdrc_semantic_search_spark.plans.catalog_queries import REGISTRY
 
-    return {name: qd.sql for name, qd in REGISTRY.items() if qd.sql is not None}
+    return {
+        name: qd.sql_text()
+        for name, qd in REGISTRY.items()
+        if qd.sql is not None
+    }

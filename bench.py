@@ -72,6 +72,17 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         _ = n
 
+    # second, WARM pass: same queries with planning/scan caches hot. Cold
+    # numbers overstate steady-state cost ~3× for the planning-bound
+    # entries (ta_language_id warm is ~0.34 s but bills ~1.2 s cold);
+    # `value` stays the cold total so round-over-round comparisons hold.
+    timings_warm: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings_warm[name] = round(time.time() - t0, 3)
+
     # KG pipeline throughput: fixture scaled with SF (sf0.1 → ~30k turns)
     n_conv = max(200, int(2000 * (sf / 0.1)))
     fx = fixtures.generate(seed=42, n_conversations=n_conv, n_entities=500)
@@ -83,6 +94,9 @@ def main() -> None:
     n_triples = pipe.triples(tdf).count()
     kg_sec = time.time() - t0
     timings["kg_pipeline"] = round(kg_sec, 3)
+    t0 = time.time()
+    pipe.triples(tdf).count()
+    timings_warm["kg_pipeline"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -92,6 +106,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": timings_warm,
+                "warm_total_sec": round(sum(timings_warm.values()), 3),
                 "sf": sf,
                 "kg_turns": n_turns,
                 "kg_triples": n_triples,

@@ -38,6 +38,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """edges(src, dst) → (id, component) where component = min id reachable.
 
@@ -62,7 +63,9 @@ def connected_components(
     labels = labels.localCheckpoint()
     sym = sym.localCheckpoint()
     last_changed = 0
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # relabel both edge endpoints through the current labels, then take
         # the min opposing label PER COMPONENT (not per vertex): every vertex
         # of a blob benefits from the best edge anywhere on its frontier
@@ -114,6 +117,10 @@ def connected_components(
         last_changed = obs.get["chg"] or 0
         if last_changed == 0:
             break
+    if stats is not None:
+        # observability for benches/callers: rounds includes the final
+        # zero-change confirmation round
+        stats.update({"rounds": rounds, "last_changed": int(last_changed)})
     if last_changed != 0:
         # unconverged labels are WRONG (over-split components) — never let
         # that propagate silently into canonical ids

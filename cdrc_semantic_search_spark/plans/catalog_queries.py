@@ -28,12 +28,21 @@ from pyspark.sql import Window
 
 from cdrc_semantic_search_spark.functions import text as T
 from cdrc_semantic_search_spark.functions import vector as V
+from cdrc_semantic_search_spark.plans import value_oracles
 
 
 @dataclass
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: Optional[str]  # DuckDB oracle; None → rows-only check
+    # DuckDB oracle; None → rows-only check. A CALLABLE defers the SQL to
+    # first use — plans/value_oracles.py builds VALUES-literal oracles
+    # from pure-Python twins for queries whose logic (seeded LSH, crc32
+    # signatures, the KG fixture pipeline) is deterministic but not
+    # directly SQL-expressible.
+    sql: Optional[str] | Callable[[], str]
+
+    def sql_text(self) -> Optional[str]:
+        return self.sql() if callable(self.sql) else self.sql
 
 
 REGISTRY: dict[str, QueryDef] = {}
@@ -1134,10 +1143,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_lsh", None)
+@register("dedup_minhash_lsh", value_oracles.lazy("dedup_minhash_lsh"))
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH banded candidate pairs (rows-only: signatures are
-    engine-internal). Self-union of shifted docs guarantees true dupes."""
+    """MinHash+LSH banded candidate pairs. Seeded → deterministic; the
+    oracle is a VALUES literal from the pure-Python twin, which derives
+    candidates by direct band-slice equality (value_oracles.py).
+    Self-union of shifted docs guarantees true dupes."""
     from cdrc_semantic_search_spark.operators.dedup import (
         minhash_lsh_pairs,
         minhash_signatures,
@@ -1150,9 +1161,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(sigs, "doc_id", n_perm=64, n_bands=16, min_est_jaccard=0.9)
 
 
-@register("dedup_simhash", None)
+@register("dedup_simhash", value_oracles.lazy("dedup_simhash"))
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only)."""
+    """SimHash near-dup pairs; VALUES oracle from the pure-Python twin
+    (chunk-equality blocking, exact hamming)."""
     from cdrc_semantic_search_spark.operators.dedup import (
         simhash_near_pairs,
         simhash_signatures,
@@ -1242,14 +1254,15 @@ def r1_bm25_scores(spark, sf_dir):
     return out.select("id", F.round("score", 6).alias("score"))
 
 
-@register("dedup_embedding_lsh", None)  # probabilistic candidate set
+@register("dedup_embedding_lsh", value_oracles.lazy("dedup_embedding_lsh"))
 def dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup at corpus scale: random-hyperplane LSH buckets →
     exact cosine re-check (operators/similarity.cosine_pairs_lsh). Runs
     over the FULL embeddings table plus a shifted copy of the first 50
     vectors (guaranteed duplicates — identical vectors always share every
     bucket, so LSH must surface ≥ 50 pairs). Shuffle is on (band, bucket),
-    never all-pairs; rows-only (bucket membership is seed-dependent)."""
+    never all-pairs. The seeded buckets are deterministic, so the oracle
+    is a VALUES literal from the pure-NumPy twin (value_oracles.py)."""
     from cdrc_semantic_search_spark.operators.similarity import cosine_pairs_lsh
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1526,9 +1539,12 @@ def sketch_approx_distinct(spark, sf_dir):
     )
 
 
-@register("ta_winnowing", None)
+@register("ta_winnowing", value_oracles.lazy("ta_winnowing"))
 def ta_winnowing(spark, sf_dir):
-    """Winnowing fingerprint sets (rows-only: xxhash64 is engine-internal)."""
+    """Winnowing fingerprint counts. xxhash64 isn't SQL-portable, so the
+    oracle is a VALUES literal from a pure-Python twin that carries its
+    own XXH64 (verified against public test vectors AND F.xxhash64 in
+    tests/test_value_oracles.py)."""
     from cdrc_semantic_search_spark.operators.text_analysis import winnowing_fingerprints
 
     d = load(spark, sf_dir, "documents").filter("doc_id < 100")
@@ -1667,11 +1683,12 @@ def graph_triangles(spark, sf_dir):
     return triangle_count(edges)
 
 
-@register("kg_triples_fixture", None)
+@register("kg_triples_fixture", value_oracles.lazy("kg_triples_fixture"))
 def kg_triples_fixture(spark, sf_dir):
-    """The KG pipeline end-to-end on the deterministic transcript fixture
-    (rows-only; exact parity vs oracle + ground truth is enforced in
-    pytest — tests/test_kg_parity.py)."""
+    """The KG pipeline end-to-end on the deterministic transcript fixture.
+    The oracle is a VALUES literal from the single-process pure-pandas
+    pipeline twin (oracle.oracle_triples — the same twin the P/R parity
+    pytest pins in tests/test_kg_parity.py)."""
     from cdrc_semantic_search_spark import fixtures
     from cdrc_semantic_search_spark.config import Settings
     from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
@@ -1679,12 +1696,18 @@ def kg_triples_fixture(spark, sf_dir):
     fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
     tdf, _ = fixtures.to_spark(spark, fx)
     pipe = KGPipeline(spark, fx.entities, Settings())
-    return pipe.triples(tdf).drop("ts")
+    # score rounds to 4 decimals: the fused op links unknown surfaces in
+    # per-Arrow-batch encoder calls, so the blend score carries float32
+    # batch-composition noise (~1e-7) vs the one-at-a-time oracle; every
+    # fixture score sits ≥1.8e-6 from a 4-digit rounding boundary
+    # (value_oracles.py), so the rounded value is partition-invariant
+    return pipe.triples(tdf).drop("ts").withColumn("score", F.round("score", 4))
 
 
-@register("kg_edges_fixture", None)
+@register("kg_edges_fixture", value_oracles.lazy("kg_edges_fixture"))
 def kg_edges_fixture(spark, sf_dir):
-    """kg_edges materialization over the fixture (rows-only)."""
+    """kg_edges materialization over the fixture; VALUES oracle from the
+    pandas rollup of the pure-Python triple twin."""
     from cdrc_semantic_search_spark import fixtures
     from cdrc_semantic_search_spark.config import Settings
     from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
@@ -1861,10 +1884,13 @@ def a1b_ordered_assembly(spark, sf_dir):
     )
 
 
-@register("ann_ivf_topk", None)
+@register("ann_ivf_topk", value_oracles.lazy("ann_ivf_topk"))
 def ann_ivf_topk(spark, sf_dir):
-    """IVF-bucketed approximate top-k (rows-only: approximation is
-    recall-tested in tests/test_ivf.py; the exact twin is j3_topk_cosine)."""
+    """IVF-bucketed approximate top-k. Deterministic end-to-end (seeded
+    k-means on a DETERMINISTIC sample — vec_id < 256 sorted, not
+    limit(), whose row pick depends on partitioning), so the oracle is a
+    VALUES literal from the pure-NumPy twin; recall bounds are separately
+    pinned in tests/test_ivf.py and the exact twin is j3_topk_cosine."""
     import numpy as np
 
     from cdrc_semantic_search_spark.operators.similarity import (
@@ -1874,7 +1900,10 @@ def ann_ivf_topk(spark, sf_dir):
 
     e = load(spark, sf_dir, "embeddings")
     sample = np.array(
-        [np.asarray(r["embedding"], dtype=np.float32) for r in e.limit(256).collect()]
+        [
+            np.asarray(r["embedding"], dtype=np.float32)
+            for r in e.filter("vec_id < 256").orderBy("vec_id").collect()
+        ]
     )
     cent = train_centroids(sample, n_centroids=16, seed=42)
     q = e.filter("vec_id < 10").select(

@@ -1,0 +1,467 @@
+"""VALUES-literal DuckDB oracles for queries whose logic is deterministic
+but not directly SQL-expressible (seeded LSH banding, crc32 signatures,
+xxhash64 fingerprints, the KG fixture pipeline).
+
+Each oracle is an INDEPENDENT pure-Python/NumPy twin of the Spark query:
+it re-derives the expected rows from the sf0.01 parquet inputs (the
+driver's fixed oracle-compare scale factor) or the deterministic fixture,
+then renders them as ``SELECT CAST(...) FROM (VALUES ...)`` so the
+DuckDB-side value-hash check is exact. The twins deliberately avoid the
+Spark execution path: candidate generation is done by direct bucket/band
+EQUALITY (sets in a dict), never by re-running the distributed join —
+so the oracle catches self-join, dropDuplicates, exchange and UDF
+batching bugs the Spark plan could introduce. Shared *specification*
+kernels (crc32, the seeded hyperplane matrix, the driver-side k-means)
+are reused where they ARE the operator's definition.
+
+The SQL strings are built lazily (first request) and cached — the driver
+calls ``oracle_sql()`` once per round; each twin costs well under a
+second at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import zlib
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Callable
+
+import numpy as np
+
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+_CACHE: dict[str, str] = {}
+_BUILDERS: dict[str, Callable[[], str]] = {}
+
+
+def lazy(name: str) -> Callable[[], str]:
+    """A zero-arg callable producing the VALUES oracle for ``name``
+    (registered below); results are cached per process."""
+
+    def build() -> str:
+        if name not in _CACHE:
+            _CACHE[name] = _BUILDERS[name]()
+        return _CACHE[name]
+
+    build.__name__ = f"values_oracle_{name}"
+    return build
+
+
+def _register(name: str):
+    def deco(fn):
+        _BUILDERS[name] = fn
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------------- SQL rendering
+def _lit(v, typ: str) -> str:
+    if v is None:
+        return "NULL"
+    if typ == "VARCHAR":
+        return "'" + str(v).replace("'", "''") + "'"
+    if typ == "DOUBLE":
+        f = float(v)
+        if math.isnan(f):
+            return "'NaN'::DOUBLE"
+        # string→double (strtod) is correctly rounded; a bare 17-digit
+        # literal would land in DECIMAL(38) first, whose →DOUBLE cast is
+        # NOT correctly rounded above 2^53 unscaled (NOTES.md)
+        return f"CAST('{f!r}' AS DOUBLE)"
+    return str(int(v))
+
+
+def values_sql(rows: list[tuple], schema: list[tuple[str, str]]) -> str:
+    """rows + [(col_name, duck_type)] → a typed VALUES SELECT. The outer
+    CAST pins every column's type (a bare 0.9 literal would come back as
+    DECIMAL and hash differently from Spark's DOUBLE)."""
+    if not rows:
+        inner = "SELECT " + ", ".join(
+            f"CAST(NULL AS {t}) AS {n}" for n, t in schema
+        ) + " WHERE 1=0"
+        return inner
+    cols = ", ".join(f"c{i}" for i in range(len(schema)))
+    body = ",\n".join(
+        "(" + ", ".join(_lit(v, t) for v, (_, t) in zip(r, schema)) + ")"
+        for r in rows
+    )
+    casts = ", ".join(
+        f"CAST(c{i} AS {t}) AS {n}" for i, (n, t) in enumerate(schema)
+    )
+    return f"SELECT {casts} FROM (VALUES\n{body}\n) AS t({cols})"
+
+
+def _round_half_up(x: float, digits: int = 6) -> float:
+    """Spark's ROUND(double, d): HALF_UP on the double's SHORTEST decimal
+    representation (java BigDecimal.valueOf uses Double.toString; Python
+    repr produces the same shortest round-trip digits) — neither Python's
+    banker's round nor the exact binary expansion: Decimal(0.1234565) is
+    0.12345649999..., which would round DOWN, but Spark yields 0.123457."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _read(table: str, columns: list[str]):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{ORACLE_SF_DIR}/{table}.parquet", columns=columns)
+
+
+def _fold_cosine(a, b) -> float:
+    """V.cosine's exact arithmetic: sequential left-fold dot in DOUBLE
+    (same order DuckDB's list_dot_product and Spark's aggregate use)."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        x = float(x)
+        y = float(y)
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+# ----------------------------------------------------------------- text prep
+def _words(text: str | None) -> list[str]:
+    return [w for w in (text or "").lower().split() if w]
+
+
+def _tokens(text: str | None) -> list[str]:
+    """functions.text.tokens twin: split(lower, '[^a-z0-9]+'), drop ''."""
+    return [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def _word_shingles(text: str | None, k: int) -> list[str]:
+    """functions.text.word_shingles twin (ordered, keeps duplicates)."""
+    toks = _tokens(text)
+    if len(toks) >= k:
+        raw = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        raw = [" ".join(toks)]
+    return [s for s in raw if s != ""]
+
+
+# ------------------------------------------------------------------- XXH64
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """Standard XXH64 (Spark's xxhash64 on a string hashes its UTF-8
+    bytes with seed 42). Returns SIGNED int64, matching Spark's LongType.
+    Verified against F.xxhash64 in tests/test_value_oracles.py."""
+    def word(off: int, width: int = 8) -> int:
+        return int.from_bytes(data[off : off + width], "little")
+
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = (_rotl((v1 + word(i) * _P2) & _M64, 31) * _P1) & _M64
+            v2 = (_rotl((v2 + word(i + 8) * _P2) & _M64, 31) * _P1) & _M64
+            v3 = (_rotl((v3 + word(i + 16) * _P2) & _M64, 31) * _P1) & _M64
+            v4 = (_rotl((v4 + word(i + 24) * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            k = (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = ((h ^ k) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = (_rotl((word(i) * _P2) & _M64, 31) * _P1) & _M64
+        h = ((_rotl(h ^ k, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h = ((_rotl(h ^ ((word(i, 4) * _P1) & _M64), 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h = (_rotl(h ^ ((data[i] * _P5) & _M64), 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# =====================================================================
+# the twins
+# =====================================================================
+
+def _docs_with_shift(id_bound: int, shift: int):
+    t = _read("documents", ["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    rows = list(zip(ids, texts))
+    rows += [(i + shift, tx) for i, tx in rows if i < id_bound]
+    return rows
+
+
+@_register("dedup_minhash_lsh")
+def _minhash_lsh_values() -> str:
+    """MinHash+LSH twin: signatures by the affine-permutation spec,
+    candidates by direct band-slice EQUALITY (no hashing, no join)."""
+    n_perm, n_bands, k = 64, 16, 3
+    r = n_perm // n_bands
+    docs = _docs_with_shift(50, 10_000)
+    P = np.uint64((1 << 61) - 1)
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, P, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, P, size=n_perm, dtype=np.uint64)
+    sigs: dict[int, np.ndarray] = {}
+    for doc_id, text in docs:
+        words = _words(text)
+        sh = {" ".join(words[i : i + k]) for i in range(max(len(words) - k + 1, 1))}
+        hs = np.array(sorted(zlib.crc32(s.encode()) for s in sh if s), dtype=np.uint64)
+        if len(hs):
+            sig = ((hs[:, None] * a[None, :] + b[None, :]) % P).min(axis=0)
+        else:
+            sig = np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        sigs[doc_id] = sig.astype(np.int64)
+    buckets: dict[tuple, list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for band in range(n_bands):
+            buckets.setdefault(
+                (band, tuple(sig[band * r : (band + 1) * r])), []
+            ).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    rows = []
+    for ia, ib in sorted(pairs):
+        est = float((sigs[ia] == sigs[ib]).sum()) / n_perm
+        if est >= 0.9:
+            rows.append((ia, ib, est))
+    return values_sql(
+        rows,
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("est_jaccard", "DOUBLE")],
+    )
+
+
+@_register("dedup_simhash")
+def _simhash_values() -> str:
+    """SimHash twin: crc32-seeded 64-bit word hashes, majority bits,
+    pigeonhole 16-bit chunk blocking by direct equality."""
+    max_hamming, n_bands, seed = 3, 4, 42
+    bits = 64 // n_bands
+    mask = (1 << bits) - 1
+    docs = _docs_with_shift(50, 10_000)
+    sigs: dict[int, int] = {}
+    shifts = np.arange(64, dtype=np.uint64)
+    for doc_id, text in docs:
+        acc = np.zeros(64, dtype=np.int64)
+        for w in _words(text):
+            wb = w.encode()
+            h = np.uint64((zlib.crc32(wb, seed) << 32) | zlib.crc32(wb, seed + 1))
+            acc += np.where((h >> shifts) & np.uint64(1), 1, -1)
+        sh = int(((acc > 0).astype(np.uint64) << shifts).sum())
+        sigs[doc_id] = sh  # keep unsigned for chunking; sign only matters in Spark storage
+    buckets: dict[tuple, list[int]] = {}
+    for doc_id, sh in sigs.items():
+        for band in range(n_bands):
+            buckets.setdefault((band, (sh >> (band * bits)) & mask), []).append(doc_id)
+    pairs = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    rows = []
+    for ia, ib in sorted(pairs):
+        ham = bin(sigs[ia] ^ sigs[ib]).count("1")
+        if ham <= max_hamming:
+            rows.append((ia, ib, ham))
+    return values_sql(
+        rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "INTEGER")]
+    )
+
+
+@_register("dedup_embedding_lsh")
+def _embedding_lsh_values() -> str:
+    """Random-hyperplane LSH twin over embeddings + 50 shifted clones:
+    buckets from the shared seeded-plane kernel, candidates by direct
+    (band, bucket) set intersection, exact left-fold cosine re-check."""
+    from cdrc_semantic_search_spark.operators.similarity import (
+        lsh_bucket_matrix,
+        lsh_planes,
+    )
+
+    t = _read("embeddings", ["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()]
+    rows_in = list(zip(ids, vecs))
+    rows_in += [(i + 100_000, v) for i, v in rows_in if i < 50]
+    dim = len(rows_in[0][1])
+    mat = np.stack([v for _, v in rows_in])
+    buckets_m = lsh_bucket_matrix(mat, lsh_planes(dim, 16, 42), 4)
+    buckets: dict[tuple, list[int]] = {}
+    for (vid, _), brow in zip(rows_in, buckets_m):
+        for band, bucket in enumerate(brow):
+            buckets.setdefault((band, int(bucket)), []).append(vid)
+    by_id = dict(rows_in)
+    pairs = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    rows = []
+    for ia, ib in sorted(pairs):
+        score = _fold_cosine(by_id[ia], by_id[ib])
+        if score >= 0.9:
+            rows.append((ia, ib, _round_half_up(score, 6)))
+    return values_sql(
+        rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("score", "DOUBLE")]
+    )
+
+
+@_register("ta_winnowing")
+def _winnowing_values() -> str:
+    """Winnowing twin: xxh64 shingle hashes, window-of-4 minima,
+    distinct count — replicates the Catalyst expression end to end."""
+    k, window = 5, 4
+    t = _read("documents", ["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        if doc_id >= 100:
+            continue
+        hashes = [xxh64(s.encode()) for s in _word_shingles(text, k)]
+        n = len(hashes)
+        fps = set()
+        for start in range(max(n - (window - 1), 1)):
+            win = hashes[start : start + window]
+            fps.add(min(win) if win else None)
+        rows.append((doc_id, len(fps)))
+    return values_sql(rows, [("doc_id", "BIGINT"), ("n_fps", "INTEGER")])
+
+
+@_register("ann_ivf_topk")
+def _ann_ivf_values() -> str:
+    """IVF twin: same driver-side centroids (they're an INPUT to the
+    distributed op), then probe/assign/score/rank re-derived with plain
+    dict lookups and the exact left-fold cosine."""
+    from cdrc_semantic_search_spark.operators.similarity import train_centroids
+
+    t = _read("embeddings", ["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()]
+    order = np.argsort(np.array(ids))
+    sample = np.stack([vecs[i] for i in order if ids[i] < 256])
+    cent = train_centroids(sample, n_centroids=16, seed=42)
+
+    def unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    corpus = np.stack(vecs)
+    assign = (unit(corpus.astype(np.float32)) @ cent.T).argmax(axis=1)
+    bucket_members: dict[int, list[int]] = {}
+    for idx, b in enumerate(assign):
+        bucket_members.setdefault(int(b), []).append(idx)
+    rows = []
+    for qi, qid in enumerate(ids):
+        if qid >= 10:
+            continue
+        q = vecs[qi].astype(np.float32).reshape(1, -1)
+        sims = (unit(q) @ cent.T)[0]
+        probed = np.argpartition(-sims, 3)[:4]
+        cand = []
+        for b in probed:
+            for ci in bucket_members.get(int(b), []):
+                cand.append((-_fold_cosine(vecs[qi], vecs[ci]), ids[ci]))
+        cand.sort()
+        for rank, (neg, cid) in enumerate(cand[:5], start=1):
+            rows.append((qid, cid, _round_half_up(-neg, 6), rank))
+    return values_sql(
+        rows,
+        [("q_id", "BIGINT"), ("c_id", "BIGINT"), ("score", "DOUBLE"), ("rank", "INTEGER")],
+    )
+
+
+def _fixture_triples():
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.oracle import oracle_triples
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    return oracle_triples(fx.transcripts, fx.entities, Settings())
+
+
+@_register("kg_triples_fixture")
+def _kg_triples_values() -> str:
+    """The KG capstone's oracle: the single-process pure-pandas pipeline
+    twin (oracle.oracle_triples) over the deterministic fixture — the
+    same twin the P/R parity pytest pins, now also hashed by the driver."""
+    pdf = _fixture_triples()
+    # 4-digit half-up rounding mirrors the Spark query (which rounds to
+    # absorb float32 batch-composition noise in the fused linker; every
+    # fixture score is ≥1.8e-6 from a 4-digit boundary, noise is ~1e-7)
+    rows = [
+        (
+            r.conv_id,
+            int(r.turn_idx),
+            r.subj_entity_id,
+            r.pred,
+            r.obj_entity_id,
+            _round_half_up(float(r.score), 4),
+        )
+        for r in pdf.itertuples(index=False)
+    ]
+    return values_sql(
+        rows,
+        [
+            ("conv_id", "VARCHAR"),
+            ("turn_idx", "INTEGER"),
+            ("subj_entity_id", "VARCHAR"),
+            ("pred", "VARCHAR"),
+            ("obj_entity_id", "VARCHAR"),
+            ("score", "DOUBLE"),
+        ],
+    )
+
+
+@_register("kg_edges_fixture")
+def _kg_edges_values() -> str:
+    """kg_edges rollup of the fixture triples twin (weights only — the
+    Spark query drops the ts span columns)."""
+    pdf = _fixture_triples()
+    agg = (
+        pdf.groupby(["subj_entity_id", "pred", "obj_entity_id"])
+        .size()
+        .reset_index(name="weight")
+    )
+    rows = [
+        (r.subj_entity_id, r.pred, r.obj_entity_id, int(r.weight))
+        for r in agg.itertuples(index=False)
+    ]
+    return values_sql(
+        rows,
+        [
+            ("subj_entity_id", "VARCHAR"),
+            ("pred", "VARCHAR"),
+            ("obj_entity_id", "VARCHAR"),
+            ("weight", "BIGINT"),
+        ],
+    )

@@ -160,6 +160,19 @@ results are parallelism-independent (asserted in tests/test_resume.py).
 """
         )
 
+    # re-append the CC-at-scale section (scripts/cc_bench.py) so a
+    # scaling re-run doesn't silently drop those measurements
+    import os
+
+    cc_json = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cc_bench.json")
+    if os.path.exists(cc_json):
+        import cc_bench
+
+        with open(cc_json) as f:
+            cc_results = json.load(f)
+        with open("/root/repo/BENCH.md", "a") as f:
+            f.write(cc_bench.render_section(cc_results))
+
 
 if __name__ == "__main__":
     main()

@@ -582,6 +582,22 @@ def test_triangle_count_k4_and_bipartite(spark):
     assert triangle_count(bip).first()["n_triangles"] == 0
 
 
+def test_triangle_count_hub_skew(spark):
+    """Star hub + leaf-leaf chords: degree orientation points every hub
+    edge INTO the hub (its id 0 is the smallest, so id-orientation would
+    fan 100 wedge legs out of it), and the count is still exact."""
+    from cdrc_semantic_search_spark.operators.graph import triangle_count
+
+    hub = [(0, i) for i in range(1, 101)]
+    chords = [(1, 2), (3, 4), (5, 6), (7, 8)]  # each closes one triangle via the hub
+    g = spark.createDataFrame(hub + chords, "src long, dst long")
+    assert triangle_count(g).first()["n_triangles"] == 4
+    # leaf-only triangle (no hub participation) still counted once
+    g2 = spark.createDataFrame(hub + [(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    # {1,2,3} plus the three hub triangles {0,1,2},{0,2,3},{0,1,3}
+    assert triangle_count(g2).first()["n_triangles"] == 4
+
+
 def test_connected_components_long_path_converges(spark):
     """A 200-node path is the worst case for min-label flooding (diameter
     199): contraction must still converge inside the round budget and
