@@ -22,6 +22,24 @@ from pyspark.sql import functions as F
 from cdrc_semantic_search_spark.functions.text import tokens
 
 
+def _postings(docs: DataFrame, terms: list[str], id_col: str, text_col: str):
+    """Shared posting-table scaffolding for the lexical scorers →
+    (toks, tf, df_, n_docs): exploded tokens, vocabulary-filtered term
+    frequencies, per-term document frequencies, corpus size. One explode
+    + one (id, term) groupBy; df_/n_docs are dimension-sized."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(sorted(terms)))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.countDistinct("id").cast("double").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return toks, tf, df_, n_docs
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],
@@ -44,19 +62,9 @@ def bm25_scores(
 
     qtf = Counter(query_terms)
     distinct_terms = sorted(qtf)
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
-    )
+    toks, tf, df_, n_docs = _postings(docs, distinct_terms, id_col, text_col)
     doclen = toks.groupBy("id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
     stats = doclen.agg(F.avg("dl").alias("avgdl"))
-    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
-
-    tf = (
-        toks.filter(F.col("term").isin(distinct_terms))
-        .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
-    df_ = tf.groupBy("term").agg(F.countDistinct("id").cast("double").alias("df"))
     qtf_map = F.create_map(
         *[x for t in distinct_terms for x in (F.lit(t), F.lit(float(qtf[t])))]
     )
@@ -85,4 +93,31 @@ def bm25_scores(
         docs.select(F.col(id_col).alias("id"))
         .join(scored, "id", "left")
         .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+    )
+
+
+def tfidf_scores(
+    docs: DataFrame,
+    vocab: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, term) smoothed TF-IDF over a vocabulary → (id, term, tfidf).
+
+    tfidf(t, d) = tf(t, d) · (ln((N + 1)/(df(t) + 1)) + 1)   (sklearn's
+    smooth_idf — no zero division, unseen terms still weighted).
+
+    Same physical shape as bm25_scores (shared _postings scaffolding):
+    the posting table shuffles once on (id, term); df/N are
+    dimension-sized broadcast aggregates. The classic feature extractor
+    for quality classifiers / near-dup scoring over a curated vocabulary
+    at corpus scale.
+    """
+    _, tf, df_, n_docs = _postings(docs, vocab, id_col, text_col)
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+    )
+    return tf.join(F.broadcast(idf), "term").select(
+        "id", "term", (F.col("tf") * F.col("idf")).alias("tfidf")
     )

@@ -54,6 +54,10 @@ def connected_components(
     """
     import uuid
 
+    if max_iter < 1:
+        # zero rounds would return identity labels while bypassing the
+        # non-convergence guard below
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct()

@@ -37,6 +37,10 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     endpoints, one wedge self-join on the source vertex, one closure
     equi-join — no cross product anywhere.
     """
+    # persist both shared frames: und feeds the degree union twice plus
+    # the orientation join, deg projects into two join branches — Spark
+    # does not share subtrees, so without the persists the distinct
+    # shuffle and degree aggregation recompute per branch
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -44,12 +48,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.col("a").alias("v"))
         .unionByName(und.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .persist()
     )
     da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))

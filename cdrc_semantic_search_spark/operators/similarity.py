@@ -164,6 +164,10 @@ def lsh_assign(
     ~8× a Python loop. ``drop_vec=True`` omits the vector from the
     output so a downstream exchange on (band, bucket) never carries the
     embedding payload.
+
+    Rows with a NULL vector are DROPPED (they cannot be bucketed; their
+    cosine is NULL and could never pass a threshold re-check anyway —
+    np.stack would otherwise crash the executor on them).
     """
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
@@ -186,7 +190,7 @@ def lsh_assign(
             out["bucket"] = buckets.reshape(-1)
             yield out
 
-    return df.mapInPandas(run, schema=out_schema)
+    return df.filter(F.col(vec_col).isNotNull()).mapInPandas(run, schema=out_schema)
 
 
 def cosine_pairs_lsh(

@@ -1254,6 +1254,122 @@ def r1_bm25_scores(spark, sf_dir):
     return out.select("id", F.round("score", 6).alias("score"))
 
 
+@register(
+    "r2_tfidf_scores",
+    """
+    WITH tk AS (
+        SELECT doc_id AS id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tk WHERE term IN ('data', 'model', 'spark', 'energy')
+        GROUP BY id, term
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    idf AS (
+        SELECT term,
+               ln(((SELECT n FROM nn) + 1.0) / (CAST(COUNT(DISTINCT id) AS DOUBLE) + 1.0)) + 1.0 AS idf
+        FROM tf GROUP BY term
+    )
+    SELECT tf.id, tf.term, ROUND(tf.tf * idf.idf, 6) AS tfidf
+    FROM tf JOIN idf USING (term)
+    """,
+)
+def r2_tfidf_scores(spark, sf_dir):
+    """Smoothed TF-IDF features over a fixed vocabulary
+    (functions/ranking.tfidf_scores) — the classic quality-classifier /
+    near-dup feature extractor; posting table shuffles once, idf
+    broadcast. tf/df are integers, so ROUND 6 absorbs only ln's ~1 ulp."""
+    from cdrc_semantic_search_spark.functions.ranking import tfidf_scores
+
+    d = load(spark, sf_dir, "documents")
+    out = tfidf_scores(d, ["data", "model", "spark", "energy"])
+    return out.select("id", "term", F.round("tfidf", 6).alias("tfidf"))
+
+
+@register(
+    "ev_pmi_pairs",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    n_users AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n FROM events),
+    per_type AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS cnt FROM ut GROUP BY event_type),
+    pair AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS DOUBLE) AS n_ab
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_users_both,
+           ROUND(ln(n_ab * (SELECT n FROM n_users) / (pa.cnt * pb.cnt)), 6) AS pmi
+    FROM pair
+    JOIN per_type pa ON pa.event_type = type_a
+    JOIN per_type pb ON pb.event_type = type_b
+    """,
+)
+def ev_pmi_pairs(spark, sf_dir):
+    """Pointwise mutual information between event-type pairs sharing a
+    user — the co-occurrence statistic KG/recommendation pipelines mine
+    for implicit edges. One distinct (user, type) shuffle; the per-user
+    self-join fans out only by a user's distinct types (bounded, unlike
+    a per-token join); type marginals broadcast."""
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct().persist()  # 3 branches
+    n_users = ev.agg(F.countDistinct("user_id").cast("double").alias("n"))
+    per_type = ut.groupBy("event_type").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pair = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+    )
+    pa = per_type.select(F.col("event_type").alias("type_a"), F.col("cnt").alias("cnt_a"))
+    pb = per_type.select(F.col("event_type").alias("type_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pair.join(F.broadcast(pa), "type_a")
+        .join(F.broadcast(pb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_users_both"),
+            F.round(
+                F.log(F.col("n_ab") * F.col("n") / (F.col("cnt_a") * F.col("cnt_b"))), 6
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "doc_zscore_norm",
+    """
+    SELECT doc_id, source,
+           ROUND((n_chars - AVG(n_chars) OVER (PARTITION BY source))
+                 / STDDEV_SAMP(n_chars) OVER (PARTITION BY source), 6) AS z
+    FROM documents
+    """,
+)
+def doc_zscore_norm(spark, sf_dir):
+    """Per-group z-score standardization (feature scaling before a
+    quality classifier): one shuffle on the group key; mean and sample
+    stddev share the window partition."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    return d.select(
+        "doc_id",
+        "source",
+        F.round(
+            (F.col("n_chars") - F.avg("n_chars").over(w))
+            / F.stddev_samp("n_chars").over(w),
+            6,
+        ).alias("z"),
+    )
+
+
 @register("dedup_embedding_lsh", value_oracles.lazy("dedup_embedding_lsh"))
 def dedup_embedding_lsh(spark, sf_dir):
     """Embedding near-dup at corpus scale: random-hyperplane LSH buckets →

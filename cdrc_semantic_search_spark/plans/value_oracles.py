@@ -111,7 +111,9 @@ def _read(table: str, columns: list[str]):
 
 def _fold_cosine(a, b) -> float:
     """V.cosine's exact arithmetic: sequential left-fold dot in DOUBLE
-    (same order DuckDB's list_dot_product and Spark's aggregate use)."""
+    (same order DuckDB's list_dot_product and Spark's aggregate use).
+    Zero vectors yield NaN (IEEE 0/0, like Spark's double division) —
+    NaN fails any ``>= threshold`` filter on both engines."""
     dot = 0.0
     na = 0.0
     nb = 0.0
@@ -121,7 +123,10 @@ def _fold_cosine(a, b) -> float:
         dot += x * y
         na += x * x
         nb += y * y
-    return dot / (math.sqrt(na) * math.sqrt(nb))
+    denom = math.sqrt(na) * math.sqrt(nb)
+    if denom == 0.0:
+        return float("nan")
+    return dot / denom
 
 
 # ----------------------------------------------------------------- text prep
@@ -206,6 +211,19 @@ def xxh64(data: bytes, seed: int = 42) -> int:
 # the twins
 # =====================================================================
 
+def _pairs_from_buckets(buckets: dict[tuple, list]) -> set[tuple]:
+    """All (id_a < id_b) pairs sharing ≥1 bucket — pure bookkeeping
+    shared by the three banding twins (the bucket CONTENTS stay
+    twin-specific)."""
+    pairs: set[tuple] = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                pairs.add((members[i], members[j]))
+    return pairs
+
+
 def _docs_with_shift(id_bound: int, shift: int):
     t = _read("documents", ["doc_id", "text"])
     ids = t.column("doc_id").to_pylist()
@@ -242,12 +260,7 @@ def _minhash_lsh_values() -> str:
             buckets.setdefault(
                 (band, tuple(sig[band * r : (band + 1) * r])), []
             ).append(doc_id)
-    pairs = set()
-    for members in buckets.values():
-        members.sort()
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                pairs.add((members[i], members[j]))
+    pairs = _pairs_from_buckets(buckets)
     rows = []
     for ia, ib in sorted(pairs):
         est = float((sigs[ia] == sigs[ib]).sum()) / n_perm
@@ -281,12 +294,7 @@ def _simhash_values() -> str:
     for doc_id, sh in sigs.items():
         for band in range(n_bands):
             buckets.setdefault((band, (sh >> (band * bits)) & mask), []).append(doc_id)
-    pairs = set()
-    for members in buckets.values():
-        members.sort()
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                pairs.add((members[i], members[j]))
+    pairs = _pairs_from_buckets(buckets)
     rows = []
     for ia, ib in sorted(pairs):
         ham = bin(sigs[ia] ^ sigs[ib]).count("1")
@@ -320,12 +328,7 @@ def _embedding_lsh_values() -> str:
         for band, bucket in enumerate(brow):
             buckets.setdefault((band, int(bucket)), []).append(vid)
     by_id = dict(rows_in)
-    pairs = set()
-    for members in buckets.values():
-        members.sort()
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                pairs.add((members[i], members[j]))
+    pairs = _pairs_from_buckets(buckets)
     rows = []
     for ia, ib in sorted(pairs):
         score = _fold_cosine(by_id[ia], by_id[ib])

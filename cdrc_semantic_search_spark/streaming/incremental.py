@@ -134,6 +134,43 @@ def stream_dedup_exact(
     )
 
 
+def enrich_turns_with_window_rate(
+    stream_df: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed aggregation JOINED back to the stream, append mode —
+    chained stateful operators (agg → stream-stream join, Spark 3.4+).
+
+    Each turn is annotated with its (window, role) turn count — the
+    'how busy was this channel when this turn arrived' enrichment a
+    rate-limiter or sampling stage consumes. Both sides carry the same
+    event-time window column and watermark, so the join is a pure
+    equality join on (win, role) whose state the watermark evicts; in
+    append mode a row emits once its window is sealed on BOTH sides —
+    exactly-once semantics with bounded state on an unbounded stream.
+    """
+    win = F.window("ts", window)
+    # the raw side must carry exactly ONE event-time column into the join:
+    # the derived window inherits event-time semantics from ts, so ts
+    # itself is dropped (streams forbid two event-time columns per side)
+    turns = stream_df.withWatermark("ts", watermark).select(
+        "conv_id", "turn_idx", "role", win.alias("win")
+    )
+    counts = (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "role")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns_in_window"))
+    )
+    return turns.join(counts, ["win", "role"]).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("win.start").alias("window_start"),
+        "n_turns_in_window",
+    )
+
+
 def windowed_turn_counts(
     stream_df: DataFrame,
     window: str = "10 minutes",

@@ -164,8 +164,13 @@ results are parallelism-independent (asserted in tests/test_resume.py).
     # scaling re-run doesn't silently drop those measurements
     import os
 
-    cc_json = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cc_bench.json")
+    scripts_dir = os.path.dirname(os.path.abspath(__file__))
+    cc_json = os.path.join(scripts_dir, ".cc_bench.json")
     if os.path.exists(cc_json):
+        # resolve cc_bench by path: `python -m scripts.scaling_bench` does
+        # not put scripts/ on sys.path
+        if scripts_dir not in sys.path:
+            sys.path.insert(0, scripts_dir)
         import cc_bench
 
         with open(cc_json) as f:

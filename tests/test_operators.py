@@ -433,6 +433,32 @@ def test_bm25_ranking_properties(spark):
     assert bm25_scores(docs, ["data"]) is not None
 
 
+def test_tfidf_scores_smoothing_and_tf_linearity(spark):
+    """tfidf = tf · (ln((N+1)/(df+1)) + 1): linear in tf, discounts
+    common terms, emits only (doc, term) pairs that occur."""
+    import math
+
+    from cdrc_semantic_search_spark.functions.ranking import tfidf_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data data model"),
+            (2, "data spark"),
+            (3, "unrelated text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.id, r.term): r.tfidf for r in tfidf_scores(docs, ["data", "spark"]).collect()}
+    # only occurring pairs emitted — doc 3 matches nothing
+    assert set(out) == {(1, "data"), (2, "data"), (2, "spark")}
+    idf_data = math.log(4 / 3) + 1  # N=3, df=2
+    idf_spark = math.log(4 / 2) + 1  # df=1
+    assert abs(out[(1, "data")] - 2 * idf_data) < 1e-12  # tf=2, linear
+    assert abs(out[(2, "data")] - idf_data) < 1e-12
+    assert abs(out[(2, "spark")] - idf_spark) < 1e-12
+    assert out[(2, "spark")] > out[(2, "data")]  # rarer term weighs more
+
+
 def test_asof_join_backward_semantics(spark):
     """Inclusive at equal ts, most-recent-wins, NULL before any snapshot,
     keys never cross."""

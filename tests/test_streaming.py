@@ -203,3 +203,46 @@ def test_windowed_counts_with_watermark(spark, spark_fixture, transcript_dir, tm
     }
     want_set = {(r["window_start"], r["role"], r["n_turns"]) for r in want.collect()}
     assert want_set and want_set <= got_set
+
+
+def test_windowed_agg_join_stream_append_mode(spark, spark_fixture, transcript_dir, tmp_path):
+    """Chained stateful operators: windowed aggregation stream-stream
+    JOINED back to the raw stream under one watermark, append mode —
+    every emitted (turn, window count) row must match the batch twin."""
+    stream = incremental.transcript_stream(spark, transcript_dir)
+    joined = incremental.enrich_turns_with_window_rate(
+        stream, window="1 hour", watermark="2 hours"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("win_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select * from win_join")
+    batch = spark.read.parquet(transcript_dir)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    win = F.window("ts", "1 hour")
+    counts = batch.groupBy(win.alias("win"), "role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns_in_window")
+    )
+    want = (
+        batch.select("conv_id", "turn_idx", "role", win.alias("win"))
+        .join(counts, ["win", "role"])
+        # only windows the watermark could have sealed are comparable
+        .filter(F.col("win.end") < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+        .select(
+            "conv_id", "turn_idx", "role",
+            F.col("win.start").alias("window_start"), "n_turns_in_window",
+        )
+    )
+    want_set = {tuple(r) for r in want.collect()}
+    got_set = {tuple(r) for r in got.collect()}
+    # every sealed batch row must have been emitted...
+    assert want_set and want_set <= got_set
+    # ...and for sealed windows the stream emitted EXACTLY the batch rows
+    sealed_starts = {r[3] for r in want_set}
+    assert {r for r in got_set if r[3] in sealed_starts} == want_set
