@@ -304,3 +304,42 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ----------------------------------------------------- eval decontamination
+def cross_split_contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    train: str = "train",
+    holdout: tuple[str, ...] = ("val", "test"),
+    k: int = 5,
+) -> DataFrame:
+    """Training docs that share ≥1 k-word shingle with ANY holdout doc —
+    the standard eval-set decontamination pass an LLM training pipeline
+    runs before every data release.
+
+    Inverted-index shape: both sides explode to (shingle_hash, id); the
+    holdout side collapses to DISTINCT hashes (eval sets are small →
+    broadcast), so the join is a broadcast semi-probe on the train
+    posting table — the 10^12-doc side shuffles nothing. Returns
+    (id, n_shared) where n_shared counts the train doc's distinct
+    shingles that also occur anywhere in the holdout.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.col(split_col).alias("split"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("sh"),
+    ).select("id", "split", F.xxhash64("sh").alias("shash"))
+    train_side = shingled.filter(F.col("split") == train).select("id", "shash")
+    hold = (
+        shingled.filter(F.col("split").isin(list(holdout)))
+        .select("shash")
+        .distinct()
+    )
+    return (
+        train_side.join(F.broadcast(hold), "shash")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

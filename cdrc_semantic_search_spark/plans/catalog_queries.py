@@ -1566,6 +1566,105 @@ def split_train_val_test(spark, sf_dir):
 
 
 @register(
+    "decontaminate_train",
+    """
+    WITH b AS (
+        SELECT doc_id, text,
+               CASE WHEN CAST(('0x' || substr(md5('split|' || doc_id), 1, 8)) AS UBIGINT) % 10000 < 8000
+                    THEN 'train' ELSE 'holdout' END AS split
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, split,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM b
+    ),
+    sh AS (
+        SELECT doc_id, split,
+               unnest(list_distinct(
+                   CASE WHEN len(toks) >= 5
+                        THEN list_transform(generate_series(1, len(toks) - 4),
+                                            i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+                        ELSE list_filter([array_to_string(toks, ' ')], x -> x <> '')
+                   END
+               )) AS s
+        FROM t
+    ),
+    hold AS (SELECT DISTINCT s FROM sh WHERE split = 'holdout')
+    SELECT sh.doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh JOIN hold USING (s)
+    WHERE sh.split = 'train'
+    GROUP BY sh.doc_id
+    """,
+)
+def decontaminate_train(spark, sf_dir):
+    """Eval-set decontamination (operators/dedup.cross_split_contamination):
+    train docs sharing ≥1 5-word shingle with the holdout, via a
+    broadcast semi-probe of the distinct holdout shingle hashes against
+    the train posting table — the 10^12-doc train side never shuffles.
+    The split itself is the deterministic md5-bucket assignment, so both
+    engines derive identical membership; the oracle joins on shingle
+    STRINGS where Spark joins on xxhash64 (collisions ~2^-64)."""
+    from cdrc_semantic_search_spark.operators.dedup import cross_split_contamination
+    from cdrc_semantic_search_spark.operators.split import deterministic_split
+
+    d = deterministic_split(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.8, "holdout": 0.2},
+    )
+    return cross_split_contamination(
+        d, "doc_id", "text", "split", train="train", holdout=("holdout",), k=5
+    )
+
+
+@register(
+    "pack_token_bins",
+    """
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR((cum - 1) / 512) AS BIGINT) AS bin
+    FROM c
+    """,
+)
+def pack_token_bins(spark, sf_dir):
+    """Deterministic sequence packing: docs stream into 512-token bins
+    per source in doc_id order (bin = ⌊(cumulative−1)/budget⌋) — the
+    batch-construction step before LLM training. One window cumsum per
+    group key, no UDFs; the assignment is a pure function of
+    (source, doc_id order), stable across partitionings. (Greedy
+    first-fit packing is inherently sequential; the streaming-cumsum bin
+    is the scalable deterministic variant.)"""
+    from cdrc_semantic_search_spark.functions.text import token_count
+
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / 512).cast("long").alias("bin"),
+    )
+
+
+@register(
     "merge_upsert_docs",
     """
     WITH t AS (SELECT doc_id, source, n_chars FROM documents),

@@ -433,6 +433,28 @@ def test_bm25_ranking_properties(spark):
     assert bm25_scores(docs, ["data"]) is not None
 
 
+def test_cross_split_contamination(spark):
+    """A train doc sharing a 3-gram with any holdout doc is flagged with
+    the right shared-shingle count; clean train docs and holdout docs
+    themselves never appear."""
+    from cdrc_semantic_search_spark.operators.dedup import cross_split_contamination
+
+    rows = [
+        (1, "the quick brown fox jumps", "train"),   # shares 'the quick brown' + 'quick brown fox'
+        (2, "totally unrelated training text", "train"),
+        (3, "the quick brown fox sleeps", "val"),
+        (4, "another clean holdout document", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = {
+        r.id: r.n_shared
+        for r in cross_split_contamination(df, "doc_id", "text", "split", k=3).collect()
+    }
+    # doc 1 shares exactly the 3-gram prefixes of doc 3: 'the quick brown',
+    # 'quick brown fox' (the 3rd shingles diverge: jumps vs sleeps)
+    assert got == {1: 2}
+
+
 def test_tfidf_scores_smoothing_and_tf_linearity(spark):
     """tfidf = tf · (ln((N+1)/(df+1)) + 1): linear in tf, discounts
     common terms, emits only (doc, term) pairs that occur."""
