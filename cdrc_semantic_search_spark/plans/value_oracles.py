@@ -61,7 +61,12 @@ def _lit(v, typ: str) -> str:
     if v is None:
         return "NULL"
     if typ == "VARCHAR":
-        return "'" + str(v).replace("'", "''") + "'"
+        s = str(v)
+        if "\x00" in s:
+            # DuckDB (like Postgres) cannot represent NUL inside a string
+            # literal — fail loudly rather than emit unparseable SQL
+            raise ValueError("NUL byte in VARCHAR oracle literal")
+        return "'" + s.replace("'", "''") + "'"
     if typ == "DOUBLE":
         f = float(v)
         if math.isnan(f):

@@ -108,3 +108,37 @@ def test_topk_exact_query_side_broadcasts(spark):
     c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     plan = plan_of(topk_cosine_exact(q, c, k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_decontamination_probe_is_broadcast(spark):
+    """cross_split_contamination's 100-TB claim: the holdout shingle set
+    broadcasts; the train posting table is never sort-merge joined."""
+    from cdrc_semantic_search_spark.operators.dedup import cross_split_contamination
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "split", F.when(F.col("doc_id") % 5 == 0, "holdout").otherwise("train")
+    )
+    out = cross_split_contamination(df, "doc_id", "text", "split", holdout=("holdout",))
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lsh_candidate_exchange_carries_ids_only(spark):
+    """cosine_pairs_lsh's slim-shuffle claim: no exchange in the candidate
+    self-join carries the embedding column — vectors re-join after the
+    pair dedup (round-3 fix: previously vec_a/vec_b rode the (band,bucket)
+    exchange n_bands times)."""
+    import re
+
+    from cdrc_semantic_search_spark.operators.similarity import cosine_pairs_lsh
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = cosine_pairs_lsh(e, "vec_id", "embedding", dim=16, threshold=0.9)
+    plan = plan_of(out)
+    # every Exchange hashpartitioning on (band, bucket) must not mention a
+    # vector column in its output
+    for m in re.finditer(r"Exchange hashpartitioning\(band[^\n]*", plan):
+        assert "vec_a" not in m.group(0) and "vec_b" not in m.group(0)
+    # the dedup exchange is on the bare id pair
+    assert re.search(r"Exchange hashpartitioning\(id_a[^\n]*id_b", plan)

@@ -76,3 +76,43 @@ def test_values_oracle_builds_and_caches(name):
     sql2 = vo.lazy(name)()
     assert sql1 is sql2  # cached, not rebuilt
     assert sql1.startswith("SELECT CAST(")
+
+
+def test_values_sql_roundtrip_exact():
+    """values_sql must round-trip ARBITRARY doubles/ints/strings through
+    DuckDB bit-exactly — quotes, NaN, subnormals, 2^53+ doubles (the
+    DECIMAL(38) detour would corrupt those)."""
+    import math
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.floats(allow_infinity=False),  # NaN allowed
+                # NUL can't exist in a SQL string literal — _lit raises on
+                # it (covered below); everything else must round-trip
+                st.text(max_size=20).filter(lambda s: "\x00" not in s),
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def roundtrip(rows):
+        sql = vo.values_sql(
+            rows, [("i", "BIGINT"), ("x", "DOUBLE"), ("s", "VARCHAR")]
+        )
+        got = duckdb.sql(sql).fetchall()
+        assert len(got) == len(rows)
+        for (i0, x0, s0), (i1, x1, s1) in zip(rows, got):
+            assert i0 == i1
+            assert (math.isnan(x0) and math.isnan(x1)) or x0 == x1
+            assert (s0 == s1) or (s1 is None and s0 == "")  # VARCHAR '' stays '' in duckdb; guard anyway
+    roundtrip()
+
+    with pytest.raises(ValueError, match="NUL"):
+        vo.values_sql([(1, 0.0, "a\x00b")], [("i", "BIGINT"), ("x", "DOUBLE"), ("s", "VARCHAR")])
