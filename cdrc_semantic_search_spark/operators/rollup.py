@@ -78,3 +78,61 @@ def group_rollup_pandas(
     return df.groupBy(*group_cols).applyInPandas(
         roll, schema=f"{group_ddl}, score {score_type}, text string, n_chunks long"
     )
+
+
+def distinct_count_two_phase(
+    df: DataFrame, key_col: str, value_col: str, out_col: str = "n_distinct"
+) -> DataFrame:
+    """Exact COUNT(DISTINCT value) per key, skew-safe: phase 1 dedupes on
+    the COMPOSITE (key, value) — a hot key's values spread across the
+    whole cluster instead of funneling into one reducer — phase 2 counts
+    per key (map-side combinable). Same result as the single-phase
+    ``countDistinct``, whose final aggregation must co-locate every
+    distinct value of a hot key on one task.
+    """
+    return (
+        df.select(F.col(key_col), F.col(value_col))
+        .distinct()
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias(out_col))
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-label embedding centroid → (label, n, centroid array<double>).
+
+    posexplode → per-(label, dim) mean → re-assemble in dim order. Sums
+    run in DECIMAL(38,18) so the result is independent of accumulation
+    order (float sums are not — every engine/partitioning would disagree
+    in the last ulps); the decimal sum is ROUNDed to 8 digits BEFORE the
+    double cast (decimal→double is not correctly rounded above 2^53
+    unscaled in some engines — NOTES.md) and the mean divides in double.
+    The classic class-prototype builder for few-shot label propagation /
+    centroid classifiers over an embedding table.
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.round(
+            F.round(F.sum(F.col("x").cast("decimal(38,18)")), 8).cast("double")
+            / F.count(F.lit(1)),
+            round_digits,
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid"),
+        )
+    )

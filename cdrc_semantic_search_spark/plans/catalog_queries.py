@@ -1665,6 +1665,71 @@ def pack_token_bins(spark, sf_dir):
 
 
 @register(
+    "emb_label_centroids",
+    """
+    WITH ex AS (
+        SELECT label,
+               UNNEST(range(len(embedding))) AS dim,
+               UNNEST(embedding) AS x
+        FROM embeddings
+    ),
+    per AS (
+        SELECT label, dim,
+               ROUND(CAST(ROUND(SUM(CAST(x AS DECIMAL(38,18))), 8) AS DOUBLE)
+                     / COUNT(*), 6) AS m,
+               COUNT(*) AS n
+        FROM ex GROUP BY label, dim
+    )
+    SELECT CAST(label AS INTEGER) AS label, CAST(MAX(n) AS BIGINT) AS n,
+           array_to_string(list(CAST(CAST(m AS DECIMAL(12,6)) AS VARCHAR) ORDER BY dim), ',') AS centroid
+    FROM per GROUP BY label
+    """,
+)
+def emb_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (operators/rollup.label_centroids):
+    the class-prototype builder for centroid classifiers / few-shot label
+    propagation. Sums run in DECIMAL(38,18) so the mean is accumulation-
+    order-independent — the only way a float reduction can hash-match
+    across engines AND partitionings; centroid renders as a fixed-point
+    decimal string (double→string formatting differs between engines,
+    DECIMAL(12,6)→string does not; arrays can't be driver-hashed)."""
+    from cdrc_semantic_search_spark.operators.rollup import label_centroids
+
+    e = load(spark, sf_dir, "embeddings")
+    out = label_centroids(e, "label", "embedding", round_digits=6)
+    return out.select(
+        "label",
+        "n",
+        F.array_join(
+            F.transform(
+                F.col("centroid"), lambda m: m.cast("decimal(12,6)").cast("string")
+            ),
+            ",",
+        ).alias("centroid"),
+    )
+
+
+@register(
+    "skew2_distinct_two_phase",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def skew2_distinct_two_phase(spark, sf_dir):
+    """Skew-safe exact distinct count (operators/rollup.
+    distinct_count_two_phase): phase 1 dedupes on the composite
+    (event_type, user_id) — a hot event type's users spread across the
+    cluster instead of funneling into one reducer — phase 2 counts per
+    type. Result identical to single-phase COUNT(DISTINCT) (the oracle),
+    which must co-locate every distinct value of a hot key on one task."""
+    from cdrc_semantic_search_spark.operators.rollup import distinct_count_two_phase
+
+    ev = load(spark, sf_dir, "events")
+    return distinct_count_two_phase(ev, "event_type", "user_id")
+
+
+@register(
     "merge_upsert_docs",
     """
     WITH t AS (SELECT doc_id, source, n_chars FROM documents),

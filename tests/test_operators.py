@@ -433,6 +433,42 @@ def test_bm25_ranking_properties(spark):
     assert bm25_scores(docs, ["data"]) is not None
 
 
+def test_distinct_count_two_phase_equals_count_distinct(spark):
+    from cdrc_semantic_search_spark.operators.rollup import distinct_count_two_phase
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 1), ("b", 3), ("a", 2)],
+        "k string, v long",
+    )
+    got = {r.k: r.n_distinct for r in distinct_count_two_phase(df, "k", "v").collect()}
+    want = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert got == want == {"a": 2, "b": 2}
+
+
+def test_label_centroids_mean_and_order(spark):
+    """Centroid = exact per-dimension mean, dims in order, n = group size;
+    result invariant under repartitioning (decimal sums)."""
+    from cdrc_semantic_search_spark.operators.rollup import label_centroids
+
+    rows = [
+        (0, [1.0, 2.0]),
+        (0, [3.0, 6.0]),
+        (1, [10.0, -4.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {r.label: (r.n, list(r.centroid)) for r in label_centroids(df, "label", "embedding").collect()}
+    assert got[0] == (2, [2.0, 4.0])
+    assert got[1] == (1, [10.0, -4.0])
+    re_got = {
+        r.label: list(r.centroid)
+        for r in label_centroids(df.repartition(7), "label", "embedding").collect()
+    }
+    assert re_got == {k: v for k, (_, v) in got.items()}
+
+
 def test_cross_split_contamination(spark):
     """A train doc sharing a 3-gram with any holdout doc is flagged with
     the right shared-shingle count; clean train docs and holdout docs
