@@ -1998,6 +1998,30 @@ def kg_edges_fixture(spark, sf_dir):
     return pipe.kg_edges(pipe.triples(tdf)).drop("first_ts", "last_ts")
 
 
+# same oracle as kg_edges_fixture ON PURPOSE: incremental maintenance must
+# reproduce the full rebuild bit-for-bit
+@register("kg_edges_incremental", value_oracles.lazy("kg_edges_fixture"))
+def kg_edges_incremental(spark, sf_dir):
+    """Incremental edge maintenance (KGPipeline.merge_edge_deltas): the
+    fixture's conversations split into two batches, each rolled up
+    separately, then MERGED — must hash EQUAL to the full-rebuild oracle
+    (merge(kg_edges(A), kg_edges(B)) ≡ kg_edges(A ∪ B)), which is the
+    invariant per-partition ledger commits rely on at 10^12 turns."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities, Settings())
+    triples = pipe.triples(tdf).persist()  # both batch filters read it
+    batch_a = pipe.kg_edges(triples.filter(F.col("conv_id") < "conv_000020"))
+    batch_b = pipe.kg_edges(triples.filter(F.col("conv_id") >= "conv_000020"))
+    return KGPipeline.merge_edge_deltas(batch_a, batch_b).drop(
+        "first_ts", "last_ts"
+    )
+
+
 # =====================================================================
 # §2.10 incremental / event-time
 # =====================================================================

@@ -130,6 +130,48 @@ class KGPipeline:
             )
         )
 
+    @staticmethod
+    def merge_edge_deltas(existing: DataFrame, delta: DataFrame) -> DataFrame:
+        """Incremental kg_edges maintenance: fold a new batch's edge
+        rollup into the existing edge table WITHOUT rebuilding from all
+        triples — weights add, activity spans extend (least/greatest).
+
+        merge(kg_edges(A), kg_edges(B)) ≡ kg_edges(A ∪ B) — the algebra
+        every micro-batch/ledger-partition commit relies on at 10^12
+        turns, where a full rebuild per batch is impossible. One
+        full-outer join on the edge key; at scale both sides are
+        bucket-partitioned on (subj, pred, obj) so the join co-locates.
+        Verified by the kg_edges_incremental query hashing EQUAL to the
+        full-rebuild oracle.
+        """
+        key = ["subj_entity_id", "pred", "obj_entity_id"]
+        a = existing.select(
+            *key,
+            F.col("weight").alias("w_a"),
+            F.col("first_ts").alias("f_a"),
+            F.col("last_ts").alias("l_a"),
+        )
+        b = delta.select(
+            *key,
+            F.col("weight").alias("w_b"),
+            F.col("first_ts").alias("f_b"),
+            F.col("last_ts").alias("l_b"),
+        )
+        return a.join(b, key, "full_outer").select(
+            *key,
+            (
+                F.coalesce(F.col("w_a"), F.lit(0)) + F.coalesce(F.col("w_b"), F.lit(0))
+            ).cast("long").alias("weight"),
+            # least/greatest return NULL only if BOTH sides are NULL, which
+            # the full-outer join excludes; a one-sided edge keeps its span
+            F.least(
+                F.coalesce("f_a", "f_b"), F.coalesce("f_b", "f_a")
+            ).alias("first_ts"),
+            F.greatest(
+                F.coalesce("l_a", "l_b"), F.coalesce("l_b", "l_a")
+            ).alias("last_ts"),
+        )
+
     def kg_nodes(self, mentions: DataFrame) -> DataFrame:
         """Node table: entity dim enriched with mention counts.
 

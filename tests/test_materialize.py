@@ -66,3 +66,50 @@ def test_surface_clusters_group_typo_variants(spark, fixture, spark_fixture):
     # same canonical name cluster together)
     sizes = sc.groupby("canonical_surface").size()
     assert (sizes > 1).any()
+
+
+def test_merge_edge_deltas_weights_and_spans(spark):
+    """merge(kg_edges(A), kg_edges(B)) ≡ kg_edges(A ∪ B): weights add and
+    activity spans extend; one-sided edges survive untouched."""
+    from datetime import datetime
+
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    def ts(d):
+        return datetime(2026, 1, d)
+
+    cols = "subj_entity_id string, pred string, obj_entity_id string, ts timestamp"
+    a = spark.createDataFrame(
+        [("E1", "p", "E2", ts(1)), ("E1", "p", "E2", ts(3)), ("E3", "q", "E4", ts(5))],
+        cols,
+    )
+    b = spark.createDataFrame(
+        [("E1", "p", "E2", ts(2)), ("E5", "r", "E6", ts(9))], cols
+    )
+    pipe_edges = KGPipeline.merge_edge_deltas  # static
+    ea, eb = (
+        x.groupBy("subj_entity_id", "pred", "obj_entity_id").agg(
+            F.count(F.lit(1)).cast("long").alias("weight"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        for x in (a, b)
+    )
+    merged = {
+        (r.subj_entity_id, r.pred, r.obj_entity_id): (r.weight, r.first_ts, r.last_ts)
+        for r in pipe_edges(ea, eb).collect()
+    }
+    full = {
+        (r.subj_entity_id, r.pred, r.obj_entity_id): (r.weight, r.first_ts, r.last_ts)
+        for r in a.unionByName(b)
+        .groupBy("subj_entity_id", "pred", "obj_entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("weight"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert merged == full
+    assert merged[("E1", "p", "E2")][0] == 3  # 2 + 1
+    assert merged[("E3", "q", "E4")] == (1, ts(5), ts(5))  # A-only edge intact
