@@ -2022,6 +2022,42 @@ def kg_edges_incremental(spark, sf_dir):
     )
 
 
+@register("kg_nodes_fixture", value_oracles.lazy("kg_nodes_fixture"))
+def kg_nodes_fixture(spark, sf_dir):
+    """Node table over the deterministic fixture (KGPipeline.kg_nodes):
+    entity dim enriched with linked-mention counts; oracle is the
+    single-process extract+link twin (plans/value_oracles.py)."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities, Settings())
+    return pipe.kg_nodes(pipe.mentions(tdf))
+
+
+# same oracle as kg_nodes_fixture ON PURPOSE (see kg_edges_incremental)
+@register("kg_nodes_incremental", value_oracles.lazy("kg_nodes_fixture"))
+def kg_nodes_incremental(spark, sf_dir):
+    """Incremental node maintenance (KGPipeline.merge_node_deltas): the
+    fixture's conversations split into two batches, each counted
+    separately, then MERGED — must hash EQUAL to the full-rebuild
+    oracle.  Note both batches carry the full dim with zero counts for
+    unseen entities, so the merge must not double anything."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities, Settings())
+    mentions = pipe.mentions(tdf).persist()  # both batch filters read it
+    batch_a = pipe.kg_nodes(mentions.filter(F.col("conv_id") < "conv_000020"))
+    batch_b = pipe.kg_nodes(mentions.filter(F.col("conv_id") >= "conv_000020"))
+    return KGPipeline.merge_node_deltas(batch_a, batch_b)
+
+
 # =====================================================================
 # §2.10 incremental / event-time
 # =====================================================================

@@ -172,6 +172,37 @@ class KGPipeline:
             ).alias("last_ts"),
         )
 
+    @staticmethod
+    def merge_node_deltas(existing: DataFrame, delta: DataFrame) -> DataFrame:
+        """Incremental kg_nodes maintenance: mention counts add; the dim
+        attributes (canonical_name, entity_type) are batch-invariant so
+        either side's copy wins.  merge(kg_nodes(A), kg_nodes(B)) ≡
+        kg_nodes(A ∪ B) — same per-partition commit algebra as
+        merge_edge_deltas.  One full-outer join on entity_id; node tables
+        are ≤|catalogue| rows, so at scale this join is broadcast-sized
+        no matter how large the fact table grows."""
+        key = "entity_id"
+        a = existing.select(
+            key,
+            F.col("canonical_name").alias("cn_a"),
+            F.col("entity_type").alias("et_a"),
+            F.col("n_mentions").alias("m_a"),
+        )
+        b = delta.select(
+            key,
+            F.col("canonical_name").alias("cn_b"),
+            F.col("entity_type").alias("et_b"),
+            F.col("n_mentions").alias("m_b"),
+        )
+        return a.join(b, key, "full_outer").select(
+            key,
+            F.coalesce("cn_a", "cn_b").alias("canonical_name"),
+            F.coalesce("et_a", "et_b").alias("entity_type"),
+            (
+                F.coalesce(F.col("m_a"), F.lit(0)) + F.coalesce(F.col("m_b"), F.lit(0))
+            ).cast("long").alias("n_mentions"),
+        )
+
     def kg_nodes(self, mentions: DataFrame) -> DataFrame:
         """Node table: entity dim enriched with mention counts.
 

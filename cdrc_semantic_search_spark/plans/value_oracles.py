@@ -417,6 +417,56 @@ def _fixture_triples():
     return oracle_triples(fx.transcripts, fx.entities, Settings())
 
 
+@_register("kg_nodes_fixture")
+def _kg_nodes_values() -> str:
+    """Node-table twin: single-process mention extraction + linking over
+    the deterministic fixture, counted per entity and left-joined onto the
+    full entity dim (unmentioned entities keep n_mentions = 0) — the same
+    kernels (extract_turn, _link) that ARE the linking specification,
+    applied one turn at a time outside Spark."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.operators.extraction_core import (
+        AliasMatcher,
+        extract_turn,
+    )
+    from cdrc_semantic_search_spark.operators.linking import build_entity_index
+    from cdrc_semantic_search_spark.oracle import _link
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    settings = Settings()
+    matcher = AliasMatcher(
+        [
+            (r.entity_id, [r.canonical_name, *list(r.aliases)])
+            for r in fx.entities.itertuples()
+        ]
+    )
+    index = build_entity_index(fx.entities, settings)
+    counts: dict[str, int] = {}
+    link_cache: dict[str, str | None] = {}
+    for r in fx.transcripts.itertuples():
+        mentions, _ = extract_turn(r.text or "", matcher)
+        for m in mentions:
+            if m.surface not in link_cache:
+                link_cache[m.surface] = _link(m.surface, index, settings)[0]
+            eid = link_cache[m.surface]
+            if eid is not None:
+                counts[eid] = counts.get(eid, 0) + 1
+    rows = [
+        (r.entity_id, r.canonical_name, r.entity_type, counts.get(r.entity_id, 0))
+        for r in fx.entities.itertuples()
+    ]
+    return values_sql(
+        rows,
+        [
+            ("entity_id", "VARCHAR"),
+            ("canonical_name", "VARCHAR"),
+            ("entity_type", "VARCHAR"),
+            ("n_mentions", "BIGINT"),
+        ],
+    )
+
+
 @_register("kg_triples_fixture")
 def _kg_triples_values() -> str:
     """The KG capstone's oracle: the single-process pure-pandas pipeline

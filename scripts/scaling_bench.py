@@ -29,11 +29,39 @@ import json
 import statistics
 import subprocess
 import sys
+import time
 from datetime import datetime, timezone
 
 N_CONV = 160_000  # ~4.9M turns with the hot-conversation mix
 PINS_N = ["0-3", "4-7", "8-11", "12-15"]
 PIN_4N = "0-15"
+
+# Co-tenant noise on this shared host has been measured at up to 2× on
+# identical code (NOTES.md) — one noisy window once recorded a spurious
+# 0.799 FAIL.  Refuse to burn a 15-minute measurement into BENCH.md when
+# the host is visibly busy at start; override with --force.
+QUIET_BUSY_CORES = 2.0
+QUIET_SAMPLE_SEC = 8.0
+
+
+def host_busy_cores(sample_sec: float = QUIET_SAMPLE_SEC) -> float:
+    """Host-wide busy cores over a sample window, from /proc/stat."""
+
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        idle = vals[3] + vals[4]  # idle + iowait
+        return sum(vals), idle
+
+    t0, i0 = snap()
+    time.sleep(sample_sec)
+    t1, i1 = snap()
+    total, idle = t1 - t0, i1 - i0
+    import os
+
+    ncpu = os.cpu_count() or 32
+    return ncpu * (1.0 - idle / total) if total else 0.0
 
 
 def spawn(pin: str, cores: int) -> subprocess.Popen:
@@ -50,6 +78,17 @@ def spawn(pin: str, cores: int) -> subprocess.Popen:
 
 
 def main() -> None:
+    if "--force" not in sys.argv:
+        busy = host_busy_cores()
+        if busy > QUIET_BUSY_CORES:
+            sys.exit(
+                f"host not quiet: {busy:.1f} cores busy over "
+                f"{QUIET_SAMPLE_SEC:.0f}s (threshold {QUIET_BUSY_CORES}); "
+                "co-tenant noise would contaminate the measurement. "
+                "Re-run when idle, or pass --force."
+            )
+        print(f"preflight: host quiet ({busy:.1f} cores busy)", file=sys.stderr)
+
     # materialize the shared fixture once (any worker run creates it)
     subprocess.run(
         [sys.executable, "scripts/scaling_worker.py", "16", str(N_CONV)],

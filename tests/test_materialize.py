@@ -113,3 +113,26 @@ def test_merge_edge_deltas_weights_and_spans(spark):
     assert merged == full
     assert merged[("E1", "p", "E2")][0] == 3  # 2 + 1
     assert merged[("E3", "q", "E4")] == (1, ts(5), ts(5))  # A-only edge intact
+
+
+def test_merge_node_deltas_counts_add_and_dim_survives(spark):
+    """merge(kg_nodes(A), kg_nodes(B)): mention counts add; dim attributes
+    survive from whichever side has the row; zero-count rows don't vanish."""
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    cols = "entity_id string, canonical_name string, entity_type string, n_mentions long"
+    a = spark.createDataFrame(
+        [("E1", "Leeds", "place", 5), ("E2", "Python", "tool", 0)], cols
+    )
+    b = spark.createDataFrame(
+        [("E1", "Leeds", "place", 2), ("E3", "Footfall", "dataset", 7)], cols
+    )
+    got = {
+        r.entity_id: (r.canonical_name, r.entity_type, r.n_mentions)
+        for r in KGPipeline.merge_node_deltas(a, b).collect()
+    }
+    assert got == {
+        "E1": ("Leeds", "place", 7),
+        "E2": ("Python", "tool", 0),
+        "E3": ("Footfall", "dataset", 7),
+    }
