@@ -2058,6 +2058,32 @@ def kg_nodes_incremental(spark, sf_dir):
     return KGPipeline.merge_node_deltas(batch_a, batch_b)
 
 
+# same oracle as kg_edges_fixture ON PURPOSE: the ledgered path must
+# reproduce the full rebuild
+@register("kg_edges_ledgered", value_oracles.lazy("kg_edges_fixture"))
+def kg_edges_ledgered(spark, sf_dir):
+    """End-to-end resumable materialization: run_partitioned(with_graph)
+    commits per-bucket triples + edge/node DELTAS through the ledger into
+    a fresh temp catalog, then compacted_edges() recovers the edge table
+    merge-on-read — must hash EQUAL to the full-rebuild oracle.  This is
+    the log-structured commit path 10^12-turn runs use: no
+    read-modify-write, every bucket an idempotent partition overwrite."""
+    import tempfile
+
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import PipelineSettings, Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+    from cdrc_semantic_search_spark.sources.catalog import ParquetTableCatalog
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    settings = Settings(pipeline=PipelineSettings(num_buckets=4))
+    pipe = KGPipeline(spark, fx.entities, settings)
+    catalog = ParquetTableCatalog(tempfile.mkdtemp(prefix="kg_ledger_"))
+    pipe.run_partitioned(tdf, catalog, source_snapshot="seed42", with_graph=True)
+    return KGPipeline.compacted_edges(spark, catalog).drop("first_ts", "last_ts")
+
+
 # =====================================================================
 # §2.10 incremental / event-time
 # =====================================================================

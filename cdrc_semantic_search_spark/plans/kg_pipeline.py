@@ -296,41 +296,111 @@ class KGPipeline:
         catalog: ParquetTableCatalog,
         source_snapshot: str = "fixture",
         resume: bool = True,
+        with_graph: bool = False,
     ) -> list[str]:
         """Per-bucket extraction with ledger commits; returns buckets run.
 
         Resume semantics (north_rule): buckets already in the ledger are
         skipped; a killed run leaves no partial partition visible
         (data-then-marker ordering in the catalog).
+
+        ``with_graph=True`` additionally commits per-bucket EDGE and NODE
+        DELTAS (``edge_deltas`` / ``node_deltas`` tables, same bucket key)
+        — the log-structured form of graph materialization: nothing is
+        read-modify-written, each bucket's rollup is an independent
+        idempotent partition overwrite, and the full graph is recovered
+        merge-on-read by :meth:`compacted_edges` / :meth:`compacted_nodes`
+        because merge(f(A), f(B)) ≡ f(A ∪ B) (see merge_edge_deltas).
+        A crash between the triples commit and its delta commits leaves
+        that bucket in the resume set; re-running overwrites the deltas
+        in place, so edges are never double-counted.  The edge delta is
+        derived by reading BACK the committed triples partition (not by
+        re-running extraction), so delta lineage is exactly the committed
+        bytes; the node delta re-extracts mentions for its bucket — at
+        production scale the two extractions fuse into one pass.
         """
         nb = self.settings.pipeline.num_buckets
         bucket = F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
         all_parts = [str(i) for i in range(nb)]
-        todo = catalog.uncommitted("triples", all_parts) if resume else all_parts
+        tables = ("triples", "edge_deltas", "node_deltas") if with_graph else ("triples",)
+        todo_by_table = {
+            t: set(catalog.uncommitted(t, all_parts) if resume else all_parts)
+            for t in tables
+        }
+        todo = [p for p in all_parts if any(p in todo_by_table[t] for t in tables)]
         with_bucket = transcripts.withColumn("__bucket", bucket)
         ran = []
         from pyspark.sql import Observation
 
         for part in todo:
             sub = with_bucket.filter(F.col("__bucket") == int(part)).drop("__bucket")
-            n_turns = sub.count()
-            # Observation rides the write actions — score/link-quality
-            # lineage lands in the ledger with NO extra job (A6 analog)
-            obs = Observation(f"triples_part_{part}")
-            tri = self.triples(sub).observe(
-                obs,
-                F.count(F.lit(1)).alias("triple_count"),
-                F.round(F.avg("score"), 6).alias("avg_link_score"),
-                F.round(F.min("score"), 6).alias("min_link_score"),
-            )
-            # ledger row_count == triple_count; lineage carries the turn count
-            catalog.overwrite_partition(
-                tri,
-                "triples",
-                part,
-                source_snapshot=source_snapshot,
-                metrics={"turn_count": n_turns},
-                metrics_fn=lambda o=obs: o.get,
-            )
+            if part in todo_by_table["triples"]:
+                n_turns = sub.count()
+                # Observation rides the write actions — score/link-quality
+                # lineage lands in the ledger with NO extra job (A6 analog)
+                obs = Observation(f"triples_part_{part}")
+                tri = self.triples(sub).observe(
+                    obs,
+                    F.count(F.lit(1)).alias("triple_count"),
+                    F.round(F.avg("score"), 6).alias("avg_link_score"),
+                    F.round(F.min("score"), 6).alias("min_link_score"),
+                )
+                # ledger row_count == triple_count; lineage carries the turn count
+                catalog.overwrite_partition(
+                    tri,
+                    "triples",
+                    part,
+                    source_snapshot=source_snapshot,
+                    metrics={"turn_count": n_turns},
+                    metrics_fn=lambda o=obs: o.get,
+                )
+            if with_graph and part in todo_by_table["edge_deltas"]:
+                tri_c = catalog.read_partition(self.spark, "triples", part)
+                catalog.overwrite_partition(
+                    self.kg_edges(tri_c),
+                    "edge_deltas",
+                    part,
+                    source_snapshot=source_snapshot,
+                    metrics={"derived_from": f"triples/{part}"},
+                )
+            if with_graph and part in todo_by_table["node_deltas"]:
+                catalog.overwrite_partition(
+                    self.kg_nodes(self.mentions(sub)),
+                    "node_deltas",
+                    part,
+                    source_snapshot=source_snapshot,
+                )
             ran.append(part)
         return ran
+
+    @staticmethod
+    def compacted_edges(spark: SparkSession, catalog: ParquetTableCatalog) -> DataFrame:
+        """Merge-on-read edge table over all committed edge deltas — one
+        aggregation on the edge key (weights sum, spans extend); equals the
+        full rebuild by the merge algebra.  Periodic compaction =
+        create_or_replace this frame as ``kg_edges``."""
+        return (
+            catalog.read_committed(spark, "edge_deltas")
+            .groupBy("subj_entity_id", "pred", "obj_entity_id")
+            .agg(
+                F.sum("weight").cast("long").alias("weight"),
+                F.min("first_ts").alias("first_ts"),
+                F.max("last_ts").alias("last_ts"),
+            )
+        )
+
+    @staticmethod
+    def compacted_nodes(spark: SparkSession, catalog: ParquetTableCatalog) -> DataFrame:
+        """Merge-on-read node table: counts sum; dim attributes are
+        identical in every delta (each carries the full dim), so max is a
+        deterministic pick."""
+        return (
+            catalog.read_committed(spark, "node_deltas")
+            .groupBy("entity_id")
+            .agg(
+                F.max("canonical_name").alias("canonical_name"),
+                F.max("entity_type").alias("entity_type"),
+                F.sum("n_mentions").cast("long").alias("n_mentions"),
+            )
+            .select("entity_id", "canonical_name", "entity_type", "n_mentions")
+        )

@@ -105,6 +105,12 @@ class ParquetTableCatalog:
     def read_table(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(self.table_path(name))
 
+    def read_partition(self, spark: SparkSession, name: str, partition: str) -> DataFrame:
+        """One partition's data, committed or not (caller checks the ledger
+        when commit visibility matters — e.g. deriving downstream deltas
+        from exactly the bytes a previous commit wrote)."""
+        return spark.read.parquet(self._partition_path(name, partition))
+
     def read_committed(self, spark: SparkSession, name: str) -> DataFrame:
         """Union of committed partitions only (uncommitted data invisible)."""
         parts = sorted(self.committed_partitions(name))

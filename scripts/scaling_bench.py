@@ -147,6 +147,14 @@ transcript fixture (seed 42, {N_CONV:,} conversations,
   allocation.
 * One scan task per file (openCostInBytes == maxPartitionBytes) so the
   64-task count divides both sizes — no partial final wave.
+* Task slots = 1.25 × cores at EVERY level (same per-job conf for both
+  cluster sizes): the fused stage is python-worker-bound, so the JVM
+  task thread mostly waits on the Arrow round trip and 1 slot/core
+  leaves cores idle in scheduling gaps and stage tails.  Measured on
+  this host: 16 pinned CPUs went 400-430k (local[16]) → ~510k turns/s
+  (local[20]); the 4-core level pays a small thrash cost (137k →
+  ~130k/cluster).  Real deployments express the same thing as executor
+  task slots > physical cores for UDF-heavy stages.
 * Per process: full warmup pass (python worker pool + codegen), then
   best of 5 timed steady-state runs.
 
@@ -173,13 +181,21 @@ results are parallelism-independent (asserted in tests/test_resume.py).
 * Each pinned N cluster's driver burns ~a core of its own 4-CPU set
   (~25%) vs ~6% for the single 4N driver; real clusters host drivers
   off-node for both sizes, so mild superlinearity (>1.0) is this
-  simulation's known bias and the pure-compute ceiling (~0.93, below)
-  bounds it from the other side.
+  simulation's known bias and the saturated pure-compute ceiling
+  (below) bounds it from the other side.
 
 ## Cross-checks
 
-* Pure-python extraction (multiprocessing, no Spark) scales at ~0.93
-  from 4 → 16 pinned processes on this host — the hardware ceiling.
+* Pure-python extraction at full host saturation (4 CONCURRENT pinned
+  4-process groups, multiprocessing, no Spark) totals ~590k turns/s on
+  16 CPUs on this host — the hardware ceiling the 4N level is measured
+  against.  (A single 16-process pool measures lower, ~420-460k, but
+  that is an artifact of its one parent feeding 16 IPC pipes serially —
+  not used.)
+* Python-side CPU per turn is parallelism-INDEPENDENT (measured 28.3
+  µs/turn at a saturated 4-core cluster vs 29.4 µs/turn at 16) — the
+  engine does not do more work per row at higher parallelism; any
+  efficiency loss is idle cores, which the slot factor reclaims.
 * Plan shape: the fact table never shuffles (extraction+linking is one
   mapInArrow stage against broadcast state); per-executor state (alias
   automaton + entity index) is broadcast once per process; the only

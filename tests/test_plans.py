@@ -142,3 +142,39 @@ def test_lsh_candidate_exchange_carries_ids_only(spark):
         assert "vec_a" not in m.group(0) and "vec_b" not in m.group(0)
     # the dedup exchange is on the bare id pair
     assert re.search(r"Exchange hashpartitioning\(id_a[^\n]*id_b", plan)
+
+
+def test_bucketed_table_join_skips_exchange(spark):
+    """Bucketed writes are the repeated-self-join scale lever: two scans of
+    a table bucketed+sorted on the join key sort-merge-join with ZERO
+    Exchange (co-located by bucket id), while the plain parquet twin pays
+    a shuffle per side.  At 100 TB this converts every recurring
+    doc_id-keyed join (dedup re-checks, enrich passes, delta merges) from
+    a full-table shuffle into a local merge."""
+    name = "plans_docs_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    (
+        docs.write.mode("overwrite")
+        .bucketBy(8, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t1 = spark.table(name)
+        t2 = spark.table(name).select("doc_id", F.col("n_chars").alias("nc2"))
+        bucketed = plan_of(t1.join(t2, "doc_id"))
+        assert "Exchange" not in bucketed, bucketed
+        assert "SortMergeJoin" in bucketed
+
+        raw2 = docs.select("doc_id", F.col("n_chars").alias("nc2"))
+        plain = plan_of(docs.join(raw2, "doc_id"))
+        assert "Exchange" in plain  # the shuffle bucketing removes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

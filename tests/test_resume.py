@@ -65,6 +65,48 @@ def test_rerun_overwrite_not_append(spark, fixture, spark_fixture, tmp_path):
     assert cat.read_committed(spark, "triples").count() == n1
 
 
+def test_graph_deltas_resume_no_double_count(spark, fixture, spark_fixture, tmp_path):
+    """with_graph=True commits per-bucket edge/node deltas; a crash AFTER
+    the triples commit but BEFORE the delta commits must resume that
+    bucket's deltas only, and the merge-on-read graph must equal the full
+    rebuild (no double counting on re-run)."""
+    import os
+
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, _settings(4))
+    cat = ParquetTableCatalog(str(tmp_path / "catg"))
+    pipe.run_partitioned(tdf, cat, with_graph=True)
+
+    assert cat.committed_partitions("edge_deltas") == {"0", "1", "2", "3"}
+    assert cat.committed_partitions("node_deltas") == {"0", "1", "2", "3"}
+
+    # simulate a crash that lost bucket 1's delta commits (triples intact)
+    os.remove(cat._marker_path("edge_deltas", "1"))
+    os.remove(cat._marker_path("node_deltas", "1"))
+    ran = pipe.run_partitioned(tdf, cat, with_graph=True)
+    assert ran == ["1"]  # only the torn bucket, only its missing tables
+
+    edges = {
+        (r.subj_entity_id, r.pred, r.obj_entity_id): (r.weight, r.first_ts, r.last_ts)
+        for r in KGPipeline.compacted_edges(spark, cat).collect()
+    }
+    want = {
+        (r.subj_entity_id, r.pred, r.obj_entity_id): (r.weight, r.first_ts, r.last_ts)
+        for r in pipe.kg_edges(pipe.triples(tdf)).collect()
+    }
+    assert edges == want
+
+    nodes = {
+        r.entity_id: (r.canonical_name, r.entity_type, r.n_mentions)
+        for r in KGPipeline.compacted_nodes(spark, cat).collect()
+    }
+    want_nodes = {
+        r.entity_id: (r.canonical_name, r.entity_type, r.n_mentions)
+        for r in pipe.kg_nodes(pipe.mentions(tdf)).collect()
+    }
+    assert nodes == want_nodes
+
+
 def test_triples_deterministic_under_repartition(spark, fixture, spark_fixture):
     """Same triple set regardless of physical partitioning (partition-order
     independence — the determinism half of SURVEY §5.5)."""
