@@ -2014,7 +2014,10 @@ def kg_edges_incremental(spark, sf_dir):
     fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
     tdf, _ = fixtures.to_spark(spark, fx)
     pipe = KGPipeline(spark, fx.entities, Settings())
-    triples = pipe.triples(tdf).persist()  # both batch filters read it
+    # no persist: the harness collects after return, so a cached frame
+    # could never be unpersisted; at fixture scale recomputing the two
+    # batch filters is cheaper than pinning blocks for the whole run
+    triples = pipe.triples(tdf)
     batch_a = pipe.kg_edges(triples.filter(F.col("conv_id") < "conv_000020"))
     batch_b = pipe.kg_edges(triples.filter(F.col("conv_id") >= "conv_000020"))
     return KGPipeline.merge_edge_deltas(batch_a, batch_b).drop(
@@ -2052,7 +2055,7 @@ def kg_nodes_incremental(spark, sf_dir):
     fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
     tdf, _ = fixtures.to_spark(spark, fx)
     pipe = KGPipeline(spark, fx.entities, Settings())
-    mentions = pipe.mentions(tdf).persist()  # both batch filters read it
+    mentions = pipe.mentions(tdf)  # no persist — see kg_edges_incremental
     batch_a = pipe.kg_nodes(mentions.filter(F.col("conv_id") < "conv_000020"))
     batch_b = pipe.kg_nodes(mentions.filter(F.col("conv_id") >= "conv_000020"))
     return KGPipeline.merge_node_deltas(batch_a, batch_b)
@@ -2068,6 +2071,7 @@ def kg_edges_ledgered(spark, sf_dir):
     merge-on-read — must hash EQUAL to the full-rebuild oracle.  This is
     the log-structured commit path 10^12-turn runs use: no
     read-modify-write, every bucket an idempotent partition overwrite."""
+    import os
     import tempfile
 
     from cdrc_semantic_search_spark import fixtures
@@ -2079,7 +2083,13 @@ def kg_edges_ledgered(spark, sf_dir):
     tdf, _ = fixtures.to_spark(spark, fx)
     settings = Settings(pipeline=PipelineSettings(num_buckets=4))
     pipe = KGPipeline(spark, fx.entities, settings)
-    catalog = ParquetTableCatalog(tempfile.mkdtemp(prefix="kg_ledger_"))
+    # fixed per-user path, not mkdtemp: repeated harness evaluations reuse
+    # the committed catalog (the ledger makes the second run a no-op
+    # resume) instead of leaking a fresh directory per call
+    root = os.path.join(
+        tempfile.gettempdir(), f"kg_ledger_fixture_{os.getuid()}"
+    )
+    catalog = ParquetTableCatalog(root)
     pipe.run_partitioned(tdf, catalog, source_snapshot="seed42", with_graph=True)
     return KGPipeline.compacted_edges(spark, catalog).drop("first_ts", "last_ts")
 

@@ -318,6 +318,14 @@ class KGPipeline:
         re-running extraction), so delta lineage is exactly the committed
         bytes; the node delta re-extracts mentions for its bucket — at
         production scale the two extractions fuse into one pass.
+
+        Lineage consistency on resume: a bucket's deltas must derive from
+        triples of the SAME source_snapshot as the current run.  If the
+        bucket's triples were committed under a different snapshot (the
+        source moved between the crash and the resume), the triples are
+        recommitted first — otherwise edge deltas (read back from the old
+        bytes) and node deltas (re-extracted from the new transcripts)
+        would silently disagree.
         """
         nb = self.settings.pipeline.num_buckets
         bucket = F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
@@ -327,6 +335,17 @@ class KGPipeline:
             t: set(catalog.uncommitted(t, all_parts) if resume else all_parts)
             for t in tables
         }
+        if with_graph and resume:
+            stale = {
+                rec.partition
+                for rec in catalog.ledger("triples")
+                if rec.source_snapshot != source_snapshot
+                and (
+                    rec.partition in todo_by_table["edge_deltas"]
+                    or rec.partition in todo_by_table["node_deltas"]
+                )
+            }
+            todo_by_table["triples"] |= stale
         todo = [p for p in all_parts if any(p in todo_by_table[t] for t in tables)]
         with_bucket = transcripts.withColumn("__bucket", bucket)
         ran = []

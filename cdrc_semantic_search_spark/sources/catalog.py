@@ -83,8 +83,12 @@ class ParquetTableCatalog:
         the hook for ``Observation`` metrics collected during the write.
         """
         path = self._partition_path(name, partition)
-        row_count = df.count()
+        # write FIRST, then count the written files: counting the input
+        # DataFrame up front would execute the (possibly expensive) plan
+        # twice, while a count over freshly written parquet is satisfied
+        # from file metadata/footers
         df.write.mode("overwrite").parquet(path)
+        row_count = df.sparkSession.read.parquet(path).count()
         extra = dict(metrics_fn()) if metrics_fn is not None else {}
         rec = CommitRecord(
             table=name,

@@ -44,6 +44,10 @@ def main() -> None:
         # per-task slowdown at 16 threads on the N-sized heap)
         "spark.driver.memory": f"{2 * cores}g",
     }
+    # Task-slot factor (see the long comment below) — resolved up front so
+    # the executor-JVM probe modes apply the SAME oversubscription as the
+    # local[N] path (slots are advertised cores in local-cluster too).
+    slot_factor = float(os.environ.get("SLOT_FACTOR", "1.25"))
     exec_cores = int(os.environ.get("EXEC_CORES", "0"))
     if exec_cores:
         # SEPARATE executor JVMs of a fixed size (north_rule shape: "N and
@@ -53,8 +57,11 @@ def main() -> None:
         # profile no real multi-executor cluster has; local-cluster spawns
         # real per-executor JVMs with per-core heap parity.
         n_exec = max(cores // exec_cores, 1)
+        # advertised cores = slots: apply the same 1.25× factor per
+        # executor (heap stays sized by PHYSICAL cores for parity)
+        exec_slots = max(int(exec_cores * slot_factor), exec_cores)
         extra["spark.master"] = (
-            f"local-cluster[{n_exec},{exec_cores},{2048 * exec_cores}]"
+            f"local-cluster[{n_exec},{exec_slots},{2048 * exec_cores}]"
         )
         extra["spark.driver.memory"] = "4g"  # driver does no heavy lifting here
     elif os.environ.get("CLUSTER_MODE") == "1":
@@ -70,7 +77,6 @@ def main() -> None:
     # vs local[16] 400-430k; the N level moves 137k -> ~130k/cluster).
     # Real deployments express this as executor task slots > physical
     # cores for UDF-heavy stages.
-    slot_factor = float(os.environ.get("SLOT_FACTOR", "1.25"))
     slots = max(int(cores * slot_factor), cores)
     spark = get_spark(
         app_name=f"kg-scaling-{cores}",
@@ -116,7 +122,10 @@ def main() -> None:
         ).parquet(tmp)
         try:
             os.rename(tmp, data_dir)
-        except OSError:  # lost the race — another worker's corpus is in place
+        except OSError:
+            if not os.path.exists(data_dir):
+                raise  # a real rename failure (EXDEV/ENOSPC/...), not the race
+            # lost the race — another worker's corpus is already in place
             shutil.rmtree(tmp, ignore_errors=True)
     entities = fixtures._make_entities(seed, 500)
 

@@ -107,6 +107,28 @@ def test_graph_deltas_resume_no_double_count(spark, fixture, spark_fixture, tmp_
     assert nodes == want_nodes
 
 
+def test_graph_deltas_stale_snapshot_recommits_triples(
+    spark, fixture, spark_fixture, tmp_path
+):
+    """If a torn bucket's triples were committed under an OLDER source
+    snapshot, resuming its deltas under a new snapshot must recommit the
+    triples first — otherwise edge deltas (read back from old bytes) and
+    node deltas (re-extracted from new transcripts) would disagree."""
+    import os
+
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, _settings(4))
+    cat = ParquetTableCatalog(str(tmp_path / "cats"))
+    pipe.run_partitioned(tdf, cat, source_snapshot="v1", with_graph=True)
+
+    os.remove(cat._marker_path("edge_deltas", "2"))
+    ran = pipe.run_partitioned(tdf, cat, source_snapshot="v2", with_graph=True)
+    assert ran == ["2"]
+    recs = {r.partition: r for r in cat.ledger("triples")}
+    assert recs["2"].source_snapshot == "v2"  # recommitted for lineage
+    assert recs["0"].source_snapshot == "v1"  # consistent buckets untouched
+
+
 def test_triples_deterministic_under_repartition(spark, fixture, spark_fixture):
     """Same triple set regardless of physical partitioning (partition-order
     independence — the determinism half of SURVEY §5.5)."""
