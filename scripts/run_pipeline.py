@@ -8,7 +8,7 @@ Cluster usage (north_rule: spark-submit --py-files on multi-executor):
         --transcripts s3://bucket/transcripts/ \\
         --entities s3://bucket/entity_catalogue.parquet \\
         --output s3://bucket/kg/ \\
-        [--partitioned]  [--resume]
+        [--partitioned]  [--resume]  [--with-graph]
 
 Local smoke (no cluster): plain `python scripts/run_pipeline.py ...` —
 the session factory ships the package zip to executors itself.
@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="catalog root for kg tables")
     ap.add_argument("--partitioned", action="store_true", help="per-bucket commits")
     ap.add_argument("--resume", action="store_true", help="skip committed buckets")
+    ap.add_argument(
+        "--with-graph", action="store_true",
+        help="also commit per-bucket edge/node deltas (log-structured "
+        "graph maintenance; read via compacted_edges/compacted_nodes)",
+    )
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
@@ -54,6 +59,7 @@ def main() -> None:
         ran = pipe.run_partitioned(
             transcripts, catalog,
             source_snapshot=args.transcripts, resume=args.resume,
+            with_graph=args.with_graph,
         )
         out = {"mode": "partitioned", "buckets_run": ran}
     else:
