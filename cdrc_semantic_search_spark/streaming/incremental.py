@@ -49,26 +49,53 @@ def stream_triples(
     catalog: ParquetTableCatalog,
     checkpoint_dir: str,
     table: str = "stream_triples",
+    with_graph: bool = False,
 ) -> None:
     """Run extraction+linking per micro-batch; blocks until no files remain.
 
     Each micro-batch commits partition ``batch_id`` to the ledger with
     row/turn counts — re-delivered batches overwrite idempotently rather
     than append twice (exactly-once effect on the table).
+
+    ``with_graph=True`` additionally commits the batch's edge/node DELTAS
+    (same log-structured scheme as ``KGPipeline.run_partitioned``): the
+    merge algebra (merge(f(A), f(B)) ≡ f(A ∪ B)) makes the compacted
+    graph independent of how the stream happened to micro-batch the
+    turns, so ``compacted_edges``/``compacted_nodes`` over a streamed
+    catalog equal the one-shot batch rebuild (asserted in
+    tests/test_streaming.py).
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         n_turns = batch_df.count()
         if n_turns == 0:
             return
+        snapshot = f"stream:{os.path.basename(input_dir)}"
         tri = pipeline.triples(batch_df)
         catalog.overwrite_partition(
             tri,
             table,
             partition=str(batch_id),
-            source_snapshot=f"stream:{os.path.basename(input_dir)}",
+            source_snapshot=snapshot,
             metrics={"turn_count": n_turns},
         )
+        if with_graph:
+            tri_c = catalog.read_partition(
+                batch_df.sparkSession, table, str(batch_id)
+            )
+            catalog.overwrite_partition(
+                pipeline.kg_edges(tri_c),
+                "edge_deltas",
+                partition=str(batch_id),
+                source_snapshot=snapshot,
+                metrics={"derived_from": f"{table}/{batch_id}"},
+            )
+            catalog.overwrite_partition(
+                pipeline.kg_nodes(pipeline.mentions(batch_df)),
+                "node_deltas",
+                partition=str(batch_id),
+                source_snapshot=snapshot,
+            )
 
     q = (
         transcript_stream(spark, input_dir)

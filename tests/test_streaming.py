@@ -43,6 +43,42 @@ def test_stream_triples_matches_batch(spark, fixture, spark_fixture, transcript_
     assert cat.read_committed(spark, "stream_triples").count() == n_before
 
 
+def test_streamed_graph_deltas_equal_batch_rebuild(
+    spark, fixture, spark_fixture, transcript_dir, tmp_path
+):
+    """with_graph=True: per-micro-batch edge/node delta commits, compacted
+    merge-on-read, must equal the one-shot batch graph — the merge algebra
+    makes the result independent of micro-batch boundaries."""
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    cat = ParquetTableCatalog(str(tmp_path / "catg"))
+    incremental.stream_triples(
+        spark, pipe, transcript_dir, cat,
+        checkpoint_dir=str(tmp_path / "ckptg"), with_graph=True,
+    )
+    assert len(cat.ledger("edge_deltas")) >= 2  # multiple micro-batches
+
+    edges = {
+        (r.subj_entity_id, r.pred, r.obj_entity_id): (r.weight, r.first_ts, r.last_ts)
+        for r in KGPipeline.compacted_edges(spark, cat).collect()
+    }
+    want = {
+        (r.subj_entity_id, r.pred, r.obj_entity_id): (r.weight, r.first_ts, r.last_ts)
+        for r in pipe.kg_edges(pipe.triples(tdf)).collect()
+    }
+    assert edges == want
+
+    nodes = {
+        r.entity_id: r.n_mentions
+        for r in KGPipeline.compacted_nodes(spark, cat).collect()
+    }
+    want_nodes = {
+        r.entity_id: r.n_mentions
+        for r in pipe.kg_nodes(pipe.mentions(tdf)).collect()
+    }
+    assert nodes == want_nodes
+
+
 def test_stream_stream_join_bounded_state(spark, spark_fixture, transcript_dir, tmp_path):
     """Turns join their conversation's registration event within the lag
     bound; a registration far in the past joins nothing (the event-time
