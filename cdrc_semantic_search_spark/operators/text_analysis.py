@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdrc_semantic_search_spark.functions.text import tokens
 
@@ -152,3 +153,75 @@ def winnowing_fingerprints(text_col: Column, k: int = 5, window: int = 4) -> Col
     starts = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
     mins = F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, window)))
     return F.array_sort(F.array_distinct(mins))
+
+
+def bigram_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signal: the share of a document's bigrams
+    taken by its single most frequent bigram.
+
+    100-TB shape: explode → two aggregations, both keyed by (doc, bigram)
+    then doc — per-doc key spaces, so partial (map-side) aggregation does
+    most of the work and nothing global is built.  Division is one
+    int/int double op, bit-identical across engines (no rounding needed
+    for the oracle hash).
+
+    → (id_col, n_tokens, top_bigram_share) with share NULL when a doc has
+    fewer than 2 tokens.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("n_tokens"))
+    exploded = base.select(
+        id_col, F.posexplode("__toks").alias("__pos", "__tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    bigrams = exploded.select(
+        id_col,
+        F.concat_ws(" ", F.col("__tok"), F.lead("__tok").over(w)).alias("__bg"),
+        F.lead("__tok").over(w).alias("__nxt"),
+    ).filter(F.col("__nxt").isNotNull())
+    per_bg = bigrams.groupBy(id_col, "__bg").agg(F.count(F.lit(1)).alias("__c"))
+    top = per_bg.groupBy(id_col).agg(F.max("__c").alias("__top"))
+    return base.select(id_col, "n_tokens").join(top, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (
+            F.col("__top").cast("double")
+            / (F.col("n_tokens") - F.lit(1)).cast("double")
+        ).alias("top_bigram_share"),  # NULL when < 2 tokens (no bigrams)
+    )
+
+
+def common_token_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-frequency quality signal: mean corpus frequency of a doc's
+    tokens — sum over tokens of global count(token), divided by
+    (n_tokens × corpus_total_tokens).  High = the doc is made of the
+    corpus's most common tokens (low information); low = rare-token text.
+
+    All accumulation is INTEGER (exact, order-independent — the
+    cross-engine float-mean trap in NOTES.md does not apply); the single
+    final int/int double division is bit-identical across engines.
+
+    100-TB shape: vocabulary counts are a token-keyed aggregation
+    (bounded key space) broadcast back onto the exploded fact; per-doc
+    re-aggregation shuffles doc keys only.
+    """
+    toks = tokens(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    vocab = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__gc"))
+    total = exploded.count()  # corpus total tokens (scalar, exact)
+    return (
+        exploded.join(F.broadcast(vocab), "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("__gc").cast("long").alias("sum_gc"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.col("sum_gc").cast("double")
+                / (F.col("n_tokens") * F.lit(int(total))).cast("double")
+            ).alias("common_score"),
+        )
+    )

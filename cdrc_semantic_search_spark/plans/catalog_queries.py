@@ -1534,6 +1534,61 @@ def ta_bpe_token_counts(spark, sf_dir):
 
 
 @register(
+    "ta_repetition_ratio",
+    f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(len(toks) - 1),
+               i -> toks[i + 1] || ' ' || toks[i + 2]
+             )) AS bg
+      FROM d WHERE len(toks) >= 2
+    ),
+    cnt AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, MAX(c) AS top FROM cnt GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(len(d.toks) AS INTEGER) AS n_tokens,
+           CAST(top.top AS DOUBLE) / CAST(len(d.toks) - 1 AS DOUBLE)
+             AS top_bigram_share
+    FROM d LEFT JOIN top USING (doc_id)
+    """,
+)
+def ta_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition filter signal: share of a document's
+    bigrams taken by its most frequent bigram
+    (operators/text_analysis.bigram_repetition). The int/int double
+    division is bit-identical across engines, so no rounding is needed."""
+    from cdrc_semantic_search_spark.operators.text_analysis import bigram_repetition
+
+    return bigram_repetition(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "ta_common_token_score",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents),
+    vocab AS (SELECT t, COUNT(*) AS gc FROM tok GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS total FROM tok)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(gc) AS DOUBLE)
+             / CAST(COUNT(*) * (SELECT total FROM tot) AS DOUBLE)
+             AS common_score
+    FROM tok JOIN vocab USING (t) GROUP BY doc_id
+    """,
+)
+def ta_common_token_score(spark, sf_dir):
+    """Corpus-frequency quality signal (text_analysis.common_token_score):
+    mean corpus frequency of a doc's tokens. Integer accumulation only —
+    order-independent and exact in both engines; one final int/int double
+    division (docs with zero tokens are absent from both sides)."""
+    from cdrc_semantic_search_spark.operators.text_analysis import common_token_score
+
+    return common_token_score(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
     "split_train_val_test",
     """
     WITH b AS (

@@ -732,3 +732,39 @@ def test_group_rollup_pandas_equals_builtin(spark):
     got_a = {tuple(r) for r in a.select("doc", "score", "text", "n_chunks").collect()}
     got_b = {tuple(r) for r in b.select("doc", "score", "text", "n_chunks").collect()}
     assert got_a == got_b
+
+
+def test_bigram_repetition_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            ("d1", "a b a b a b"),        # bigrams: ab,ba,ab,ba,ab -> top 'a b' = 3/5
+            ("d2", "x y z w"),            # all distinct -> 1/3
+            ("d3", "solo"),               # 1 token -> NULL share
+            ("d4", ""),                   # 0 tokens -> NULL share
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.top_bigram_share)
+        for r in text_analysis.bigram_repetition(df, "doc_id", "text").collect()
+    }
+    assert out["d1"] == (6, 3 / 5)
+    assert out["d2"] == (4, 1 / 3)
+    assert out["d3"] == (1, None)
+    assert out["d4"] == (0, None)
+
+
+def test_common_token_score_known_values(spark):
+    # corpus: d1 = "a a b", d2 = "a c"  -> counts: a=3, b=1, c=1, total=5
+    df = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "a c"), ("d3", "")],
+        "doc_id string, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.common_score)
+        for r in text_analysis.common_token_score(df, "doc_id", "text").collect()
+    }
+    # d1: (3+3+1)/(3*5) = 7/15 ; d2: (3+1)/(2*5) = 4/10
+    assert out["d1"] == (3, 7 / 15)
+    assert out["d2"] == (2, 4 / 10)
+    assert "d3" not in out  # zero-token docs are absent by contract
