@@ -161,3 +161,58 @@ def pagerank_fixed(
         )
         ranks = ranks.localCheckpoint()
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Unweighted shortest-path distances from a source set over an
+    UNDIRECTED graph → (id, dist), dist ∈ [0, max_depth]; unreachable
+    vertices are absent.
+
+    Frontier-expansion BFS (the Pregel pattern on DataFrames): each round
+    joins the current frontier against the (static, persisted)
+    symmetrized edge list, anti-joins the visited set, and checkpoints —
+    one key-partitioned join + one anti-join per round, never a full
+    transitive closure.  Rounds = graph diameter (bounded by
+    ``max_depth``), with early exit when a frontier empties; the same
+    shuffle/lineage discipline as connected_components.
+
+    ``sources`` is a one-column DataFrame of start vertex ids named
+    ``id``.  Cross-checked by a DuckDB recursive-CTE oracle
+    (graph_bfs_distances query).
+    """
+    if max_depth < 0:
+        raise ValueError("max_depth must be >= 0")
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    visited = (
+        sources.select(F.col("id"), F.lit(0).alias("dist")).distinct().localCheckpoint()
+    )
+    frontier = visited.select("id")
+    try:
+        for d in range(1, max_depth + 1):
+            nxt = (
+                frontier.join(sym, frontier["id"] == sym["u"])
+                .select(F.col("v").alias("id"))
+                .distinct()
+                .join(visited.select("id"), "id", "left_anti")
+                .select("id", F.lit(d).alias("dist"))
+                .localCheckpoint()
+            )
+            if nxt.rdd.isEmpty():
+                break
+            visited = visited.union(nxt).localCheckpoint()
+            frontier = nxt.select("id")
+    finally:
+        sym.unpersist()
+    return visited

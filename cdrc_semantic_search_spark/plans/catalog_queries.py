@@ -1924,6 +1924,44 @@ def cc_components(spark, sf_dir):
 
 
 @register(
+    "graph_bfs_distances",
+    """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT l_suppkey AS src, 1000 + l_partkey % 100 AS dst
+        FROM lineitem WHERE l_orderkey < 300
+    ),
+    ue AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+    walk(id, d) AS (
+        SELECT MIN(src), 0 FROM e
+        UNION
+        SELECT ue.v, walk.d + 1
+        FROM walk JOIN ue ON ue.u = walk.id
+        WHERE walk.d < 6
+    )
+    SELECT CAST(id AS BIGINT) AS id, CAST(MIN(d) AS INTEGER) AS dist
+    FROM walk GROUP BY id
+    """,
+)
+def graph_bfs_distances(spark, sf_dir):
+    """Unweighted shortest paths (BFS frontier expansion,
+    operators/graph.bfs_distances) from the smallest supplier over the
+    same undirected supplier→bucket graph as cc_components, vs a DuckDB
+    recursive-CTE walk capped at the same depth."""
+    from cdrc_semantic_search_spark.operators.graph import bfs_distances
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    ).distinct()
+    sources = edges.agg(F.min("src").alias("id"))
+    out = bfs_distances(edges, sources, max_depth=6)
+    return out.select(
+        F.col("id").cast("long").alias("id"), F.col("dist").cast("int").alias("dist")
+    )
+
+
+@register(
     "graph_pagerank",
     """
     WITH e AS (

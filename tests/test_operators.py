@@ -768,3 +768,16 @@ def test_common_token_score_known_values(spark):
     assert out["d1"] == (3, 7 / 15)
     assert out["d2"] == (2, 4 / 10)
     assert "d3" not in out  # zero-token docs are absent by contract
+
+
+def test_bfs_distances_path_and_cap(spark):
+    from cdrc_semantic_search_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src int, dst int"
+    )
+    sources = spark.createDataFrame([(1,)], "id int")
+    full = {r.id: r.dist for r in bfs_distances(edges, sources, 6).collect()}
+    assert full == {1: 0, 2: 1, 3: 2, 4: 3}  # other component absent
+    capped = {r.id: r.dist for r in bfs_distances(edges, sources, 2).collect()}
+    assert capped == {1: 0, 2: 1, 3: 2}  # depth cap prunes vertex 4
