@@ -188,12 +188,20 @@ def bfs_distances(
     """
     if max_depth < 0:
         raise ValueError("max_depth must be >= 0")
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .filter(F.col("u") != F.col("v"))
+    # normalize (one pass over the caller's edge plan) THEN symmetrize
+    # from the persisted normal form — a union of two selects of the raw
+    # input would execute the caller's plan twice (no subtree sharing)
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
         .distinct()
         .persist()
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     visited = (
         sources.select(F.col("id"), F.lit(0).alias("dist")).distinct().localCheckpoint()
@@ -214,5 +222,5 @@ def bfs_distances(
             visited = visited.union(nxt).localCheckpoint()
             frontier = nxt.select("id")
     finally:
-        sym.unpersist()
+        und.unpersist()
     return visited

@@ -166,14 +166,23 @@ def bigram_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for the oracle hash).
 
     → (id_col, n_tokens, top_bigram_share) with share NULL when a doc has
-    fewer than 2 tokens.
+    no bigrams.  Multiple rows per id are safe: bigrams form WITHIN each
+    row (a per-row surrogate key partitions the position window, so tied
+    (id, pos) pairs from different rows can never interleave into
+    fabricated cross-row bigrams), while counts and the share aggregate
+    per id across rows.
     """
     toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("n_tokens"))
-    exploded = base.select(
-        id_col, F.posexplode("__toks").alias("__pos", "__tok")
+    base = df.select(
+        F.col(id_col),
+        F.monotonically_increasing_id().alias("__rid"),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
     )
-    w = Window.partitionBy(id_col).orderBy("__pos")
+    exploded = base.select(
+        id_col, "__rid", F.posexplode("__toks").alias("__pos", "__tok")
+    )
+    w = Window.partitionBy("__rid").orderBy("__pos")
     bigrams = exploded.select(
         id_col,
         F.concat_ws(" ", F.col("__tok"), F.lead("__tok").over(w)).alias("__bg"),
@@ -181,13 +190,16 @@ def bigram_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).filter(F.col("__nxt").isNotNull())
     per_bg = bigrams.groupBy(id_col, "__bg").agg(F.count(F.lit(1)).alias("__c"))
     top = per_bg.groupBy(id_col).agg(F.max("__c").alias("__top"))
-    return base.select(id_col, "n_tokens").join(top, id_col, "left").select(
+    per_doc = base.groupBy(id_col).agg(
+        F.sum("__n").alias("n_tokens"),
+        F.sum(F.greatest(F.col("__n") - F.lit(1), F.lit(0))).alias("__nbg"),
+    )
+    return per_doc.join(top, id_col, "left").select(
         id_col,
         F.col("n_tokens").cast("int").alias("n_tokens"),
         (
-            F.col("__top").cast("double")
-            / (F.col("n_tokens") - F.lit(1)).cast("double")
-        ).alias("top_bigram_share"),  # NULL when < 2 tokens (no bigrams)
+            F.col("__top").cast("double") / F.col("__nbg").cast("double")
+        ).alias("top_bigram_share"),  # NULL when no bigrams exist
     )
 
 
@@ -201,27 +213,32 @@ def common_token_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cross-engine float-mean trap in NOTES.md does not apply); the single
     final int/int double division is bit-identical across engines.
 
-    100-TB shape: vocabulary counts are a token-keyed aggregation
-    (bounded key space) broadcast back onto the exploded fact; per-doc
-    re-aggregation shuffles doc keys only.
+    100-TB shape: two passes over the corpus (vocabulary counts, then the
+    fact join + per-doc aggregation — the classic two-pass frequency
+    model).  The vocab join is UN-hinted: on a web-scale corpus the
+    distinct-token table is not broadcast-sized, so AQE picks the
+    strategy.  The corpus-total scalar rides a 1-row broadcast cross
+    join derived from the per-doc aggregate (Σ n_tokens ≡ Σ vocab
+    counts), whose exchange Spark reuses across the two branches —
+    nothing executes eagerly at plan-construction time.
     """
     toks = tokens(F.col(text_col))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
     vocab = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__gc"))
-    total = exploded.count()  # corpus total tokens (scalar, exact)
-    return (
-        exploded.join(F.broadcast(vocab), "__tok")
+    agg = (
+        exploded.join(vocab, "__tok")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
             F.sum("__gc").cast("long").alias("sum_gc"),
         )
-        .select(
-            id_col,
-            "n_tokens",
-            (
-                F.col("sum_gc").cast("double")
-                / (F.col("n_tokens") * F.lit(int(total))).cast("double")
-            ).alias("common_score"),
-        )
+    )
+    total = agg.agg(F.sum("n_tokens").alias("__total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        id_col,
+        "n_tokens",
+        (
+            F.col("sum_gc").cast("double")
+            / (F.col("n_tokens") * F.col("__total")).cast("double")
+        ).alias("common_score"),
     )

@@ -203,17 +203,20 @@ class KGPipeline:
             ).cast("long").alias("n_mentions"),
         )
 
-    def kg_nodes(self, mentions: DataFrame) -> DataFrame:
-        """Node table: entity dim enriched with mention counts.
-
-        Mention counts aggregate to ≤|catalogue| rows, so the enrich join
-        broadcasts the counts into the dim side (J1/J2 pattern,
-        /root/reference/src/datastore.py:19-42)."""
-        counts = (
+    @staticmethod
+    def mention_counts(mentions: DataFrame) -> DataFrame:
+        """Linked-mention counts → (entity_id, n_mentions), mentioned
+        entities only — the slim per-batch NODE DELTA payload (zero-count
+        entities are restored from the dim at read time, so deltas don't
+        carry the full catalogue once per batch)."""
+        return (
             mentions.filter(F.col("entity_id").isNotNull())
             .groupBy("entity_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_mentions"))
         )
+
+    def _nodes_from_counts(self, counts: DataFrame) -> DataFrame:
+        """Enrich the entity dim with a counts frame (missing → 0)."""
         dim = self.spark.createDataFrame(
             self.entities_pdf[["entity_id", "canonical_name", "entity_type"]]
         )
@@ -222,6 +225,14 @@ class KGPipeline:
             .withColumn("n_mentions", F.coalesce(F.col("n_mentions"), F.lit(0)))
             .select("entity_id", "canonical_name", "entity_type", "n_mentions")
         )
+
+    def kg_nodes(self, mentions: DataFrame) -> DataFrame:
+        """Node table: entity dim enriched with mention counts.
+
+        Mention counts aggregate to ≤|catalogue| rows, so the enrich join
+        broadcasts the counts into the dim side (J1/J2 pattern,
+        /root/reference/src/datastore.py:19-42)."""
+        return self._nodes_from_counts(self.mention_counts(mentions))
 
     def surface_clusters(self, mentions: DataFrame) -> DataFrame:
         """Canonicalization (north_rule stage 3): cluster distinct mention
@@ -373,24 +384,55 @@ class KGPipeline:
                     metrics={"turn_count": n_turns},
                     metrics_fn=lambda o=obs: o.get,
                 )
-            if with_graph and part in todo_by_table["edge_deltas"]:
-                tri_c = catalog.read_partition(self.spark, "triples", part)
-                catalog.overwrite_partition(
-                    self.kg_edges(tri_c),
-                    "edge_deltas",
+            if with_graph:
+                self.commit_graph_deltas(
+                    catalog,
                     part,
-                    source_snapshot=source_snapshot,
-                    metrics={"derived_from": f"triples/{part}"},
-                )
-            if with_graph and part in todo_by_table["node_deltas"]:
-                catalog.overwrite_partition(
-                    self.kg_nodes(self.mentions(sub)),
-                    "node_deltas",
-                    part,
-                    source_snapshot=source_snapshot,
+                    source_snapshot,
+                    sub,
+                    edges=part in todo_by_table["edge_deltas"],
+                    nodes=part in todo_by_table["node_deltas"],
                 )
             ran.append(part)
         return ran
+
+    def commit_graph_deltas(
+        self,
+        catalog: ParquetTableCatalog,
+        partition: str,
+        source_snapshot: str,
+        transcripts_batch: DataFrame,
+        triples_table: str = "triples",
+        edges: bool = True,
+        nodes: bool = True,
+    ) -> None:
+        """Commit one partition's edge/node DELTAS — the single shared
+        implementation behind both the batch path (run_partitioned) and
+        the streaming path (streaming.incremental.stream_triples), so the
+        table names, derive-from-committed-bytes rule, and metrics shape
+        can never drift apart.
+
+        Edge deltas derive from the COMMITTED triples partition (exact
+        lineage); node deltas are the slim mentioned-entities-only counts
+        (``mention_counts``) re-extracted from the batch — zero-count
+        entities are restored from the dim at compaction, not written
+        once per partition."""
+        if edges:
+            tri_c = catalog.read_partition(self.spark, triples_table, partition)
+            catalog.overwrite_partition(
+                self.kg_edges(tri_c),
+                "edge_deltas",
+                partition,
+                source_snapshot=source_snapshot,
+                metrics={"derived_from": f"{triples_table}/{partition}"},
+            )
+        if nodes:
+            catalog.overwrite_partition(
+                self.mention_counts(self.mentions(transcripts_batch)),
+                "node_deltas",
+                partition,
+                source_snapshot=source_snapshot,
+            )
 
     @staticmethod
     def compacted_edges(spark: SparkSession, catalog: ParquetTableCatalog) -> DataFrame:
@@ -408,18 +450,13 @@ class KGPipeline:
             )
         )
 
-    @staticmethod
-    def compacted_nodes(spark: SparkSession, catalog: ParquetTableCatalog) -> DataFrame:
-        """Merge-on-read node table: counts sum; dim attributes are
-        identical in every delta (each carries the full dim), so max is a
-        deterministic pick."""
-        return (
-            catalog.read_committed(spark, "node_deltas")
+    def compacted_nodes(self, catalog: ParquetTableCatalog) -> DataFrame:
+        """Merge-on-read node table: delta counts sum per entity, then one
+        dim join restores zero-mention entities — equals kg_nodes over the
+        union of the deltas' source batches."""
+        counts = (
+            catalog.read_committed(self.spark, "node_deltas")
             .groupBy("entity_id")
-            .agg(
-                F.max("canonical_name").alias("canonical_name"),
-                F.max("entity_type").alias("entity_type"),
-                F.sum("n_mentions").cast("long").alias("n_mentions"),
-            )
-            .select("entity_id", "canonical_name", "entity_type", "n_mentions")
+            .agg(F.sum("n_mentions").cast("long").alias("n_mentions"))
         )
+        return self._nodes_from_counts(counts)

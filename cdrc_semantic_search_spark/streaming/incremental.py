@@ -80,21 +80,10 @@ def stream_triples(
             metrics={"turn_count": n_turns},
         )
         if with_graph:
-            tri_c = catalog.read_partition(
-                batch_df.sparkSession, table, str(batch_id)
-            )
-            catalog.overwrite_partition(
-                pipeline.kg_edges(tri_c),
-                "edge_deltas",
-                partition=str(batch_id),
-                source_snapshot=snapshot,
-                metrics={"derived_from": f"{table}/{batch_id}"},
-            )
-            catalog.overwrite_partition(
-                pipeline.kg_nodes(pipeline.mentions(batch_df)),
-                "node_deltas",
-                partition=str(batch_id),
-                source_snapshot=snapshot,
+            # shared implementation with the batch path — see
+            # KGPipeline.commit_graph_deltas for the lineage rules
+            pipeline.commit_graph_deltas(
+                catalog, str(batch_id), snapshot, batch_df, triples_table=table
             )
 
     q = (

@@ -42,6 +42,10 @@ def main() -> None:
     )
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
+    if args.with_graph and not args.partitioned:
+        ap.error("--with-graph requires --partitioned (delta commits are "
+                 "per-bucket; plain materialize already writes the full "
+                 "kg_edges/kg_nodes tables)")
 
     from cdrc_semantic_search_spark.config import Settings
     from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline

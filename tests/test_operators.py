@@ -754,6 +754,21 @@ def test_bigram_repetition_known_values(spark):
     assert out["d4"] == (0, None)
 
 
+def test_bigram_repetition_multirow_ids_never_cross_rows(spark):
+    """Two rows sharing an id: bigrams form within each row only (no
+    fabricated cross-row bigrams), counts aggregate per id."""
+    df = spark.createDataFrame(
+        [("d1", "p q"), ("d1", "p q"), ("d1", "r s t")],
+        "doc_id string, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.top_bigram_share)
+        for r in text_analysis.bigram_repetition(df, "doc_id", "text").collect()
+    }
+    # bigrams: 'p q' ×2 (one per row) + 'r s','s t'; total bigrams = 1+1+2 = 4
+    assert out["d1"] == (7, 2 / 4)
+
+
 def test_common_token_score_known_values(spark):
     # corpus: d1 = "a a b", d2 = "a c"  -> counts: a=3, b=1, c=1, total=5
     df = spark.createDataFrame(

@@ -98,7 +98,7 @@ def test_graph_deltas_resume_no_double_count(spark, fixture, spark_fixture, tmp_
 
     nodes = {
         r.entity_id: (r.canonical_name, r.entity_type, r.n_mentions)
-        for r in KGPipeline.compacted_nodes(spark, cat).collect()
+        for r in pipe.compacted_nodes(cat).collect()
     }
     want_nodes = {
         r.entity_id: (r.canonical_name, r.entity_type, r.n_mentions)

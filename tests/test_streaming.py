@@ -70,7 +70,7 @@ def test_streamed_graph_deltas_equal_batch_rebuild(
 
     nodes = {
         r.entity_id: r.n_mentions
-        for r in KGPipeline.compacted_nodes(spark, cat).collect()
+        for r in pipe.compacted_nodes(cat).collect()
     }
     want_nodes = {
         r.entity_id: r.n_mentions
