@@ -213,18 +213,23 @@ def common_token_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cross-engine float-mean trap in NOTES.md does not apply); the single
     final int/int double division is bit-identical across engines.
 
-    100-TB shape: two passes over the corpus (vocabulary counts, then the
-    fact join + per-doc aggregation — the classic two-pass frequency
-    model).  The vocab join is UN-hinted: on a web-scale corpus the
-    distinct-token table is not broadcast-sized, so AQE picks the
-    strategy.  The corpus-total scalar rides a 1-row broadcast cross
-    join derived from the per-doc aggregate (Σ n_tokens ≡ Σ vocab
-    counts), whose exchange Spark reuses across the two branches —
-    nothing executes eagerly at plan-construction time.
+    100-TB shape: the corpus is scanned for (a) the vocabulary counts,
+    (b) the fact join + per-doc aggregation, and (c) the corpus-total
+    scalar — derived from the VOCAB aggregate (Σ counts ≡ total tokens),
+    the cheapest branch to re-derive, and attached as a 1-row broadcast
+    cross join.  Spark shares no subtrees across branches (NOTES.md), so
+    deriving the total from the per-doc aggregate instead would re-plan
+    the whole fact join (measured: 8 parquet scans in the executed
+    plan vs 5); callers doing
+    repeated scoring should persist the exploded frame themselves.  The
+    vocab join is UN-hinted: on a web-scale corpus the distinct-token
+    table is not broadcast-sized, so AQE picks the strategy.  Nothing
+    executes eagerly at plan-construction time.
     """
     toks = tokens(F.col(text_col))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("__tok"))
     vocab = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__gc"))
+    total = vocab.agg(F.sum("__gc").cast("long").alias("__total"))
     agg = (
         exploded.join(vocab, "__tok")
         .groupBy(id_col)
@@ -233,7 +238,6 @@ def common_token_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.sum("__gc").cast("long").alias("sum_gc"),
         )
     )
-    total = agg.agg(F.sum("n_tokens").alias("__total"))
     return agg.crossJoin(F.broadcast(total)).select(
         id_col,
         "n_tokens",
