@@ -234,6 +234,46 @@ class KGPipeline:
         /root/reference/src/datastore.py:19-42)."""
         return self._nodes_from_counts(self.mention_counts(mentions))
 
+    @staticmethod
+    def surface_forms(mentions: DataFrame) -> DataFrame:
+        """Distinct normalized surface forms → (surface, entity_id) with
+        the MIN linked entity per surface — the per-bucket SURFACE DELTA
+        payload: min() is union-compatible (min(min(A), min(B)) ≡
+        min(A ∪ B)), so per-bucket deltas re-aggregate at compaction to
+        exactly the global distinct set."""
+        from cdrc_semantic_search_spark.operators.linking import norm_surface_col
+
+        return (
+            mentions.select(
+                norm_surface_col(F.col("surface")).alias("surface"),
+                "entity_id",
+            )
+            .groupBy("surface")
+            .agg(F.min("entity_id").alias("entity_id"))
+        )
+
+    def _cluster_surfaces(self, distinct: DataFrame) -> DataFrame:
+        """Cluster a distinct (surface, entity_id) frame: encode → LSH
+        candidate pairs ≥ τ → connected components → canonical surface =
+        lexicographically smallest member."""
+        from cdrc_semantic_search_spark.encoder import make_encoder_udf
+        from cdrc_semantic_search_spark.operators.canonicalize import (
+            canonicalize_embedded,
+        )
+
+        enc = self.settings.encoder
+        encode = make_encoder_udf(dim=enc.embed_dim, seed=enc.seed, ngram=enc.ngram)
+        with_vec = distinct.withColumn("vec", encode(F.col("surface")))
+        clusters = canonicalize_embedded(
+            with_vec, "surface", "vec", dim=enc.embed_dim, threshold=0.85,
+            seed=enc.seed,
+        ).withColumnRenamed("id", "surface").withColumnRenamed(
+            "canonical_id", "canonical_surface"
+        )
+        return clusters.join(distinct, "surface", "left").select(
+            "surface", "canonical_surface", "entity_id"
+        )
+
     def surface_clusters(self, mentions: DataFrame) -> DataFrame:
         """Canonicalization (north_rule stage 3): cluster distinct mention
         surfaces by embedding similarity — LSH-bucketed candidate pairs ≥ τ,
@@ -246,32 +286,7 @@ class KGPipeline:
         the quadratic-ish clustering never touches the fact table.
         → (surface, canonical_surface, entity_id)
         """
-        from cdrc_semantic_search_spark.encoder import make_encoder_udf
-        from cdrc_semantic_search_spark.operators.canonicalize import (
-            canonicalize_embedded,
-        )
-        from cdrc_semantic_search_spark.operators.linking import norm_surface_col
-
-        enc = self.settings.encoder
-        distinct = (
-            mentions.select(
-                norm_surface_col(F.col("surface")).alias("surface"),
-                "entity_id",
-            )
-            .groupBy("surface")
-            .agg(F.min("entity_id").alias("entity_id"))
-        )
-        encode = make_encoder_udf(dim=enc.embed_dim, seed=enc.seed, ngram=enc.ngram)
-        with_vec = distinct.withColumn("vec", encode(F.col("surface")))
-        clusters = canonicalize_embedded(
-            with_vec, "surface", "vec", dim=enc.embed_dim, threshold=0.85,
-            seed=enc.seed,
-        ).withColumnRenamed("id", "surface").withColumnRenamed(
-            "canonical_id", "canonical_surface"
-        )
-        return clusters.join(distinct, "surface", "left").select(
-            "surface", "canonical_surface", "entity_id"
-        )
+        return self._cluster_surfaces(self.surface_forms(mentions))
 
     # ---------------------------------------------------------- full runs
     def materialize(
@@ -341,7 +356,11 @@ class KGPipeline:
         nb = self.settings.pipeline.num_buckets
         bucket = F.pmod(F.xxhash64("conv_id"), F.lit(nb)).cast("int")
         all_parts = [str(i) for i in range(nb)]
-        tables = ("triples", "edge_deltas", "node_deltas") if with_graph else ("triples",)
+        tables = (
+            ("triples", "edge_deltas", "node_deltas", "surface_deltas")
+            if with_graph
+            else ("triples",)
+        )
         todo_by_table = {
             t: set(catalog.uncommitted(t, all_parts) if resume else all_parts)
             for t in tables
@@ -351,9 +370,9 @@ class KGPipeline:
                 rec.partition
                 for rec in catalog.ledger("triples")
                 if rec.source_snapshot != source_snapshot
-                and (
-                    rec.partition in todo_by_table["edge_deltas"]
-                    or rec.partition in todo_by_table["node_deltas"]
+                and any(
+                    rec.partition in todo_by_table[t]
+                    for t in ("edge_deltas", "node_deltas", "surface_deltas")
                 )
             }
             todo_by_table["triples"] |= stale
@@ -392,6 +411,7 @@ class KGPipeline:
                     sub,
                     edges=part in todo_by_table["edge_deltas"],
                     nodes=part in todo_by_table["node_deltas"],
+                    surfaces=part in todo_by_table["surface_deltas"],
                 )
             ran.append(part)
         return ran
@@ -405,18 +425,21 @@ class KGPipeline:
         triples_table: str = "triples",
         edges: bool = True,
         nodes: bool = True,
+        surfaces: bool = True,
     ) -> None:
-        """Commit one partition's edge/node DELTAS — the single shared
-        implementation behind both the batch path (run_partitioned) and
-        the streaming path (streaming.incremental.stream_triples), so the
-        table names, derive-from-committed-bytes rule, and metrics shape
-        can never drift apart.
+        """Commit one partition's edge/node/surface DELTAS — the single
+        shared implementation behind both the batch path (run_partitioned)
+        and the streaming path (streaming.incremental.stream_triples), so
+        the table names, derive-from-committed-bytes rule, and metrics
+        shape can never drift apart.
 
         Edge deltas derive from the COMMITTED triples partition (exact
         lineage); node deltas are the slim mentioned-entities-only counts
-        (``mention_counts``) re-extracted from the batch — zero-count
-        entities are restored from the dim at compaction, not written
-        once per partition."""
+        (``mention_counts``); surface deltas are the distinct normalized
+        surface forms (``surface_forms``) — all three re-aggregate at
+        compaction to exactly the full-batch result by their merge
+        algebras.  The batch's mention extraction is persisted across the
+        node and surface commits so it runs once, not per table."""
         if edges:
             tri_c = catalog.read_partition(self.spark, triples_table, partition)
             catalog.overwrite_partition(
@@ -426,13 +449,28 @@ class KGPipeline:
                 source_snapshot=source_snapshot,
                 metrics={"derived_from": f"{triples_table}/{partition}"},
             )
-        if nodes:
-            catalog.overwrite_partition(
-                self.mention_counts(self.mentions(transcripts_batch)),
-                "node_deltas",
-                partition,
-                source_snapshot=source_snapshot,
-            )
+        if nodes or surfaces:
+            men = self.mentions(transcripts_batch)
+            if nodes and surfaces:
+                men = men.persist()  # two write actions read it
+            try:
+                if nodes:
+                    catalog.overwrite_partition(
+                        self.mention_counts(men),
+                        "node_deltas",
+                        partition,
+                        source_snapshot=source_snapshot,
+                    )
+                if surfaces:
+                    catalog.overwrite_partition(
+                        self.surface_forms(men),
+                        "surface_deltas",
+                        partition,
+                        source_snapshot=source_snapshot,
+                    )
+            finally:
+                if nodes and surfaces:
+                    men.unpersist()
 
     @staticmethod
     def compacted_edges(spark: SparkSession, catalog: ParquetTableCatalog) -> DataFrame:
@@ -460,3 +498,19 @@ class KGPipeline:
             .agg(F.sum("n_mentions").cast("long").alias("n_mentions"))
         )
         return self._nodes_from_counts(counts)
+
+    def compacted_surface_clusters(self, catalog: ParquetTableCatalog) -> DataFrame:
+        """Canonicalization over the ledgered path: re-aggregate the
+        committed surface deltas (min entity per surface — min is
+        union-compatible) into the global distinct surface set, then run
+        the clustering ONCE over it.  Connected components are not
+        bucket-decomposable (a cluster can span buckets), so the deltas
+        make the clustering's INPUT incremental — cardinality ≪ mentions
+        — while the clustering itself is a global compaction-time step;
+        equals surface_clusters over the union of the source batches."""
+        distinct = (
+            catalog.read_committed(self.spark, "surface_deltas")
+            .groupBy("surface")
+            .agg(F.min("entity_id").alias("entity_id"))
+        )
+        return self._cluster_surfaces(distinct)

@@ -83,6 +83,7 @@ def test_graph_deltas_resume_no_double_count(spark, fixture, spark_fixture, tmp_
     # simulate a crash that lost bucket 1's delta commits (triples intact)
     os.remove(cat._marker_path("edge_deltas", "1"))
     os.remove(cat._marker_path("node_deltas", "1"))
+    os.remove(cat._marker_path("surface_deltas", "1"))
     ran = pipe.run_partitioned(tdf, cat, with_graph=True)
     assert ran == ["1"]  # only the torn bucket, only its missing tables
 
@@ -105,6 +106,17 @@ def test_graph_deltas_resume_no_double_count(spark, fixture, spark_fixture, tmp_
         for r in pipe.kg_nodes(pipe.mentions(tdf)).collect()
     }
     assert nodes == want_nodes
+
+    # canonicalization over the ledgered surface deltas ≡ full batch
+    clusters = {
+        r.surface: (r.canonical_surface, r.entity_id)
+        for r in pipe.compacted_surface_clusters(cat).collect()
+    }
+    want_clusters = {
+        r.surface: (r.canonical_surface, r.entity_id)
+        for r in pipe.surface_clusters(pipe.mentions(tdf)).collect()
+    }
+    assert clusters == want_clusters
 
 
 def test_graph_deltas_stale_snapshot_recommits_triples(
