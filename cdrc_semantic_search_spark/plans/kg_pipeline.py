@@ -499,6 +499,24 @@ class KGPipeline:
         )
         return self._nodes_from_counts(counts)
 
+    def compact_graph(self, catalog: ParquetTableCatalog) -> dict[str, int]:
+        """Compaction lifecycle step: rewrite the merge-on-read views as
+        base tables (create_or_replace ``kg_edges`` / ``kg_nodes`` /
+        ``surface_clusters`` from the compacted reads) — the periodic
+        rewrite that keeps merge-on-read amortized at Iceberg scale.
+        Delta partitions stay in place with their ledger lineage; a
+        production variant would retire deltas folded into the base and
+        open a new delta generation.  Returns per-table row counts."""
+        catalog.create_or_replace(self.compacted_edges(self.spark, catalog), "kg_edges")
+        catalog.create_or_replace(self.compacted_nodes(catalog), "kg_nodes")
+        catalog.create_or_replace(
+            self.compacted_surface_clusters(catalog), "surface_clusters"
+        )
+        return {
+            n: catalog.read_table(self.spark, n).count()
+            for n in ("kg_edges", "kg_nodes", "surface_clusters")
+        }
+
     def compacted_surface_clusters(self, catalog: ParquetTableCatalog) -> DataFrame:
         """Canonicalization over the ledgered path: re-aggregate the
         committed surface deltas (min entity per surface — min is

@@ -118,6 +118,13 @@ def test_graph_deltas_resume_no_double_count(spark, fixture, spark_fixture, tmp_
     }
     assert clusters == want_clusters
 
+    # compaction rewrites the merged views as base tables
+    counts = pipe.compact_graph(cat)
+    assert counts["kg_edges"] == len(edges)
+    assert counts["kg_nodes"] == len(nodes)
+    assert counts["surface_clusters"] == len(clusters)
+    assert cat.read_table(spark, "kg_edges").count() == len(edges)
+
 
 def test_graph_deltas_stale_snapshot_recommits_triples(
     spark, fixture, spark_fixture, tmp_path
