@@ -375,7 +375,12 @@ class KGPipeline:
                     for t in ("edge_deltas", "node_deltas", "surface_deltas")
                 )
             }
-            todo_by_table["triples"] |= stale
+            # a stale bucket recommits EVERY table, not just the missing
+            # ones: its surviving deltas were derived from the old
+            # snapshot, so keeping them would mix source versions within
+            # one bucket (the exact inconsistency this guard exists for)
+            for t in tables:
+                todo_by_table[t] |= stale
         todo = [p for p in all_parts if any(p in todo_by_table[t] for t in tables)]
         with_bucket = transcripts.withColumn("__bucket", bucket)
         ran = []
@@ -506,12 +511,20 @@ class KGPipeline:
         rewrite that keeps merge-on-read amortized at Iceberg scale.
         Delta partitions stay in place with their ledger lineage; a
         production variant would retire deltas folded into the base and
-        open a new delta generation.  Returns per-table row counts."""
-        catalog.create_or_replace(self.compacted_edges(self.spark, catalog), "kg_edges")
-        catalog.create_or_replace(self.compacted_nodes(catalog), "kg_nodes")
-        catalog.create_or_replace(
-            self.compacted_surface_clusters(catalog), "surface_clusters"
-        )
+        open a new delta generation.  Returns per-table row counts.
+
+        All three compacted frames are constructed (and their delta
+        tables' ledgers read) BEFORE the first rewrite, so a catalog
+        missing a delta table fails up front instead of after some base
+        tables were already replaced; a mid-write crash still leaves a
+        partially rewritten base, but the deltas remain, so re-running
+        compact_graph converges."""
+        edges = self.compacted_edges(self.spark, catalog)
+        nodes = self.compacted_nodes(catalog)
+        clusters = self.compacted_surface_clusters(catalog)
+        catalog.create_or_replace(edges, "kg_edges")
+        catalog.create_or_replace(nodes, "kg_nodes")
+        catalog.create_or_replace(clusters, "surface_clusters")
         return {
             n: catalog.read_table(self.spark, n).count()
             for n in ("kg_edges", "kg_nodes", "surface_clusters")

@@ -57,14 +57,38 @@ def stream_triples(
     row/turn counts — re-delivered batches overwrite idempotently rather
     than append twice (exactly-once effect on the table).
 
-    ``with_graph=True`` additionally commits the batch's edge/node DELTAS
-    (same log-structured scheme as ``KGPipeline.run_partitioned``): the
-    merge algebra (merge(f(A), f(B)) ≡ f(A ∪ B)) makes the compacted
-    graph independent of how the stream happened to micro-batch the
-    turns, so ``compacted_edges``/``compacted_nodes`` over a streamed
-    catalog equal the one-shot batch rebuild (asserted in
-    tests/test_streaming.py).
+    ``with_graph=True`` additionally commits the batch's
+    edge/node/surface DELTAS (same log-structured scheme as
+    ``KGPipeline.run_partitioned``): the merge algebra
+    (merge(f(A), f(B)) ≡ f(A ∪ B)) makes the compacted graph independent
+    of how the stream happened to micro-batch the turns, so
+    ``compacted_edges``/``compacted_nodes``/``compacted_surface_clusters``
+    over a streamed catalog equal the one-shot batch rebuild (asserted
+    in tests/test_streaming.py).
+
+    Torn batches self-heal: a crash inside ``process`` leaves the batch
+    un-checkpointed, so availableNow re-delivers it and the idempotent
+    partition overwrites repair every table.  What CANNOT self-heal is a
+    catalog whose triples batches were committed WITHOUT some delta
+    table (e.g. written before with_graph, or by an older build) — the
+    source files are checkpointed away and node/surface deltas need the
+    original batch rows.  That state is detected up front and raises
+    rather than silently compacting an incomplete graph.
     """
+    if with_graph:
+        done = catalog.committed_partitions(table)
+        gaps = {
+            t: sorted(done - catalog.committed_partitions(t))
+            for t in ("edge_deltas", "node_deltas", "surface_deltas")
+        }
+        gaps = {t: ps for t, ps in gaps.items() if ps}
+        if gaps:
+            raise ValueError(
+                f"graph deltas missing for already-checkpointed batches: {gaps}. "
+                "The stream checkpoint will not re-deliver those batches; "
+                "rebuild the catalog (or replay the source with a fresh "
+                "checkpoint) to get a complete compacted graph."
+            )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         n_turns = batch_df.count()

@@ -146,6 +146,12 @@ def test_graph_deltas_stale_snapshot_recommits_triples(
     recs = {r.partition: r for r in cat.ledger("triples")}
     assert recs["2"].source_snapshot == "v2"  # recommitted for lineage
     assert recs["0"].source_snapshot == "v1"  # consistent buckets untouched
+    # the stale bucket's SURVIVING deltas recommit too — keeping the old
+    # node/surface deltas would mix source versions within bucket 2
+    for t in ("edge_deltas", "node_deltas", "surface_deltas"):
+        drecs = {r.partition: r for r in cat.ledger(t)}
+        assert drecs["2"].source_snapshot == "v2", t
+        assert drecs["0"].source_snapshot == "v1", t
 
 
 def test_triples_deterministic_under_repartition(spark, fixture, spark_fixture):

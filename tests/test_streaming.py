@@ -78,6 +78,16 @@ def test_streamed_graph_deltas_equal_batch_rebuild(
     }
     assert nodes == want_nodes
 
+    clusters = {
+        r.surface: (r.canonical_surface, r.entity_id)
+        for r in pipe.compacted_surface_clusters(cat).collect()
+    }
+    want_clusters = {
+        r.surface: (r.canonical_surface, r.entity_id)
+        for r in pipe.surface_clusters(pipe.mentions(tdf)).collect()
+    }
+    assert clusters == want_clusters
+
 
 def test_stream_stream_join_bounded_state(spark, spark_fixture, transcript_dir, tmp_path):
     """Turns join their conversation's registration event within the lag
