@@ -478,57 +478,135 @@ class KGPipeline:
                     men.unpersist()
 
     @staticmethod
+    def _base_table(spark: SparkSession, catalog: ParquetTableCatalog, name: str):
+        """The compacted base table if a prior compact_graph wrote one."""
+        import os
+
+        path = catalog.table_path(name)
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return spark.read.parquet(path)
+        return None
+
+    @staticmethod
     def compacted_edges(spark: SparkSession, catalog: ParquetTableCatalog) -> DataFrame:
-        """Merge-on-read edge table over all committed edge deltas — one
-        aggregation on the edge key (weights sum, spans extend); equals the
-        full rebuild by the merge algebra.  Periodic compaction =
-        create_or_replace this frame as ``kg_edges``."""
-        return (
-            catalog.read_committed(spark, "edge_deltas")
-            .groupBy("subj_entity_id", "pred", "obj_entity_id")
-            .agg(
-                F.sum("weight").cast("long").alias("weight"),
-                F.min("first_ts").alias("first_ts"),
-                F.max("last_ts").alias("last_ts"),
+        """Merge-on-read edge table: the compacted BASE (if a prior
+        compact_graph retired a delta generation into one) merged with all
+        still-committed deltas via merge_edge_deltas — equals the full
+        rebuild by the merge algebra.  With no base, just the delta
+        aggregation; with no live deltas, just the base."""
+        delta = None
+        try:
+            delta = (
+                catalog.read_committed(spark, "edge_deltas")
+                .groupBy("subj_entity_id", "pred", "obj_entity_id")
+                .agg(
+                    F.sum("weight").cast("long").alias("weight"),
+                    F.min("first_ts").alias("first_ts"),
+                    F.max("last_ts").alias("last_ts"),
+                )
             )
-        )
+        except FileNotFoundError:
+            pass
+        base = KGPipeline._base_table(spark, catalog, "kg_edges")
+        if base is not None and delta is not None:
+            return KGPipeline.merge_edge_deltas(base, delta)
+        if base is not None:
+            return base
+        if delta is None:
+            raise FileNotFoundError("no committed edge_deltas and no kg_edges base")
+        return delta
 
     def compacted_nodes(self, catalog: ParquetTableCatalog) -> DataFrame:
-        """Merge-on-read node table: delta counts sum per entity, then one
-        dim join restores zero-mention entities — equals kg_nodes over the
-        union of the deltas' source batches."""
-        counts = (
-            catalog.read_committed(self.spark, "node_deltas")
-            .groupBy("entity_id")
-            .agg(F.sum("n_mentions").cast("long").alias("n_mentions"))
-        )
-        return self._nodes_from_counts(counts)
+        """Merge-on-read node table: delta counts sum per entity, one dim
+        join restores zero-mention entities, and a compacted BASE (if
+        any) folds in via merge_node_deltas — equals kg_nodes over the
+        union of the deltas' source batches across generations."""
+        fresh = None
+        try:
+            counts = (
+                catalog.read_committed(self.spark, "node_deltas")
+                .groupBy("entity_id")
+                .agg(F.sum("n_mentions").cast("long").alias("n_mentions"))
+            )
+            fresh = self._nodes_from_counts(counts)
+        except FileNotFoundError:
+            pass
+        base = self._base_table(self.spark, catalog, "kg_nodes")
+        if base is not None and fresh is not None:
+            return self.merge_node_deltas(base, fresh)
+        if base is not None:
+            return base
+        if fresh is None:
+            raise FileNotFoundError("no committed node_deltas and no kg_nodes base")
+        return fresh
+
+    DELTA_TABLES = ("edge_deltas", "node_deltas", "surface_deltas")
 
     def compact_graph(self, catalog: ParquetTableCatalog) -> dict[str, int]:
-        """Compaction lifecycle step: rewrite the merge-on-read views as
-        base tables (create_or_replace ``kg_edges`` / ``kg_nodes`` /
-        ``surface_clusters`` from the compacted reads) — the periodic
-        rewrite that keeps merge-on-read amortized at Iceberg scale.
-        Delta partitions stay in place with their ledger lineage; a
-        production variant would retire deltas folded into the base and
-        open a new delta generation.  Returns per-table row counts.
+        """Generational compaction: fold the current delta generation
+        into base tables and RETIRE the folded deltas, opening the next
+        generation — the Iceberg rewrite+snapshot-expire lifecycle.
 
-        All three compacted frames are constructed (and their delta
-        tables' ledgers read) BEFORE the first rewrite, so a catalog
-        missing a delta table fails up front instead of after some base
-        tables were already replaced; a mid-write crash still leaves a
-        partially rewritten base, but the deltas remain, so re-running
-        compact_graph converges."""
-        edges = self.compacted_edges(self.spark, catalog)
-        nodes = self.compacted_nodes(catalog)
-        clusters = self.compacted_surface_clusters(catalog)
-        catalog.create_or_replace(edges, "kg_edges")
-        catalog.create_or_replace(nodes, "kg_nodes")
-        catalog.create_or_replace(clusters, "surface_clusters")
+        Protocol (single compactor at a time; roll-forward on crash):
+        1. materialize all three merged views into ``.staging`` dirs
+           (readers may merge an EXISTING base, so the write must not
+           replace a table it is reading — staged swap);
+        2. atomically record ``_compaction.json`` naming the delta
+           partitions being folded;
+        3. retire those partitions (marker moves to the retired ledger —
+           resume logic and reads exclude them; data deleted);
+        4. swap staging → final; remove the record.
+        A crash before (2) changes nothing (stale staging is rewritten
+        next time); a crash after (2) rolls FORWARD on the next
+        compact_graph call — retire is idempotent and the staged bases
+        already contain the folded data.  Returns per-table row counts.
+        """
+        import json
+        import os
+
+        record_path = os.path.join(catalog.root, "_compaction.json")
+        if os.path.exists(record_path):
+            self._finish_compaction(catalog, record_path)
+
+        folded = {t: sorted(catalog.committed_partitions(t)) for t in self.DELTA_TABLES}
+        frames = {
+            "kg_edges": self.compacted_edges(self.spark, catalog),
+            "kg_nodes": self.compacted_nodes(catalog),
+            "surface_clusters": self.compacted_surface_clusters(catalog),
+        }
+        for name, df in frames.items():
+            df.write.mode("overwrite").parquet(catalog.table_path(name) + ".staging")
+        tmp = record_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"retire": folded}, f)
+        os.replace(tmp, record_path)  # the compaction commit point
+        self._finish_compaction(catalog, record_path)
         return {
             n: catalog.read_table(self.spark, n).count()
             for n in ("kg_edges", "kg_nodes", "surface_clusters")
         }
+
+    @staticmethod
+    def _finish_compaction(catalog: ParquetTableCatalog, record_path: str) -> None:
+        """Roll a recorded compaction forward: retire the named delta
+        partitions, swap any remaining staged bases, drop the record."""
+        import json
+        import os
+        import shutil
+
+        with open(record_path) as f:
+            folded = json.load(f)["retire"]
+        for t, parts in folded.items():
+            catalog.retire_partitions(t, parts)
+        for name in ("kg_edges", "kg_nodes", "surface_clusters"):
+            staging = catalog.table_path(name) + ".staging"
+            if os.path.isdir(staging):
+                final = catalog.table_path(name)
+                shutil.rmtree(final, ignore_errors=True)
+                os.rename(staging, final)
+        os.remove(record_path)
 
     def compacted_surface_clusters(self, catalog: ParquetTableCatalog) -> DataFrame:
         """Canonicalization over the ledgered path: re-aggregate the
@@ -538,10 +616,28 @@ class KGPipeline:
         bucket-decomposable (a cluster can span buckets), so the deltas
         make the clustering's INPUT incremental — cardinality ≪ mentions
         — while the clustering itself is a global compaction-time step;
-        equals surface_clusters over the union of the source batches."""
-        distinct = (
-            catalog.read_committed(self.spark, "surface_deltas")
-            .groupBy("surface")
-            .agg(F.min("entity_id").alias("entity_id"))
+        equals surface_clusters over the union of the source batches.  A
+        compacted BASE (if any) contributes its (surface, entity_id)
+        rows to the distinct set before clustering — min is
+        union-compatible, so generations compose."""
+        parts = []
+        try:
+            parts.append(
+                catalog.read_committed(self.spark, "surface_deltas").select(
+                    "surface", "entity_id"
+                )
+            )
+        except FileNotFoundError:
+            pass
+        base = self._base_table(self.spark, catalog, "surface_clusters")
+        if base is not None:
+            parts.append(base.select("surface", "entity_id"))
+        if not parts:
+            raise FileNotFoundError(
+                "no committed surface_deltas and no surface_clusters base"
+            )
+        allsurf = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        distinct = allsurf.groupBy("surface").agg(
+            F.min("entity_id").alias("entity_id")
         )
         return self._cluster_surfaces(distinct)

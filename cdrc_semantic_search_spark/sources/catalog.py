@@ -59,12 +59,47 @@ class ParquetTableCatalog:
     def _marker_path(self, name: str, partition: str) -> str:
         return os.path.join(self._ledger_dir(name), f"{partition}.json")
 
+    def _retired_dir(self, name: str) -> str:
+        return os.path.join(self.root, "_ledger_retired", name)
+
     # ---- DDL / writes ----------------------------------------------------
     def create_or_replace(self, df: DataFrame, name: str) -> None:
         """K2 analog: full-table replace (reference `overwrite=true`,
         /root/reference/src/datastore.py:88-95)."""
         df.write.mode("overwrite").parquet(self.table_path(name))
         shutil.rmtree(self._ledger_dir(name), ignore_errors=True)
+
+    def replace_table_staged(self, df: DataFrame, name: str) -> None:
+        """create_or_replace that is safe when ``df`` READS the table it
+        replaces (self-overwrite, e.g. compaction folding deltas into an
+        existing base): materialize to a staging dir first, then swap."""
+        staging = self.table_path(name) + ".staging"
+        df.write.mode("overwrite").parquet(staging)
+        final = self.table_path(name)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(staging, final)
+        shutil.rmtree(self._ledger_dir(name), ignore_errors=True)
+
+    def retire_partitions(self, name: str, partitions: list[str]) -> None:
+        """Retire delta partitions that were folded into a base table: the
+        commit marker MOVES to the retired ledger (lineage preserved; the
+        partition stops being 'committed' so reads exclude it and resume
+        logic won't re-run it), then the data is deleted.  Marker-first
+        ordering means a crash mid-retire leaves an invisible partition,
+        never a double-counted one."""
+        os.makedirs(self._retired_dir(name), exist_ok=True)
+        for p in partitions:
+            marker = self._marker_path(name, p)
+            if not os.path.exists(marker):
+                continue
+            os.replace(marker, os.path.join(self._retired_dir(name), f"{p}.json"))
+            shutil.rmtree(self._partition_path(name, p), ignore_errors=True)
+
+    def retired_partitions(self, name: str) -> set[str]:
+        d = self._retired_dir(name)
+        if not os.path.isdir(d):
+            return set()
+        return {f[:-5] for f in os.listdir(d) if f.endswith(".json")}
 
     def overwrite_partition(
         self,
@@ -138,7 +173,9 @@ class ParquetTableCatalog:
         return out
 
     def uncommitted(self, name: str, all_partitions: list[str]) -> list[str]:
-        """Resume set = all − committed (the reference's changed-file diff,
-        /root/reference/src/query_api.py:55-70, as a set difference)."""
-        done = self.committed_partitions(name)
+        """Resume set = all − committed − retired (the reference's
+        changed-file diff, /root/reference/src/query_api.py:55-70, as a
+        set difference; retired partitions were folded into a base table
+        by compaction — re-running them would double-count on read)."""
+        done = self.committed_partitions(name) | self.retired_partitions(name)
         return [p for p in all_partitions if p not in done]

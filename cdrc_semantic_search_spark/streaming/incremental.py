@@ -78,7 +78,11 @@ def stream_triples(
     if with_graph:
         done = catalog.committed_partitions(table)
         gaps = {
-            t: sorted(done - catalog.committed_partitions(t))
+            t: sorted(
+                done
+                - catalog.committed_partitions(t)
+                - catalog.retired_partitions(t)  # folded into a base by compaction
+            )
             for t in ("edge_deltas", "node_deltas", "surface_deltas")
         }
         gaps = {t: ps for t, ps in gaps.items() if ps}

@@ -118,12 +118,31 @@ def test_graph_deltas_resume_no_double_count(spark, fixture, spark_fixture, tmp_
     }
     assert clusters == want_clusters
 
-    # compaction rewrites the merged views as base tables
+    # generational compaction: deltas fold into base tables and retire
     counts = pipe.compact_graph(cat)
     assert counts["kg_edges"] == len(edges)
     assert counts["kg_nodes"] == len(nodes)
     assert counts["surface_clusters"] == len(clusters)
-    assert cat.read_table(spark, "kg_edges").count() == len(edges)
+    for t in KGPipeline.DELTA_TABLES:
+        assert cat.committed_partitions(t) == set()
+        assert cat.retired_partitions(t) == {"0", "1", "2", "3"}
+
+    # resume after retirement must NOT re-run folded buckets (that would
+    # double-count on read)
+    assert pipe.run_partitioned(tdf, cat, with_graph=True) == []
+
+    # merge-on-read now serves from the base alone and still equals the
+    # full rebuild
+    edges_after = {
+        (r.subj_entity_id, r.pred, r.obj_entity_id): (r.weight, r.first_ts, r.last_ts)
+        for r in KGPipeline.compacted_edges(spark, cat).collect()
+    }
+    assert edges_after == want
+    nodes_after = {
+        r.entity_id: (r.canonical_name, r.entity_type, r.n_mentions)
+        for r in pipe.compacted_nodes(cat).collect()
+    }
+    assert nodes_after == want_nodes
 
 
 def test_graph_deltas_stale_snapshot_recommits_triples(

@@ -89,6 +89,63 @@ def test_streamed_graph_deltas_equal_batch_rebuild(
     assert clusters == want_clusters
 
 
+def test_streamed_generational_compaction(spark, fixture, spark_fixture, tmp_path):
+    """Two ingest waves with a compaction between them: wave-1 deltas fold
+    into base tables and retire; wave-2 micro-batches open the next delta
+    generation; merge-on-read over base ⊕ new deltas equals the one-shot
+    batch rebuild over ALL turns."""
+    tdf, _ = spark_fixture
+    convs = sorted(r.conv_id for r in tdf.select("conv_id").distinct().collect())
+    cut = convs[len(convs) // 2]
+    wave1 = tdf.filter(F.col("conv_id") < cut)
+    wave2 = tdf.filter(F.col("conv_id") >= cut)
+
+    src = str(tmp_path / "gen_src")
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    cat = ParquetTableCatalog(str(tmp_path / "gen_cat"))
+    ckpt = str(tmp_path / "gen_ckpt")
+
+    wave1.repartition(4).write.mode("append").parquet(src)
+    incremental.stream_triples(spark, pipe, src, cat, ckpt, with_graph=True)
+    gen1 = set(cat.committed_partitions("edge_deltas"))
+    assert gen1
+
+    pipe.compact_graph(cat)
+    assert cat.committed_partitions("edge_deltas") == set()
+    assert cat.retired_partitions("edge_deltas") == gen1
+
+    wave2.repartition(4).write.mode("append").parquet(src)
+    # the retired-generation check must not trip on folded batches
+    incremental.stream_triples(spark, pipe, src, cat, ckpt, with_graph=True)
+    assert cat.committed_partitions("edge_deltas")  # generation 2 is live
+
+    edges = {
+        (r.subj_entity_id, r.pred, r.obj_entity_id): (r.weight, r.first_ts, r.last_ts)
+        for r in KGPipeline.compacted_edges(spark, cat).collect()
+    }
+    want = {
+        (r.subj_entity_id, r.pred, r.obj_entity_id): (r.weight, r.first_ts, r.last_ts)
+        for r in pipe.kg_edges(pipe.triples(tdf)).collect()
+    }
+    assert edges == want
+
+    nodes = {r.entity_id: r.n_mentions for r in pipe.compacted_nodes(cat).collect()}
+    want_nodes = {
+        r.entity_id: r.n_mentions for r in pipe.kg_nodes(pipe.mentions(tdf)).collect()
+    }
+    assert nodes == want_nodes
+
+    clusters = {
+        r.surface: (r.canonical_surface, r.entity_id)
+        for r in pipe.compacted_surface_clusters(cat).collect()
+    }
+    want_clusters = {
+        r.surface: (r.canonical_surface, r.entity_id)
+        for r in pipe.surface_clusters(pipe.mentions(tdf)).collect()
+    }
+    assert clusters == want_clusters
+
+
 def test_stream_stream_join_bounded_state(spark, spark_fixture, transcript_dir, tmp_path):
     """Turns join their conversation's registration event within the lag
     bound; a registration far in the past joins nothing (the event-time
