@@ -378,7 +378,22 @@ class KGPipeline:
             # a stale bucket recommits EVERY table, not just the missing
             # ones: its surviving deltas were derived from the old
             # snapshot, so keeping them would mix source versions within
-            # one bucket (the exact inconsistency this guard exists for)
+            # one bucket (the exact inconsistency this guard exists for).
+            # If any of its deltas were already RETIRED into a base,
+            # recommitting would double-count on merge-on-read and the old
+            # contribution can't be subtracted — refuse loudly.
+            folded_stale = {
+                t: sorted(stale & catalog.retired_partitions(t))
+                for t in tables
+            }
+            folded_stale = {t: ps for t, ps in folded_stale.items() if ps}
+            if folded_stale:
+                raise ValueError(
+                    "source moved for buckets whose deltas were already "
+                    f"compacted into the base: {folded_stale}. Updating a "
+                    "compacted graph for changed source needs retraction "
+                    "(not implemented) — rebuild the graph catalog instead."
+                )
             for t in tables:
                 todo_by_table[t] |= stale
         todo = [p for p in all_parts if any(p in todo_by_table[t] for t in tables)]
@@ -479,9 +494,16 @@ class KGPipeline:
 
     @staticmethod
     def _base_table(spark: SparkSession, catalog: ParquetTableCatalog, name: str):
-        """The compacted base table if a prior compact_graph wrote one."""
+        """The compacted base table if a prior compact_graph wrote one.
+
+        Gated on the generation marker compact_graph maintains: a table
+        with the same name written by materialize()/create_or_replace is
+        a FULL rebuild, not a generational base — merging it with deltas
+        that cover the same data would double every count."""
         import os
 
+        if not os.path.exists(KGPipeline._gen_marker_path(catalog)):
+            return None
         path = catalog.table_path(name)
         if os.path.isdir(path) and any(
             f.endswith(".parquet") for f in os.listdir(path)
@@ -496,6 +518,7 @@ class KGPipeline:
         still-committed deltas via merge_edge_deltas — equals the full
         rebuild by the merge algebra.  With no base, just the delta
         aggregation; with no live deltas, just the base."""
+        KGPipeline._check_readable(catalog)
         delta = None
         try:
             delta = (
@@ -523,6 +546,7 @@ class KGPipeline:
         join restores zero-mention entities, and a compacted BASE (if
         any) folds in via merge_node_deltas — equals kg_nodes over the
         union of the deltas' source batches across generations."""
+        self._check_readable(catalog)
         fresh = None
         try:
             counts = (
@@ -543,6 +567,19 @@ class KGPipeline:
         return fresh
 
     DELTA_TABLES = ("edge_deltas", "node_deltas", "surface_deltas")
+    BASE_TABLES = ("kg_edges", "kg_nodes", "surface_clusters")
+
+    @staticmethod
+    def _gen_marker_path(catalog: ParquetTableCatalog) -> str:
+        import os
+
+        return os.path.join(catalog.root, "_graph_generations.json")
+
+    @staticmethod
+    def _record_path(catalog: ParquetTableCatalog) -> str:
+        import os
+
+        return os.path.join(catalog.root, "_compaction.json")
 
     def compact_graph(self, catalog: ParquetTableCatalog) -> dict[str, int]:
         """Generational compaction: fold the current delta generation
@@ -554,23 +591,31 @@ class KGPipeline:
            (readers may merge an EXISTING base, so the write must not
            replace a table it is reading — staged swap);
         2. atomically record ``_compaction.json`` naming the delta
-           partitions being folded;
-        3. retire those partitions (marker moves to the retired ledger —
-           resume logic and reads exclude them; data deleted);
-        4. swap staging → final; remove the record.
+           partitions being folded — the compaction commit point;
+        3. swap staging → final, then retire the folded partitions
+           (marker moves to the retired ledger; data deleted), bump the
+           generation marker, remove the record.
         A crash before (2) changes nothing (stale staging is rewritten
-        next time); a crash after (2) rolls FORWARD on the next
-        compact_graph call — retire is idempotent and the staged bases
-        already contain the folded data.  Returns per-table row counts.
-        """
+        next time); after (2) the NEXT compact_graph or compacted read
+        rolls FORWARD — swaps are skip-if-done and retire is idempotent.
+        Between (2) and the cleanup, compacted reads RAISE (the record's
+        presence gates them) instead of serving a half-compacted state.
+        No-op when there are no live deltas and a base generation already
+        exists.  Returns per-table row counts."""
         import json
         import os
 
-        record_path = os.path.join(catalog.root, "_compaction.json")
+        record_path = self._record_path(catalog)
         if os.path.exists(record_path):
             self._finish_compaction(catalog, record_path)
 
         folded = {t: sorted(catalog.committed_partitions(t)) for t in self.DELTA_TABLES}
+        if not any(folded.values()) and os.path.exists(self._gen_marker_path(catalog)):
+            # nothing to fold — skip three full-table rewrite jobs
+            return {
+                n: catalog.read_table(self.spark, n).count()
+                for n in self.BASE_TABLES
+            }
         frames = {
             "kg_edges": self.compacted_edges(self.spark, catalog),
             "kg_nodes": self.compacted_nodes(catalog),
@@ -585,28 +630,54 @@ class KGPipeline:
         self._finish_compaction(catalog, record_path)
         return {
             n: catalog.read_table(self.spark, n).count()
-            for n in ("kg_edges", "kg_nodes", "surface_clusters")
+            for n in self.BASE_TABLES
         }
 
-    @staticmethod
-    def _finish_compaction(catalog: ParquetTableCatalog, record_path: str) -> None:
-        """Roll a recorded compaction forward: retire the named delta
-        partitions, swap any remaining staged bases, drop the record."""
+    @classmethod
+    def _finish_compaction(cls, catalog: ParquetTableCatalog, record_path: str) -> None:
+        """Roll a recorded compaction forward: swap any staged bases, then
+        retire the named delta partitions, bump the generation marker,
+        drop the record.  Swap-before-retire means the folded data is
+        never absent from BOTH places; the reader gate (the record's
+        existence) covers the double-present window in between."""
         import json
         import os
         import shutil
 
         with open(record_path) as f:
             folded = json.load(f)["retire"]
-        for t, parts in folded.items():
-            catalog.retire_partitions(t, parts)
-        for name in ("kg_edges", "kg_nodes", "surface_clusters"):
+        for name in cls.BASE_TABLES:
             staging = catalog.table_path(name) + ".staging"
             if os.path.isdir(staging):
                 final = catalog.table_path(name)
                 shutil.rmtree(final, ignore_errors=True)
                 os.rename(staging, final)
+        for t, parts in folded.items():
+            catalog.retire_partitions(t, parts)
+        gen_path = cls._gen_marker_path(catalog)
+        gen = 0
+        if os.path.exists(gen_path):
+            with open(gen_path) as f:
+                gen = json.load(f).get("generation", 0)
+        tmp = gen_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"generation": gen + 1}, f)
+        os.replace(tmp, gen_path)
         os.remove(record_path)
+
+    @classmethod
+    def _check_readable(cls, catalog: ParquetTableCatalog) -> None:
+        """Compacted reads are gated on no compaction being in flight:
+        between the compaction commit point and its cleanup, deltas and
+        bases can double-represent the folded generation."""
+        import os
+
+        if os.path.exists(cls._record_path(catalog)):
+            raise RuntimeError(
+                "a graph compaction is in flight (or crashed mid-way) on "
+                f"{catalog.root}; call compact_graph to roll it forward "
+                "before reading the compacted graph"
+            )
 
     def compacted_surface_clusters(self, catalog: ParquetTableCatalog) -> DataFrame:
         """Canonicalization over the ledgered path: re-aggregate the
@@ -620,6 +691,7 @@ class KGPipeline:
         compacted BASE (if any) contributes its (surface, entity_id)
         rows to the distinct set before clustering — min is
         union-compatible, so generations compose."""
+        self._check_readable(catalog)
         parts = []
         try:
             parts.append(

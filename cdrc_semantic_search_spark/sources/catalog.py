@@ -69,17 +69,6 @@ class ParquetTableCatalog:
         df.write.mode("overwrite").parquet(self.table_path(name))
         shutil.rmtree(self._ledger_dir(name), ignore_errors=True)
 
-    def replace_table_staged(self, df: DataFrame, name: str) -> None:
-        """create_or_replace that is safe when ``df`` READS the table it
-        replaces (self-overwrite, e.g. compaction folding deltas into an
-        existing base): materialize to a staging dir first, then swap."""
-        staging = self.table_path(name) + ".staging"
-        df.write.mode("overwrite").parquet(staging)
-        final = self.table_path(name)
-        shutil.rmtree(final, ignore_errors=True)
-        os.rename(staging, final)
-        shutil.rmtree(self._ledger_dir(name), ignore_errors=True)
-
     def retire_partitions(self, name: str, partitions: list[str]) -> None:
         """Retire delta partitions that were folded into a base table: the
         commit marker MOVES to the retired ledger (lineage preserved; the
@@ -90,9 +79,12 @@ class ParquetTableCatalog:
         os.makedirs(self._retired_dir(name), exist_ok=True)
         for p in partitions:
             marker = self._marker_path(name, p)
-            if not os.path.exists(marker):
-                continue
-            os.replace(marker, os.path.join(self._retired_dir(name), f"{p}.json"))
+            if os.path.exists(marker):
+                os.replace(
+                    marker, os.path.join(self._retired_dir(name), f"{p}.json")
+                )
+            # delete data even if the marker already moved (a crash between
+            # the move and this delete must not orphan the bytes forever)
             shutil.rmtree(self._partition_path(name, p), ignore_errors=True)
 
     def retired_partitions(self, name: str) -> set[str]:
@@ -117,6 +109,12 @@ class ParquetTableCatalog:
         ``metrics_fn`` (if given) is called AFTER the data actions ran —
         the hook for ``Observation`` metrics collected during the write.
         """
+        if partition in self.retired_partitions(name):
+            raise ValueError(
+                f"{name}/{partition} was retired by compaction (folded into "
+                "a base table); re-committing it would double-count on "
+                "merge-on-read. Replays need a fresh catalog."
+            )
         path = self._partition_path(name, partition)
         # write FIRST, then count the written files: counting the input
         # DataFrame up front would execute the (possibly expensive) plan

@@ -90,8 +90,9 @@ def stream_triples(
             raise ValueError(
                 f"graph deltas missing for already-checkpointed batches: {gaps}. "
                 "The stream checkpoint will not re-deliver those batches; "
-                "rebuild the catalog (or replay the source with a fresh "
-                "checkpoint) to get a complete compacted graph."
+                "replay the source into a FRESH catalog (re-committing into "
+                "this one is refused once partitions are retired) to get a "
+                "complete compacted graph."
             )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

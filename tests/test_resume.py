@@ -181,3 +181,35 @@ def test_triples_deterministic_under_repartition(spark, fixture, spark_fixture):
     a = pipe.triples(tdf.repartition(2)).select(*KEY)
     b = pipe.triples(tdf.repartition(16, "conv_id")).select(*KEY)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_retired_partition_recommit_refused(spark, tmp_path):
+    """Re-committing a retired partition would double-count on
+    merge-on-read (the retired data lives in a base table) — refused."""
+    import pytest
+
+    cat = ParquetTableCatalog(str(tmp_path / "cr"))
+    df = spark.range(3)
+    cat.overwrite_partition(df, "edge_deltas", "0")
+    cat.retire_partitions("edge_deltas", ["0"])
+    with pytest.raises(ValueError, match="retired"):
+        cat.overwrite_partition(df, "edge_deltas", "0")
+
+
+def test_full_rebuild_table_not_mistaken_for_base(spark, tmp_path):
+    """A kg_edges table written by materialize()/create_or_replace is a
+    FULL rebuild covering the same data as the deltas — without the
+    generation marker compact_graph maintains, compacted_edges must
+    ignore it (merging would double every weight)."""
+    from datetime import datetime
+
+    cat = ParquetTableCatalog(str(tmp_path / "cb"))
+    edge = spark.createDataFrame(
+        [("E1", "p", "E2", 5, datetime(2026, 1, 1), datetime(2026, 1, 2))],
+        "subj_entity_id string, pred string, obj_entity_id string, "
+        "weight long, first_ts timestamp, last_ts timestamp",
+    )
+    cat.create_or_replace(edge, "kg_edges")  # materialize-style full table
+    cat.overwrite_partition(edge, "edge_deltas", "0")
+    rows = KGPipeline.compacted_edges(spark, cat).collect()
+    assert len(rows) == 1 and rows[0].weight == 5  # 5, not 10
