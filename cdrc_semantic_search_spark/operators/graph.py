@@ -224,3 +224,171 @@ def bfs_distances(
     finally:
         und.unpersist()
     return visited
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Link-prediction feature scores for NON-adjacent vertex pairs that
+    share ≥1 neighbor → (v, w, common_cnt, jaccard, adamic_adar), v < w.
+
+    The KG consumer: rank candidate entity-entity edges the extractor has
+    NOT yet observed (common_cnt = co-occurrence through shared partners,
+    Adamic-Adar down-weights promiscuous hubs) — the classic "suggest a
+    missing relation" stage after graph materialization.
+
+    Plan: one wedge self-join on the shared-neighbor CENTER vertex, one
+    aggregation per candidate pair, one anti-join against the existing
+    edge set, two broadcast-size degree annotations. Every operation is
+    key-partitioned; nothing is all-pairs.
+
+    Scale note: a center of degree d yields C(d,2) wedge rows, so hub
+    centers dominate the join fan-out (the same skew triangle counting
+    dodges by orientation — unavailable here because BOTH wedge endpoints
+    must survive for every pair). The standard mitigation at 100 TB is
+    ``max_center_degree``: drop centers above a cap before the self-join.
+    A hub shared by everything contributes ≈0 Adamic-Adar weight
+    (1/ln d → 0) and inflates every pair's common_cnt equally, so capping
+    changes rankings far less than it cuts cost; with the default None
+    the result is exact.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("n")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("n"))
+    )
+    # degree of every vertex (also the center weight for Adamic-Adar)
+    deg = sym.groupBy(F.col("u").alias("v")).agg(F.count(F.lit(1)).alias("deg")).persist()
+    centers = sym.select(F.col("n").alias("c"), F.col("u").alias("e"))
+    if max_center_degree is not None:
+        keep = deg.filter(F.col("deg") <= max_center_degree).select(
+            F.col("v").alias("c")
+        )
+        centers = centers.join(keep, "c")
+    centers = centers.join(
+        deg.select(F.col("v").alias("c"), F.col("deg").alias("c_deg")), "c"
+    )
+    s1 = centers.select("c", F.col("e").alias("v"), "c_deg")
+    s2 = centers.select("c", F.col("e").alias("w"))
+    pairs = (
+        s1.join(s2, "c")
+        .filter(F.col("v") < F.col("w"))
+        .groupBy("v", "w")
+        .agg(
+            F.count(F.lit(1)).alias("common_cnt"),
+            F.sum(F.lit(1.0) / F.log(F.col("c_deg").cast("double"))).alias(
+                "adamic_adar"
+            ),
+        )
+    )
+    # link prediction scores only pairs NOT already connected
+    pairs = pairs.join(
+        und.select(F.col("a").alias("v"), F.col("b").alias("w")),
+        ["v", "w"],
+        "left_anti",
+    )
+    dv = deg.select(F.col("v"), F.col("deg").alias("deg_v"))
+    dw = deg.select(F.col("v").alias("w"), F.col("deg").alias("deg_w"))
+    return (
+        pairs.join(dv, "v")
+        .join(dw, "w")
+        .select(
+            "v",
+            "w",
+            "common_cnt",
+            (
+                F.col("common_cnt")
+                / (F.col("deg_v") + F.col("deg_w") - F.col("common_cnt"))
+            ).alias("jaccard"),
+            "adamic_adar",
+        )
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration personalized PageRank (random walk with restart to
+    a SEED set) → (id, rank).
+
+    rank_{t+1}(v) = (1-d)·s(v) + d · Σ_{u→v} rank_t(u)/outdeg(u),
+    s(v) = 1/|S| for seed vertices, else 0; rank_0 = s.
+
+    The KG consumer: relatedness of every entity to a query entity set
+    (seeded at the linked mentions of one conversation, PPR ranks the
+    entities most relevant to it — the standard graph-expansion retrieval
+    step). Same per-iteration plan shape as :func:`pagerank_fixed` — one
+    key-partitioned join of the persisted out-degree-annotated edge list
+    with the current rank vector, one map-side-combined sum, one
+    broadcast-size restart add — with the restart vector a LEFT join
+    against the (tiny, broadcast) seed set instead of a global constant.
+    Dangling mass leaks, as in pagerank_fixed, so a chained-CTE DuckDB
+    oracle reproduces it exactly (modulo 1e-15 → ROUND(,6)).
+
+    ``seeds`` is a one-column DataFrame ``id``; seeds absent from the
+    graph still restart mass onto themselves (they are added to the
+    vertex set), matching the walk-with-restart definition.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    s = seeds.select(F.col("id")).distinct().persist()
+    n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("seeds must contain at least one vertex")
+    v = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .unionByName(s.select("id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+    fanout = e.join(deg, "src").persist()
+    restart = v.join(
+        F.broadcast(s.withColumn("is_seed", F.lit(True))), "id", "left"
+    ).select(
+        "id",
+        F.when(F.col("is_seed"), F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0))
+        .alias("s"),
+    ).persist()
+    ranks = restart.select("id", F.col("s").alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            fanout.join(ranks, fanout["src"] == ranks["id"])
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = restart.join(contrib, "id", "left").select(
+            "id",
+            (
+                (1.0 - damping) * F.col("s")
+                + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint()
+    return ranks

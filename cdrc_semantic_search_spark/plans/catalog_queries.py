@@ -2241,6 +2241,127 @@ def graph_triangles(spark, sf_dir):
     return triangle_count(edges)
 
 
+@register(
+    "graph_linkpred_scores",
+    """
+    WITH e0 AS (
+        SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS a,
+                        GREATEST(a.l_suppkey, b.l_suppkey) AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_orderkey < 200 AND b.l_orderkey < 200
+    ),
+    sym AS (SELECT a AS u, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+    deg AS (SELECT u AS vid, COUNT(*) AS deg FROM sym GROUP BY u),
+    pairs AS (
+        SELECT s1.u AS v, s2.u AS w, COUNT(*) AS common_cnt,
+               SUM(1.0 / LN(d.deg)) AS aa
+        FROM sym s1 JOIN sym s2 ON s1.n = s2.n AND s1.u < s2.u
+             JOIN deg d ON d.vid = s1.n
+        GROUP BY 1, 2
+    ),
+    nonadj AS (
+        SELECT p.* FROM pairs p
+        WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = p.v AND e0.b = p.w)
+    )
+    SELECT n.v, n.w, CAST(n.common_cnt AS BIGINT) AS common_cnt,
+           ROUND(n.common_cnt * 1.0 / (dv.deg + dw.deg - n.common_cnt), 6)
+               AS jaccard,
+           ROUND(n.aa, 6) AS adamic_adar
+    FROM nonadj n JOIN deg dv ON dv.vid = n.v JOIN deg dw ON dw.vid = n.w
+    """,
+)
+def graph_linkpred_scores(spark, sf_dir):
+    """Link prediction over the supplier co-occurrence graph: score every
+    non-adjacent supplier pair sharing ≥1 partner by common-neighbour
+    count, Jaccard, and Adamic-Adar (operators/graph.link_prediction_scores)
+    — the "suggest a missing relation" consumer of the materialized entity
+    graph. Oracle unrolls the wedge join + anti-join in plain SQL."""
+    from cdrc_semantic_search_spark.operators.graph import link_prediction_scores
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 200").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+    out = link_prediction_scores(edges)
+    return out.select(
+        "v",
+        "w",
+        "common_cnt",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
+@register(
+    "graph_ppr_relatedness",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_suppkey AS src, 1000 + l_partkey % 100 AS dst
+        FROM lineitem
+        WHERE l_orderkey < 300 AND l_suppkey <> 1000 + l_partkey % 100
+    ),
+    seeds AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(id)),
+    v AS (SELECT src AS id FROM e UNION SELECT dst FROM e
+          UNION SELECT id FROM seeds),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+    rs AS (
+        SELECT v.id,
+               CASE WHEN seeds.id IS NOT NULL THEN 1.0 / 3 ELSE 0.0 END AS s
+        FROM v LEFT JOIN seeds ON seeds.id = v.id
+    ),
+    r0 AS (SELECT id, s AS rank FROM rs),
+    r1 AS (
+        SELECT rs.id, 0.15 * rs.s + 0.85 * COALESCE(agg.c, 0) AS rank
+        FROM rs LEFT JOIN (
+            SELECT e.dst AS id, SUM(r0.rank / deg.outdeg) AS c
+            FROM e JOIN deg ON deg.src = e.src JOIN r0 ON r0.id = e.src
+            GROUP BY e.dst
+        ) agg ON agg.id = rs.id
+    ),
+    r2 AS (
+        SELECT rs.id, 0.15 * rs.s + 0.85 * COALESCE(agg.c, 0) AS rank
+        FROM rs LEFT JOIN (
+            SELECT e.dst AS id, SUM(r1.rank / deg.outdeg) AS c
+            FROM e JOIN deg ON deg.src = e.src JOIN r1 ON r1.id = e.src
+            GROUP BY e.dst
+        ) agg ON agg.id = rs.id
+    ),
+    r3 AS (
+        SELECT rs.id, 0.15 * rs.s + 0.85 * COALESCE(agg.c, 0) AS rank
+        FROM rs LEFT JOIN (
+            SELECT e.dst AS id, SUM(r2.rank / deg.outdeg) AS c
+            FROM e JOIN deg ON deg.src = e.src JOIN r2 ON r2.id = e.src
+            GROUP BY e.dst
+        ) agg ON agg.id = rs.id
+    )
+    SELECT id, ROUND(rank, 6) AS rank FROM r3
+    """,
+)
+def graph_ppr_relatedness(spark, sf_dir):
+    """Personalized PageRank (random walk with restart) from a 3-supplier
+    seed set over the supplier→part-bucket graph — entity relatedness to a
+    query set, the graph-expansion retrieval step after linking
+    (operators/graph.personalized_pagerank). Oracle unrolls the three
+    restart iterations as chained CTEs, like graph_pagerank."""
+    from cdrc_semantic_search_spark.operators.graph import personalized_pagerank
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    seeds = spark.range(1, 4).select(F.col("id"))
+    out = personalized_pagerank(edges, seeds, n_iter=3, damping=0.85)
+    return out.select("id", F.round("rank", 6).alias("rank"))
+
+
 @register("kg_triples_fixture", value_oracles.lazy("kg_triples_fixture"))
 def kg_triples_fixture(spark, sf_dir):
     """The KG pipeline end-to-end on the deterministic transcript fixture.

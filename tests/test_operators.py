@@ -336,6 +336,62 @@ def test_pagerank_fixed_symmetry_and_sink_gain(spark):
     assert sum(r.values()) <= 1.0 + 1e-9
 
 
+def test_link_prediction_scores_hand_graph(spark):
+    """Square 1-2-3-4-1: the two diagonals (1,3) and (2,4) are the only
+    non-adjacent pairs, each with 2 common neighbours of degree 2 →
+    jaccard 1.0, adamic_adar 2/ln2; adjacent pairs never appear; a
+    degree cap below 2 removes every center and empties the result."""
+    import math
+
+    from cdrc_semantic_search_spark.operators.graph import link_prediction_scores
+
+    sq = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    rows = {(r.v, r.w): r for r in link_prediction_scores(sq).collect()}
+    assert set(rows) == {(1, 3), (2, 4)}
+    for r in rows.values():
+        assert r.common_cnt == 2
+        assert abs(r.jaccard - 1.0) < 1e-12
+        assert abs(r.adamic_adar - 2.0 / math.log(2)) < 1e-12
+
+    assert link_prediction_scores(sq, max_center_degree=1).count() == 0
+
+
+def test_personalized_pagerank_restart_and_seed_mass(spark):
+    """Chain 1→2→3 seeded at 1: mass decays with distance from the seed
+    (unlike global pagerank, where downstream accumulates); an isolated
+    seed still holds its restart mass; n_iter=0 returns the restart
+    vector; empty seeds raise."""
+    import pytest as _pytest
+
+    from cdrc_semantic_search_spark.operators.graph import personalized_pagerank
+
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "id long")
+    r = {row.id: row.rank for row in personalized_pagerank(chain, seeds).collect()}
+    assert r[1] > r[2] > r[3] >= 0.0
+    assert sum(r.values()) <= 1.0 + 1e-9
+
+    lonely = spark.createDataFrame([(99,)], "id long")
+    r = {
+        row.id: row.rank
+        for row in personalized_pagerank(chain, lonely, n_iter=2).collect()
+    }
+    assert abs(r[99] - 0.15) < 1e-12  # restart mass only, walk mass leaked
+
+    r0 = {
+        row.id: row.rank
+        for row in personalized_pagerank(chain, seeds, n_iter=0).collect()
+    }
+    assert r0 == {1: 1.0, 2: 0.0, 3: 0.0}
+
+    with _pytest.raises(ValueError):
+        personalized_pagerank(
+            chain, spark.createDataFrame([], "id long"), n_iter=1
+        )
+
+
 def test_stratified_sample_exact_quotas_and_determinism(spark):
     """Every stratum yields exactly ceil(n*frac) rows; the member SET is
     stable across repartitioning; bad fractions raise."""
