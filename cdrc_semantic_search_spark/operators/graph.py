@@ -392,3 +392,74 @@ def personalized_pagerank(
         )
         ranks = ranks.localCheckpoint()
     return ranks
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """Maximal k-core of an undirected graph → (id, core_deg): the
+    largest vertex subset in which every member keeps ≥ k neighbours
+    INSIDE the subset, with each survivor's within-core degree.
+
+    The KG consumer: densely-corroborated entity subgraphs — peeling
+    weakly-connected entities (extraction noise, one-off mentions) until
+    only mutually-reinforcing structure remains, the graph analogue of a
+    frequency floor.
+
+    Iterative peeling to fixpoint: each round semi-joins the symmetrized
+    edge list to the surviving vertex set on BOTH endpoints, recomputes
+    degrees (one map-side-combined count), and drops vertices below k.
+    Rounds = peeling depth (bounded by the degeneracy ordering length,
+    typically ≪ |V|); each round is two key-partitioned joins + one
+    aggregation, checkpointed so round N never re-optimizes 1..N-1.
+    The convergence probe rides the checkpoint action's count — the same
+    no-extra-job discipline as connected_components.  Unlike
+    connected_components, an early exit on ``max_rounds`` cannot return a
+    wrong answer silently — it raises.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("n")).union(
+        und.select(F.col("b").alias("u"), F.col("a").alias("n"))
+    ).persist()
+    alive = sym.select(F.col("u").alias("id")).distinct().localCheckpoint()
+    n_alive = alive.count()
+    try:
+        for _ in range(max_rounds):
+            deg = (
+                sym.join(alive.withColumnRenamed("id", "u"), "u")
+                .join(alive.withColumnRenamed("id", "n"), "n")
+                .groupBy("u")
+                .agg(F.count(F.lit(1)).alias("core_deg"))
+            )
+            survivors = (
+                deg.filter(F.col("core_deg") >= k)
+                .select(F.col("u").alias("id"), "core_deg")
+                .localCheckpoint()
+            )
+            n_next = survivors.count()
+            if n_next == n_alive:
+                return survivors.select("id", F.col("core_deg").cast("long"))
+            alive = survivors.select("id")
+            n_alive = n_next
+            if n_alive == 0:
+                return survivors.select("id", F.col("core_deg").cast("long"))
+        raise RuntimeError(
+            f"k_core did not converge within {max_rounds} rounds"
+        )
+    finally:
+        sym.unpersist()
+        und.unpersist()

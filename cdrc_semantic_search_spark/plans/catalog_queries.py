@@ -2362,6 +2362,63 @@ def graph_ppr_relatedness(spark, sf_dir):
     return out.select("id", F.round("rank", 6).alias("rank"))
 
 
+def _kcore_oracle_sql(k: int = 2, rounds: int = 10) -> str:
+    """Unrolled peeling oracle for graph_kcore: each CTE round recomputes
+    within-survivor degrees and drops vertices below k. Peeling is
+    idempotent once converged, so unrolling MORE rounds than the true
+    peeling depth (7 at sf0.01) is safe — extra rounds are no-ops."""
+    # AS MATERIALIZED: every round is referenced twice (both join sides);
+    # DuckDB inlines plain CTEs, which would expand the chain 2^rounds-fold
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey AS a, 10000 + l_partkey AS b
+        FROM lineitem WHERE l_orderkey < 200
+    ),
+    sym AS MATERIALIZED (SELECT a AS u, b AS n FROM e0 UNION ALL SELECT b, a FROM e0),
+    a0 AS MATERIALIZED (SELECT DISTINCT u FROM sym)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    a{i} AS MATERIALIZED (
+        SELECT u FROM (
+            SELECT s.u, COUNT(*) AS d
+            FROM sym s JOIN a{i - 1} x ON x.u = s.u
+                       JOIN a{i - 1} y ON y.u = s.n
+            GROUP BY s.u
+        ) WHERE d >= {k}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT s.u AS id, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM sym s JOIN a{rounds} x ON x.u = s.u
+               JOIN a{rounds} y ON y.u = s.n
+    GROUP BY s.u
+    """
+    )
+    return "".join(parts)
+
+
+@register("graph_kcore", _kcore_oracle_sql)
+def graph_kcore(spark, sf_dir):
+    """Maximal 2-core of the bipartite supplier↔part graph (l_orderkey
+    < 200): peel weakly-connected vertices to fixpoint, keep each
+    survivor's within-core degree (operators/graph.k_core) — the
+    extraction-noise trim over materialized entity graphs. At sf0.01 the
+    peel runs 7 rounds, 725 → 152 vertices; the oracle unrolls 10
+    idempotent rounds of the same recurrence."""
+    from cdrc_semantic_search_spark.operators.graph import k_core
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 200")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(10000) + F.col("l_partkey")).alias("dst"),
+    )
+    return k_core(edges, k=2)
+
+
 @register("kg_triples_fixture", value_oracles.lazy("kg_triples_fixture"))
 def kg_triples_fixture(spark, sf_dir):
     """The KG pipeline end-to-end on the deterministic transcript fixture.

@@ -392,6 +392,31 @@ def test_personalized_pagerank_restart_and_seed_mass(spark):
         )
 
 
+def test_k_core_peels_to_fixpoint(spark):
+    """Triangle + pendant: the 2-core is exactly the triangle (degree 2
+    each); k=3 empties the graph; a path needs cascading rounds and a
+    too-small max_rounds raises instead of returning the torn state."""
+    import pytest as _pytest
+
+    from cdrc_semantic_search_spark.operators.graph import k_core
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    rows = {r.id: r.core_deg for r in k_core(tri, k=2).collect()}
+    assert rows == {1: 2, 2: 2, 3: 2}
+    assert k_core(tri, k=3).count() == 0
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    assert k_core(path, k=2).count() == 0  # cascades end-inward
+    with _pytest.raises(RuntimeError):
+        k_core(path, k=2, max_rounds=2)
+    with _pytest.raises(ValueError):
+        k_core(path, k=0)
+
+
 def test_stratified_sample_exact_quotas_and_determinism(spark):
     """Every stratum yields exactly ceil(n*frac) rows; the member SET is
     stable across repartitioning; bad fractions raise."""
