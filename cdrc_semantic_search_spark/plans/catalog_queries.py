@@ -2922,6 +2922,109 @@ def q17_small_quantity_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(l_extendedprice AS DECIMAL(15,4))
+                   * (1 - CAST(l_discount AS DECIMAL(8,4)))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(r.total_rev, 4) AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: revenue-per-supplier view + scalar-MAX subquery
+    (the reference's "best match wins" idiom at table scale). The max is
+    aggregated to a 1-row frame and broadcast back — no global window
+    (a Window.partitionBy() over everything would funnel the whole
+    revenue table through one task). Ties all survive, as in SQL;
+    the equality compares exact decimals, so it cannot drift."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(8,4)"))
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    sup = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == mx["max_rev"])
+        .join(sup, sup["s_suppkey"] == rev["supplier_no"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_rev", 4).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 4)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-AND predicates spanning both join sides.
+    The single-side conjuncts are factored out so they PUSH DOWN below
+    the join (part: brand ∈ the three brands ∧ size ≤ 15; lineitem:
+    quantity ≤ 30) — Catalyst does this constraint propagation for the
+    common conjuncts; stating the residual OR once post-join keeps the
+    semantics. The part side shrinks to a broadcast after its filter."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    )
+    j = li.filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)).join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5)
+         & (F.col("l_quantity") <= 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#34")
+           & (F.col("l_quantity") >= 20))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(15,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(8,4)"))
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
 _SQL_SURFACE = """
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,

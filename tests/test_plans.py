@@ -178,3 +178,27 @@ def test_bucketed_table_join_skips_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_q19_disjunction_pushes_single_side_conjuncts(spark):
+    """The factored single-side conjuncts of the OR-of-AND predicate must
+    reach both parquet scans as pushed filters, and the filtered part
+    side must broadcast."""
+    from cdrc_semantic_search_spark.plans.catalog_queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q19_disjunctive_revenue"].fn(spark, SF))
+    assert "In(p_brand" in plan  # part-side brand set pushed to scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan  # lineitem side
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q15_max_is_broadcast_not_global_window(spark):
+    """The scalar MAX must come back as a broadcast join, never a global
+    single-partition window sort."""
+    from cdrc_semantic_search_spark.plans.catalog_queries import REGISTRY
+
+    plan = plan_of(REGISTRY["q15_top_supplier"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
