@@ -2550,6 +2550,65 @@ def kg_edges_ledgered(spark, sf_dir):
     return KGPipeline.compacted_edges(spark, catalog).drop("first_ts", "last_ts")
 
 
+@register("kg_edges_temporal", value_oracles.lazy("kg_edges_temporal"))
+def kg_edges_temporal(spark, sf_dir):
+    """Temporal knowledge graph: the kg_edges rollup WITH its activity
+    span ([first_ts, last_ts] per edge) — the validity-interval view that
+    time-scoped queries ("what did we know about X in March") filter on.
+    Twin recomputes the span from the pure-Python triples joined back to
+    turn timestamps; TIMESTAMP literals ride the VALUES oracle."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities, Settings())
+    return pipe.kg_edges(pipe.triples(tdf))
+
+
+@register("kg_two_hop_paths", value_oracles.lazy("kg_two_hop_paths"))
+def kg_two_hop_paths(spark, sf_dir):
+    """Relation composition over the fixture graph: collapse edges across
+    predicates to (subj, obj, w), then one self-join on the midpoint
+    gives every a→mid→c path (a≠c) with n_mids distinct midpoints and
+    path_weight = Σ w1·w2 — the 2-hop reachability query KG consumers
+    run for indirect-association mining. One key-partitioned self-join +
+    one aggregation; the twin enumerates paths in plain dicts."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities, Settings())
+    # no persist: the harness collects after return (see kg_edges_incremental);
+    # at fixture scale recomputing the collapsed edge agg per join branch is
+    # cheaper than pinning blocks for the whole run
+    e = (
+        pipe.triples(tdf)
+        .groupBy(
+            F.col("subj_entity_id").alias("a"),
+            F.col("obj_entity_id").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    e1 = e.select(F.col("a"), F.col("c").alias("mid"), F.col("w").alias("w1"))
+    e2 = e.select(F.col("a").alias("mid"), F.col("c"), F.col("w").alias("w2"))
+    return (
+        e1.join(e2, "mid")
+        .filter(F.col("a") != F.col("c"))
+        .groupBy(
+            F.col("a").alias("subj_entity_id"),
+            F.col("c").alias("obj_entity_id"),
+        )
+        .agg(
+            F.countDistinct("mid").alias("n_mids"),
+            F.sum(F.col("w1") * F.col("w2")).alias("path_weight"),
+        )
+    )
+
+
 # =====================================================================
 # §2.10 incremental / event-time
 # =====================================================================

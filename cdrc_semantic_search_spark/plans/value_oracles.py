@@ -67,6 +67,10 @@ def _lit(v, typ: str) -> str:
             # literal — fail loudly rather than emit unparseable SQL
             raise ValueError("NUL byte in VARCHAR oracle literal")
         return "'" + s.replace("'", "''") + "'"
+    if typ == "TIMESTAMP":
+        # fixture timestamps are second-resolution; str(pd.Timestamp)
+        # renders 'YYYY-MM-DD HH:MM:SS', which both engines parse exactly
+        return f"'{v}'"
     if typ == "DOUBLE":
         f = float(v)
         if math.isnan(f):
@@ -521,5 +525,87 @@ def _kg_edges_values() -> str:
             ("pred", "VARCHAR"),
             ("obj_entity_id", "VARCHAR"),
             ("weight", "BIGINT"),
+        ],
+    )
+
+
+def _fixture_triples_with_ts():
+    """Fixture triples twin joined back to each turn's timestamp — the
+    temporal twins need per-observation event times, which the triple
+    twin deliberately omits (P/R compares keys only)."""
+    from cdrc_semantic_search_spark import fixtures
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    pdf = _fixture_triples()
+    ts = fx.transcripts[["conv_id", "turn_idx", "ts"]]
+    return pdf.merge(ts, on=["conv_id", "turn_idx"], how="left")
+
+
+@_register("kg_edges_temporal")
+def _kg_edges_temporal_values() -> str:
+    """Temporal-extent twin: weight + [first_ts, last_ts] activity span
+    per edge — the validity-interval view of the knowledge graph."""
+    pdf = _fixture_triples_with_ts()
+    agg = (
+        pdf.groupby(["subj_entity_id", "pred", "obj_entity_id"])
+        .agg(weight=("ts", "size"), first_ts=("ts", "min"), last_ts=("ts", "max"))
+        .reset_index()
+    )
+    rows = [
+        (
+            r.subj_entity_id,
+            r.pred,
+            r.obj_entity_id,
+            int(r.weight),
+            str(r.first_ts),
+            str(r.last_ts),
+        )
+        for r in agg.itertuples(index=False)
+    ]
+    return values_sql(
+        rows,
+        [
+            ("subj_entity_id", "VARCHAR"),
+            ("pred", "VARCHAR"),
+            ("obj_entity_id", "VARCHAR"),
+            ("weight", "BIGINT"),
+            ("first_ts", "TIMESTAMP"),
+            ("last_ts", "TIMESTAMP"),
+        ],
+    )
+
+
+@_register("kg_two_hop_paths")
+def _kg_two_hop_values() -> str:
+    """Relation-composition twin: collapse fixture edges across
+    predicates to (subj, obj, w), then enumerate two-hop paths
+    a→mid→c (a≠c) in plain dicts — n_mids distinct midpoints and
+    path_weight = Σ w1·w2 per (a, c) pair."""
+    pdf = _fixture_triples()
+    w: dict[tuple[str, str], int] = {}
+    for r in pdf.itertuples(index=False):
+        k = (r.subj_entity_id, r.obj_entity_id)
+        w[k] = w.get(k, 0) + 1
+    out_adj: dict[str, list[tuple[str, int]]] = {}
+    for (a, b), wt in w.items():
+        out_adj.setdefault(a, []).append((b, wt))
+    paths: dict[tuple[str, str], tuple[set, int]] = {}
+    for (a, mid), w1 in w.items():
+        for c, w2 in out_adj.get(mid, []):
+            if a == c:
+                continue
+            mids, pw = paths.setdefault((a, c), (set(), 0))
+            mids.add(mid)
+            paths[(a, c)] = (mids, pw + w1 * w2)
+    rows = [
+        (a, c, len(mids), pw) for (a, c), (mids, pw) in paths.items()
+    ]
+    return values_sql(
+        rows,
+        [
+            ("subj_entity_id", "VARCHAR"),
+            ("obj_entity_id", "VARCHAR"),
+            ("n_mids", "BIGINT"),
+            ("path_weight", "BIGINT"),
         ],
     )
