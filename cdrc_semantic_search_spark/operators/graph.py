@@ -84,13 +84,56 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
 
-def pagerank_fixed(
+def build_pagerank_fanout(
     edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """The static per-run input of :func:`pagerank_fixed`: normalized
+    edges annotated with their source's total outgoing strength →
+    (src, dst, w, strength).
+
+    Returned UNMATERIALIZED so the caller picks the storage that fits the
+    scale: ``.persist()`` for a cache-sized graph (what pagerank_fixed
+    does internally), or — at 100 TB, where executor storage cannot hold
+    the edge list — written ONCE as a table bucketed by ``src``
+    (``.write.bucketBy(n, "src").sortBy("src").saveAsTable(...)``) and
+    passed back via ``pagerank_fixed(fanout=spark.table(...))``: every
+    iteration's fanout⋈ranks join then reads the buckets in place and
+    only the (|V|-sized) rank vector shuffles, instead of re-exchanging
+    the (|E|-sized) edge side per iteration. The same bucketed layout is
+    reusable across runs and by any src-keyed consumer.
+    """
+    if weight:
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .filter(F.col("w") > 0)  # NULL/non-positive weights carry no mass
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))  # duplicate edges sum their weights
+        )
+    else:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .withColumn("w", F.lit(1.0))  # duplicate edges collapse to one
+        )
+    deg = e.groupBy("src").agg(F.sum("w").alias("strength"))
+    return e.join(deg, "src")
+
+
+def pagerank_fixed(
+    edges: DataFrame | None = None,
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 3,
     damping: float = 0.85,
     weight: str | None = None,
+    fanout: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration simplified PageRank → (id, rank).
 
@@ -112,34 +155,27 @@ def pagerank_fixed(
 
     ``N`` (vertex count) is a driver-side scalar — one cheap distinct
     count over ids, the same class of action as IVF's centroid sample.
+
+    ``fanout``: a pre-built :func:`build_pagerank_fanout` frame — pass a
+    bucketed-by-src table here at scales where the edge list cannot live
+    in executor storage (see build_pagerank_fanout's docstring); storage
+    is then entirely the caller's, nothing is persisted here. Mutually
+    exclusive with ``edges``.
     """
-    if weight:
-        e = (
-            edges.select(
-                F.col(src).alias("src"),
-                F.col(dst).alias("dst"),
-                F.col(weight).cast("double").alias("w"),
-            )
-            .filter(F.col("w") > 0)  # NULL/non-positive weights carry no mass
-            .groupBy("src", "dst")
-            .agg(F.sum("w").alias("w"))  # duplicate edges sum their weights
-        )
+    if (edges is None) == (fanout is None):
+        raise ValueError("pass exactly one of edges or fanout")
+    if fanout is not None:
+        fanout = fanout.select("src", "dst", "w", "strength")
     else:
-        e = (
-            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-            .distinct()
-            .withColumn("w", F.lit(1.0))  # duplicate edges collapse to one
-        )
+        # built here → cache it: every iteration re-reads it
+        fanout = build_pagerank_fanout(edges, src, dst, weight).persist()
     v = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
+        fanout.select(F.col("src").alias("id"))
+        .unionByName(fanout.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint()
     )
     n = v.count()
-    deg = e.groupBy("src").agg(F.sum("w").alias("strength"))
-    # static across iterations: annotate each edge with its source strength once
-    fanout = e.join(deg, "src").persist()
     base = (1.0 - damping) / n
     ranks = v.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
