@@ -499,3 +499,86 @@ def k_core(
     finally:
         sym.unpersist()
         und.unpersist()
+
+
+def negative_sample_edges(
+    edges: DataFrame,
+    entities: DataFrame,
+    k: int = 2,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for KG-embedding training →
+    (subj_entity_id, pred, obj_entity_id, neg_idx): for every positive
+    edge, up to ``k`` corrupted tail entities, md5-picked from the entity
+    dim and filtered against the positive set (TransE-style corruption).
+
+    ``entities`` must carry (idx, entity_id) with idx a dense 0..n-1
+    numbering (the caller fixes the ordering — sorting by entity_id makes
+    the sample a pure function of the edge key). Candidates that hit the
+    true tail, the head itself, or ANY positive edge are dropped, not
+    resampled — the yield per edge is ≤ k and the caller sees exactly
+    which slots survived (neg_idx), keeping the output reproducible on
+    any engine (md5 is portable; a rand()-based sampler is neither
+    stable across partitionings nor auditable).
+
+    Plan: explode k slots per edge (map-side), one BROADCAST join against
+    the entity dim (it is the small side by construction), one broadcast
+    anti-join against the positive edge set. The fact side never
+    shuffles.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n = entities.count()
+    if n == 0:
+        raise ValueError("entities must not be empty")
+    slots = edges.select(
+        "subj_entity_id",
+        "pred",
+        "obj_entity_id",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_idx"),
+    )
+    digest = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col("neg_idx").cast("string"),
+            F.lit("|"),
+            F.col("subj_entity_id"),
+            F.lit("|"),
+            F.col("pred"),
+            F.lit("|"),
+            F.col("obj_entity_id"),
+        )
+    )
+    cand = slots.withColumn(
+        "cand_idx",
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % n,
+    )
+    picked = (
+        cand.join(
+            F.broadcast(
+                entities.select(
+                    F.col("idx").alias("cand_idx"),
+                    F.col("entity_id").alias("neg_obj"),
+                )
+            ),
+            "cand_idx",
+        )
+        .filter(
+            (F.col("neg_obj") != F.col("obj_entity_id"))
+            & (F.col("neg_obj") != F.col("subj_entity_id"))
+        )
+    )
+    positives = edges.select(
+        "subj_entity_id", "pred", F.col("obj_entity_id").alias("neg_obj")
+    )
+    return (
+        picked.join(
+            F.broadcast(positives), ["subj_entity_id", "pred", "neg_obj"], "left_anti"
+        )
+        .select(
+            "subj_entity_id",
+            "pred",
+            F.col("neg_obj").alias("obj_entity_id"),
+            "neg_idx",
+        )
+    )

@@ -135,3 +135,58 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> 
     return merged.select(
         *key_cols, *[picked.getField(c).alias(c) for c in value_cols]
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    total: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic domain mixing: a training subset whose composition
+    follows ``weights`` per source — quota_s = ⌊total·w_s⌋ rows from each
+    source, members chosen by md5-bucket rank (tie-broken by key), so the
+    mix is a pure function of (key, salt): stable across runs,
+    partitionings, and engines, and auditable in plain SQL.
+
+    The pre-training corpus composition step (web/reference/code ratios):
+    ``df.sample`` composition drifts run-to-run and with partitioning;
+    this doesn't. Sources absent from ``weights`` are dropped; a source
+    with fewer rows than its quota contributes everything it has (the
+    shortfall is NOT redistributed — the caller sees it in the output
+    counts and decides). Quotas use exact rational arithmetic on the
+    weight's decimal representation — never float multiplication (0.3·N
+    in float64 under-counts for many N).
+
+    One shuffle, on the source column (the window rank); the quota map
+    rides the plan as a literal when-chain (it is driver-side small).
+    """
+    from fractions import Fraction
+
+    if total < 0:
+        raise ValueError(f"total must be >= 0, got {total}")
+    if not weights:
+        raise ValueError("weights must not be empty")
+    wsum = sum(weights.values())
+    if abs(wsum - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {wsum}")
+    quotas: dict[str, int] = {}
+    for name, wt in weights.items():
+        frac = Fraction(str(wt)) * total
+        quotas[name] = frac.numerator // frac.denominator
+    quota_col = F.lit(0)
+    for name, q in quotas.items():
+        quota_col = F.when(F.col(source_col) == name, F.lit(q)).otherwise(
+            quota_col
+        )
+    w = Window.partitionBy(source_col).orderBy(
+        split_bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.filter(F.col(source_col).isin(list(weights)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota_col)
+        .drop("__rn")
+    )

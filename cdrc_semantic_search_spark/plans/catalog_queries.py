@@ -2419,6 +2419,94 @@ def graph_kcore(spark, sf_dir):
     return k_core(edges, k=2)
 
 
+@register(
+    "mix_domain_weighted",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(('0x' || substr(md5('mix|' || doc_id), 1, 8))
+                                 AS UBIGINT) % 10000,
+                            doc_id
+               ) AS rn
+        FROM documents
+        WHERE source IN ('src0', 'src1', 'src2')
+    )
+    SELECT doc_id, source FROM ranked
+    WHERE rn <= CASE source WHEN 'src0' THEN 20
+                            WHEN 'src1' THEN 12
+                            WHEN 'src2' THEN 8
+                            ELSE 0 END
+    """,
+)
+def mix_domain_weighted(spark, sf_dir):
+    """Deterministic domain mixing (operators/split.weighted_mix): a
+    40-row corpus at 50/30/20 source composition, members chosen by
+    md5-bucket rank so the mix is a pure function of doc_id — the
+    pre-training composition step, reproducible on any engine (the
+    oracle re-derives every member)."""
+    from cdrc_semantic_search_spark.operators.split import weighted_mix
+
+    d = load(spark, sf_dir, "documents")
+    out = weighted_mix(
+        d,
+        "source",
+        "doc_id",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total=40,
+    )
+    return out.select("doc_id", "source")
+
+
+@register(
+    "graph_degree_histogram",
+    """
+    WITH e AS (
+        SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS a,
+                        GREATEST(a.l_suppkey, b.l_suppkey) AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        WHERE a.l_orderkey < 200 AND b.l_orderkey < 200
+    ),
+    deg AS (
+        SELECT u, COUNT(*) AS deg
+        FROM (SELECT a AS u FROM e UNION ALL SELECT b FROM e)
+        GROUP BY u
+    )
+    SELECT CAST(deg AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM deg GROUP BY deg
+    """,
+)
+def graph_degree_histogram(spark, sf_dir):
+    """Degree distribution of the supplier co-occurrence graph — the
+    aggregation-of-an-aggregation shape (degree per vertex, then vertex
+    count per degree) every graph health check starts with; hub skew
+    shows up as the heavy tail. Two map-side-combined aggregations, the
+    second over ≤max_degree rows."""
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 200").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sb"))
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("a"), F.col("sb").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("u"))
+        .unionByName(und.select(F.col("b").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_vertices")
+    )
+
+
 @register("kg_triples_fixture", value_oracles.lazy("kg_triples_fixture"))
 def kg_triples_fixture(spark, sf_dir):
     """The KG pipeline end-to-end on the deterministic transcript fixture.
@@ -2606,6 +2694,37 @@ def kg_two_hop_paths(spark, sf_dir):
             F.countDistinct("mid").alias("n_mids"),
             F.sum(F.col("w1") * F.col("w2")).alias("path_weight"),
         )
+    )
+
+
+@register("kg_negative_samples", value_oracles.lazy("kg_negative_samples"))
+def kg_negative_samples(spark, sf_dir):
+    """Deterministic TransE-style negative sampling over the fixture edge
+    set (operators/graph.negative_sample_edges): 2 md5-picked corrupted
+    tails per positive edge, broadcast-joined against the sorted entity
+    dim and anti-joined against the positives — the KG-embedding training
+    data generator, reproducible on any engine."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.operators.graph import negative_sample_edges
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities, Settings())
+    edges = pipe.kg_edges(pipe.triples(tdf)).select(
+        "subj_entity_id", "pred", "obj_entity_id"
+    )
+    ents = sorted(fx.entities.entity_id.tolist())
+    edim = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(ents)], "idx long, entity_id string"
+    )
+    out = negative_sample_edges(edges, edim, k=2)
+    return out.select(
+        "subj_entity_id",
+        "pred",
+        "obj_entity_id",
+        F.col("neg_idx").cast("int").alias("neg_idx"),
     )
 
 

@@ -609,3 +609,42 @@ def _kg_two_hop_values() -> str:
             ("path_weight", "BIGINT"),
         ],
     )
+
+
+@_register("kg_negative_samples")
+def _kg_negative_samples_values() -> str:
+    """Negative-sampling twin: per positive edge, 2 md5-picked corrupted
+    tails from the sorted entity list, dropping hits on the true tail,
+    the head, or any positive edge — plain dict/set arithmetic."""
+    import hashlib
+
+    from cdrc_semantic_search_spark import fixtures
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    pdf = _fixture_triples()
+    edges = sorted(
+        {
+            (r.subj_entity_id, r.pred, r.obj_entity_id)
+            for r in pdf.itertuples(index=False)
+        }
+    )
+    posset = set(edges)
+    ents = sorted(fx.entities.entity_id.tolist())
+    n = len(ents)
+    rows = []
+    for s, p, o in edges:
+        for i in range(2):
+            d = hashlib.md5(f"neg{i}|{s}|{p}|{o}".encode()).hexdigest()
+            cand = ents[int(d[:8], 16) % n]
+            if cand == o or cand == s or (s, p, cand) in posset:
+                continue
+            rows.append((s, p, cand, i))
+    return values_sql(
+        rows,
+        [
+            ("subj_entity_id", "VARCHAR"),
+            ("pred", "VARCHAR"),
+            ("obj_entity_id", "VARCHAR"),
+            ("neg_idx", "INTEGER"),
+        ],
+    )

@@ -417,6 +417,77 @@ def test_k_core_peels_to_fixpoint(spark):
         k_core(path, k=0)
 
 
+def test_weighted_mix_quotas_and_determinism(spark):
+    """Exact floor quotas per source; short sources contribute what they
+    have without redistribution; the member SET survives repartitioning;
+    bad weights raise."""
+    import pytest as _pytest
+
+    from cdrc_semantic_search_spark.operators.split import weighted_mix
+
+    rows = [(f"d{i:03d}", "a") for i in range(30)] + [
+        (f"e{i:03d}", "b") for i in range(4)
+    ] + [(f"x{i:03d}", "junk") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    out = weighted_mix(df, "source", "doc_id", {"a": 0.7, "b": 0.3}, total=20)
+    counts = {r.source: r.cnt for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    # a: floor(20*0.7)=14 of 30; b: floor(20*0.3)=6 but only 4 exist
+    assert counts == {"a": 14, "b": 4}
+
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in weighted_mix(
+            df.repartition(7), "source", "doc_id", {"a": 0.7, "b": 0.3}, total=20
+        ).select("doc_id").collect()
+    }
+    assert ids == ids2
+
+    with _pytest.raises(ValueError):
+        weighted_mix(df, "source", "doc_id", {"a": 0.5}, total=10)
+    with _pytest.raises(ValueError):
+        weighted_mix(df, "source", "doc_id", {"a": 1.0}, total=-1)
+    with _pytest.raises(ValueError):
+        weighted_mix(df, "source", "doc_id", {}, total=10)
+
+
+def test_negative_sample_edges_filters_and_determinism(spark):
+    """Every sample avoids the head, the true tail, and every positive
+    edge; ≤ k per positive; the set is identical across partitionings;
+    bad args raise."""
+    import pytest as _pytest
+
+    from cdrc_semantic_search_spark.operators.graph import negative_sample_edges
+
+    edges = spark.createDataFrame(
+        [("A", "likes", "B"), ("A", "likes", "C"), ("B", "knows", "C")],
+        "subj_entity_id string, pred string, obj_entity_id string",
+    )
+    ents = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(["A", "B", "C", "D", "E"])],
+        "idx long, entity_id string",
+    )
+    out = negative_sample_edges(edges, ents, k=4).collect()
+    positives = {("A", "likes", "B"), ("A", "likes", "C"), ("B", "knows", "C")}
+    per_edge: dict = {}
+    for r in out:
+        assert r.obj_entity_id != r.subj_entity_id
+        assert (r.subj_entity_id, r.pred, r.obj_entity_id) not in positives
+        per_edge.setdefault((r.subj_entity_id, r.pred), 0)
+        per_edge[(r.subj_entity_id, r.pred)] += 1
+    assert all(v <= 8 for v in per_edge.values())  # 2 edges share (A, likes)
+
+    again = negative_sample_edges(edges.repartition(5), ents, k=4).collect()
+    key = lambda r: (r.subj_entity_id, r.pred, r.obj_entity_id, r.neg_idx)
+    assert sorted(map(key, out)) == sorted(map(key, again))
+
+    with _pytest.raises(ValueError):
+        negative_sample_edges(edges, ents, k=0)
+    with _pytest.raises(ValueError):
+        negative_sample_edges(edges, ents.filter("idx < 0"), k=1)
+
+
 def test_stratified_sample_exact_quotas_and_determinism(spark):
     """Every stratum yields exactly ceil(n*frac) rows; the member SET is
     stable across repartitioning; bad fractions raise."""
