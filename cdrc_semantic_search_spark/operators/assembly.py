@@ -107,3 +107,45 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 8) -> Dat
     re-shuffle anyway and AQE skew handling backstops those."""
     salted = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt))
     return df.repartition(num_partitions, F.col("conv_id"), salted)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salts: int,
+    fact_salt_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe big-big equi-join: the fact side salts each row into one
+    of ``n_salts`` lanes (deterministically, from ``fact_salt_cols`` —
+    e.g. the fact's unique id, so the plan is stable across partitionings
+    and reruns), the dim side replicates every row into all lanes, and
+    the join runs on (keys ∪ lane). A hot key's rows then spread over
+    ``n_salts`` reducers instead of funneling into one.
+
+    Result rows are IDENTICAL to the plain join (every fact row still
+    meets every matching dim row, exactly once) — salting changes the
+    exchange, not the semantics — so a plain-join SQL oracle pins it.
+
+    This is the manual fallback for the cases AQE's runtime skew-join
+    cannot rewrite (stream-static joins; skew it cannot observe because
+    the hot key is spread across map outputs) and for when the dim side
+    is too big to broadcast: replication costs n_salts·|dim| shuffle
+    rows, worth it when |fact_hot_key| ≫ n_salts·|dim|. ``how`` supports
+    the fact-preserving joins (inner / left / left_semi / left_anti);
+    dim-preserving joins would see replicated unmatched dim rows.
+    """
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"unsupported how for salted_join: {how}")
+    lane = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact_salt_cols]), F.lit(n_salts)
+    )
+    f = fact.withColumn("__lane", lane)
+    d = dim.withColumn(
+        "__lane",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    return f.join(d, [*on, "__lane"], how).drop("__lane")

@@ -2697,6 +2697,49 @@ def kg_two_hop_paths(spark, sf_dir):
     )
 
 
+@register(
+    "skew3_salted_join",
+    """
+    WITH dim AS (
+        SELECT event_type,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 8) AS DOUBLE)
+                   / COUNT(value) AS type_avg
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, dim.type_avg
+    FROM events e JOIN dim ON dim.event_type = e.event_type
+    WHERE e.event_id < 5000
+    """,
+)
+def skew3_salted_join(spark, sf_dir):
+    """Salted hot-key equi-join (operators/assembly.salted_join): every
+    event key is hot (a handful of event types over the whole fact
+    table), so the fact side salts into 8 lanes keyed on event_id and
+    the dim side replicates — identical rows to the plain join (the
+    oracle), but the exchange spreads each hot key over 8 reducers.
+    The manual fallback where AQE skew-join can't rewrite (stream-static)
+    or the dim side is too big to broadcast."""
+    from cdrc_semantic_search_spark.operators.assembly import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    # exact cross-engine mean: decimal sum → ROUND(,8) → double ÷ count
+    # (a double AVG's value depends on accumulation order)
+    dim = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            (
+                F.round(F.sum(F.col("value").cast("decimal(18,4)")), 8)
+                .cast("double")
+                / F.count("value")
+            ).alias("type_avg")
+        )
+    )
+    fact = ev.filter(F.col("event_id") < 5000).select("event_id", "event_type")
+    out = salted_join(fact, dim, ["event_type"], 8, ["event_id"])
+    return out.select("event_id", "event_type", "type_avg")
+
+
 @register("kg_negative_samples", value_oracles.lazy("kg_negative_samples"))
 def kg_negative_samples(spark, sf_dir):
     """Deterministic TransE-style negative sampling over the fixture edge

@@ -89,3 +89,42 @@ def test_aqe_splits_skewed_join(spark, spark_fixture):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_salted_join_matches_plain_join_and_spreads_lanes(spark):
+    """Row multiset identical to the plain join for every supported join
+    type; the exchange partitions on (key, lane); a hot key actually
+    occupies every lane; bad args raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cdrc_semantic_search_spark.operators.assembly import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(1000)],
+        "row_id long, k string",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1.5), ("cold", 2.5), ("unmatched", 9.9)], "k string, attr double"
+    )
+    key = lambda r: tuple(r)
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        got = salted_join(fact, dim, ["k"], 8, ["row_id"], how=how).collect()
+        want = fact.join(dim, ["k"], how).collect()
+        assert sorted(map(key, got)) == sorted(map(key, want)), how
+
+    lanes = (
+        fact.withColumn("lane", F.pmod(F.xxhash64("row_id"), F.lit(8)))
+        .filter(F.col("k") == "hot")
+        .select("lane").distinct().count()
+    )
+    assert lanes == 8  # the hot key spreads over every lane
+
+    plan = salted_join(fact, dim, ["k"], 8, ["row_id"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "__lane" in plan
+
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], 0, ["row_id"])
+    with _pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], 4, ["row_id"], how="right")
