@@ -164,39 +164,47 @@ def pagerank_fixed(
     """
     if (edges is None) == (fanout is None):
         raise ValueError("pass exactly one of edges or fanout")
+    own_cache = None
     if fanout is not None:
         fanout = fanout.select("src", "dst", "w", "strength")
     else:
-        # built here → cache it: every iteration re-reads it
+        # built here → cache it: every iteration re-reads it (released in
+        # the finally — the returned ranks are checkpointed, so they
+        # never re-read the cache)
         fanout = build_pagerank_fanout(edges, src, dst, weight).persist()
-    v = (
-        fanout.select(F.col("src").alias("id"))
-        .unionByName(fanout.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = v.count()
-    base = (1.0 - damping) / n
-    ranks = v.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(n_iter):
-        contrib = (
-            fanout.join(ranks, fanout["src"] == ranks["id"])
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") * F.col("w") / F.col("strength")).alias("c"),
+        own_cache = fanout
+    try:
+        v = (
+            fanout.select(F.col("src").alias("id"))
+            .unionByName(fanout.select(F.col("dst").alias("id")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n = v.count()
+        base = (1.0 - damping) / n
+        ranks = v.withColumn("rank", F.lit(1.0 / n))
+        for _ in range(n_iter):
+            contrib = (
+                fanout.join(ranks, fanout["src"] == ranks["id"])
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") * F.col("w") / F.col("strength")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("contrib"))
             )
-            .groupBy("id")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = v.join(contrib, "id", "left").select(
-            "id",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("rank"),
-        )
-        ranks = ranks.localCheckpoint()
-    return ranks
+            ranks = v.join(contrib, "id", "left").select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            ranks = ranks.localCheckpoint()
+        return ranks
+    finally:
+        if own_cache is not None:
+            own_cache.unpersist()
 
 
 def bfs_distances(
@@ -267,6 +275,7 @@ def link_prediction_scores(
     src: str = "src",
     dst: str = "dst",
     max_center_degree: int | None = None,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Link-prediction feature scores for NON-adjacent vertex pairs that
     share ≥1 neighbor → (v, w, common_cnt, jaccard, adamic_adar), v < w.
@@ -290,6 +299,11 @@ def link_prediction_scores(
     (1/ln d → 0) and inflates every pair's common_cnt equally, so capping
     changes rankings far less than it cuts cost; with the default None
     the result is exact.
+
+    Persists two internal frames (normalized edges, degrees) that feed
+    multiple plan branches; pass ``cache_handle`` (a list) to receive
+    them and unpersist deterministically once the result is consumed —
+    otherwise they live until the ContextCleaner collects them.
     """
     und = (
         edges.select(
@@ -305,15 +319,16 @@ def link_prediction_scores(
     )
     # degree of every vertex (also the center weight for Adamic-Adar)
     deg = sym.groupBy(F.col("u").alias("v")).agg(F.count(F.lit(1)).alias("deg")).persist()
-    centers = sym.select(F.col("n").alias("c"), F.col("u").alias("e"))
-    if max_center_degree is not None:
-        keep = deg.filter(F.col("deg") <= max_center_degree).select(
-            F.col("v").alias("c")
-        )
-        centers = centers.join(keep, "c")
-    centers = centers.join(
+    if cache_handle is not None:
+        cache_handle.extend([und, deg])
+    # one deg join annotates c_deg; the degree cap is then a filter on it
+    # (a separate semi-join against the capped set would pay a second
+    # exchange of the |2E|-row centers frame for nothing)
+    centers = sym.select(F.col("n").alias("c"), F.col("u").alias("e")).join(
         deg.select(F.col("v").alias("c"), F.col("deg").alias("c_deg")), "c"
     )
+    if max_center_degree is not None:
+        centers = centers.filter(F.col("c_deg") <= max_center_degree)
     s1 = centers.select("c", F.col("e").alias("v"), "c_deg")
     s2 = centers.select("c", F.col("e").alias("w"))
     pairs = (
@@ -408,26 +423,32 @@ def personalized_pagerank(
         .otherwise(F.lit(0.0))
         .alias("s"),
     ).persist()
-    ranks = restart.select("id", F.col("s").alias("rank"))
-    for _ in range(n_iter):
-        contrib = (
-            fanout.join(ranks, fanout["src"] == ranks["id"])
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
+    try:
+        ranks = restart.select("id", F.col("s").alias("rank")).localCheckpoint()
+        for _ in range(n_iter):
+            contrib = (
+                fanout.join(ranks, fanout["src"] == ranks["id"])
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"),
+                )
+                .groupBy("id")
+                .agg(F.sum("c").alias("contrib"))
             )
-            .groupBy("id")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        ranks = restart.join(contrib, "id", "left").select(
-            "id",
-            (
-                (1.0 - damping) * F.col("s")
-                + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("rank"),
-        )
-        ranks = ranks.localCheckpoint()
-    return ranks
+            ranks = restart.join(contrib, "id", "left").select(
+                "id",
+                (
+                    (1.0 - damping) * F.col("s")
+                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            ranks = ranks.localCheckpoint()
+        return ranks
+    finally:
+        # returned ranks are checkpointed — the caches are safe to drop
+        restart.unpersist()
+        fanout.unpersist()
+        s.unpersist()
 
 
 def k_core(
@@ -522,9 +543,12 @@ def negative_sample_edges(
     stable across partitionings nor auditable).
 
     Plan: explode k slots per edge (map-side), one BROADCAST join against
-    the entity dim (it is the small side by construction), one broadcast
-    anti-join against the positive edge set. The fact side never
-    shuffles.
+    the entity dim (it is the small side by construction), then one
+    anti-join against the positive edge set — both sides of which are
+    edge-sized, so it shuffles on (subj, pred, neg_obj); Catalyst/AQE
+    still picks broadcast when the positives fit under the threshold
+    (the fixture case), but nothing here forces a fact-sized broadcast
+    through the driver.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -571,9 +595,12 @@ def negative_sample_edges(
     positives = edges.select(
         "subj_entity_id", "pred", F.col("obj_entity_id").alias("neg_obj")
     )
+    # no broadcast hint: positives are edge-sized — forcing them through
+    # the driver would OOM at real scale; the optimizer broadcasts small
+    # positive sets on its own
     return (
         picked.join(
-            F.broadcast(positives), ["subj_entity_id", "pred", "neg_obj"], "left_anti"
+            positives, ["subj_entity_id", "pred", "neg_obj"], "left_anti"
         )
         .select(
             "subj_entity_id",

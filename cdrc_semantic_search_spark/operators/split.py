@@ -169,6 +169,8 @@ def weighted_mix(
         raise ValueError(f"total must be >= 0, got {total}")
     if not weights:
         raise ValueError("weights must not be empty")
+    if any(wt <= 0 for wt in weights.values()):
+        raise ValueError("every weight must be > 0")
     wsum = sum(weights.values())
     if abs(wsum - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1, got {wsum}")
@@ -181,8 +183,13 @@ def weighted_mix(
         quota_col = F.when(F.col(source_col) == name, F.lit(q)).otherwise(
             quota_col
         )
+    # NULLS LAST explicitly: split_bucket(NULL) is NULL, Spark's default
+    # asc sort puts NULLs FIRST while SQL engines (the audit twin) put
+    # them LAST — NULL-keyed rows must rank last on every engine, only
+    # entering the mix when a quota exceeds the non-NULL rows
     w = Window.partitionBy(source_col).orderBy(
-        split_bucket(F.col(key_col), salt), F.col(key_col)
+        F.asc_nulls_last(split_bucket(F.col(key_col), salt)),
+        F.asc_nulls_last(F.col(key_col)),
     )
     return (
         df.filter(F.col(source_col).isin(list(weights)))

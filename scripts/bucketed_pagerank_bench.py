@@ -143,7 +143,8 @@ def main() -> None:
         json.dump(out, f)
 
     section = render_section(out)
-    bench_md = "/root/repo/BENCH.md"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_md = os.path.join(repo_root, "BENCH.md")
     if os.path.exists(bench_md):
         text = open(bench_md).read()
         marker = "## Bucketed fanout vs re-shuffle"
@@ -161,18 +162,23 @@ def render_section(out: dict) -> str:
     lines = [
         "## Bucketed fanout vs re-shuffle (5-iteration PageRank, "
         f"{out['n_edges']:,} edges)\n",
-        "| fanout storage | wall sec | shuffle-write MB |",
+        "| fanout storage | shuffle-write MB | wall sec |",
         "|---|---|---|",
     ]
     for v in out["variants"]:
         lines.append(
-            f"| {v['variant']} | {v['sec']} | {v['shuffle_write_mb']} |"
+            f"| {v['variant']} | {v['shuffle_write_mb']} | {v['sec']} |"
         )
     lines.append(
-        "\nThe bucketed table removes the per-iteration |E|-side exchange "
-        "(only the rank vector and the dst-keyed contribution aggregation "
-        "shuffle) — the 100-TB strategy, where the memory-cache variant is "
-        "impossible. Methodology: same loop, same session, "
+        "\nShuffle-write bytes are the deterministic metric (identical "
+        "across runs); wall seconds on this host swing up to 3x run-to-run "
+        "(local shuffle rides the page cache, so wall time measures "
+        "scheduler noise more than data movement). The structural win: the "
+        "bucketed table removes the per-iteration |E|-side exchange — only "
+        "the rank vector and the dst-keyed contribution aggregation shuffle "
+        "(plan-pinned in test_bucketing) — the 100-TB strategy, where "
+        "shuffle is network+disk and the memory-cache variant is impossible "
+        "outright. Methodology: same loop, same session, "
         "autoBroadcastJoinThreshold=-1, metrics from the UI REST API.\n"
     )
     return "\n".join(lines)

@@ -132,7 +132,11 @@ def test_bucketed_fanout_pagerank_iteration_skips_edge_exchange(spark, tmp_path_
         want = {
             r.id: r.rank for r in pagerank_fixed(edges, n_iter=2).collect()
         }
-        assert got == want
+        # tolerance, not equality: the two physical plans may sum the
+        # double contributions in different orders (repo convention —
+        # a plain double SUM differs in the last bits across plans)
+        assert set(got) == set(want)
+        assert all(abs(got[i] - want[i]) < 1e-12 for i in got)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_threshold)
         spark.sql("DROP TABLE IF EXISTS pr_fanout_bkt")

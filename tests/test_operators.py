@@ -444,12 +444,25 @@ def test_weighted_mix_quotas_and_determinism(spark):
     }
     assert ids == ids2
 
+    # NULL keys rank LAST (matching SQL engines' NULLS LAST), so they
+    # never enter the mix while non-NULL rows can fill the quota
+    with_nulls = df.union(
+        spark.createDataFrame([(None, "a")] * 5, "doc_id string, source string")
+    )
+    out_n = weighted_mix(
+        with_nulls, "source", "doc_id", {"a": 0.7, "b": 0.3}, total=20
+    )
+    assert out_n.filter("doc_id IS NULL").count() == 0
+    assert out_n.filter("source = 'a'").count() == 14
+
     with _pytest.raises(ValueError):
         weighted_mix(df, "source", "doc_id", {"a": 0.5}, total=10)
     with _pytest.raises(ValueError):
         weighted_mix(df, "source", "doc_id", {"a": 1.0}, total=-1)
     with _pytest.raises(ValueError):
         weighted_mix(df, "source", "doc_id", {}, total=10)
+    with _pytest.raises(ValueError):
+        weighted_mix(df, "source", "doc_id", {"a": 1.5, "b": -0.5}, total=10)
 
 
 def test_negative_sample_edges_filters_and_determinism(spark):
