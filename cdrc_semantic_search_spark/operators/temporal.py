@@ -196,3 +196,76 @@ def hypertable_rollup(
             )
         )
     return out
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "1 hour",
+) -> DataFrame:
+    """Regularize an irregular time series → one row per ``unit`` bucket
+    per group over [min, max] of that group's observed range, with gaps
+    filled by last-observation-carried-forward:
+    (group, bucket_ts, value, is_gap).
+
+    The time-series resample a metrics/monitoring consumer runs over
+    event tables (a dashboard needs a point per hour, not per event).
+    ``value`` is the per-bucket aggregated value where observations
+    exist (caller pre-aggregates — this operator fills, it does not
+    average), carried forward into empty buckets; buckets before a
+    group's first observation cannot exist (the range starts at its
+    first point). ``is_gap`` marks filled rows.
+
+    Plan: one groupBy for each group's [min, max] span, ``sequence()`` +
+    ``explode`` generates the dense bucket spine DISTRIBUTED (never a
+    driver-side loop — a group's spine explodes on its executor), one
+    left join of spine←observations co-partitioned on the group key, one
+    window pass for the carry-forward. Spine size is bounded by
+    span/unit per group; a runaway span (one stuck sensor with a year
+    gap at 1-second units) inflates only its own group's partition —
+    the caller bounds spans upstream.
+    """
+    b = F.date_trunc(_TRUNC_UNIT.get(unit, unit.split()[-1]), F.col(ts_col))
+    obs = (
+        df.select(
+            F.col(group_col).alias("g"),
+            b.alias("bucket_ts"),
+            F.col(value_col).alias("value"),
+        )
+        # one value per bucket: caller pre-aggregates; keep max for
+        # determinism if they did not
+        .groupBy("g", "bucket_ts")
+        .agg(F.max("value").alias("value"))
+    )
+    spans = obs.groupBy("g").agg(
+        F.min("bucket_ts").alias("t0"), F.max("bucket_ts").alias("t1")
+    )
+    spine = spans.select(
+        "g",
+        F.explode(
+            F.sequence("t0", "t1", F.expr(f"INTERVAL {unit}"))
+        ).alias("bucket_ts"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(obs, ["g", "bucket_ts"], "left")
+        .select(
+            F.col("g").alias(group_col),
+            "bucket_ts",
+            F.last("value", ignorenulls=True).over(w).alias("value"),
+            F.col("value").isNull().alias("is_gap"),
+        )
+    )
+
+
+_TRUNC_UNIT = {
+    "1 hour": "hour",
+    "1 day": "day",
+    "1 minute": "minute",
+}

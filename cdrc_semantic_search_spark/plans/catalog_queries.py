@@ -2698,6 +2698,45 @@ def kg_two_hop_paths(spark, sf_dir):
 
 
 @register(
+    "t4_gap_fill_locf",
+    """
+    WITH obs AS (
+        SELECT user_id AS g, date_trunc('hour', ts) AS bucket_ts,
+               MAX(value) AS value
+        FROM events WHERE user_id < 3 AND value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT g, MIN(bucket_ts) AS t0, MAX(bucket_ts) AS t1 FROM obs GROUP BY g
+    ),
+    spine AS (
+        SELECT g, UNNEST(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket_ts
+        FROM spans
+    )
+    SELECT s.g AS user_id, CAST(s.bucket_ts AS TIMESTAMP) AS bucket_ts,
+           LAST_VALUE(o.value IGNORE NULLS) OVER (
+               PARTITION BY s.g ORDER BY s.bucket_ts ROWS UNBOUNDED PRECEDING
+           ) AS value,
+           o.value IS NULL AS is_gap
+    FROM spine s LEFT JOIN obs o ON o.g = s.g AND o.bucket_ts = s.bucket_ts
+    """,
+)
+def t4_gap_fill_locf(spark, sf_dir):
+    """Time-series gap fill (operators/temporal.gap_fill_locf): one row
+    per hour per user over each user's observed span, gaps filled by
+    last-observation-carried-forward — the resample step between raw
+    event tables and anything that assumes a regular grid. The bucket
+    spine is generated DISTRIBUTED (sequence+explode per group), never a
+    driver loop; oracle uses generate_series + IGNORE NULLS window."""
+    from cdrc_semantic_search_spark.operators.temporal import gap_fill_locf
+
+    ev = load(spark, sf_dir, "events").filter(
+        (F.col("user_id") < 3) & F.col("value").isNotNull()
+    )
+    return gap_fill_locf(ev, "user_id", "ts", "value", unit="1 hour")
+
+
+@register(
     "skew3_salted_join",
     """
     WITH dim AS (
@@ -2738,6 +2777,39 @@ def skew3_salted_join(spark, sf_dir):
     fact = ev.filter(F.col("event_id") < 5000).select("event_id", "event_type")
     out = salted_join(fact, dim, ["event_type"], 8, ["event_id"])
     return out.select("event_id", "event_type", "type_avg")
+
+
+@register("kg_type_assortativity", value_oracles.lazy("kg_type_assortativity"))
+def kg_type_assortativity(spark, sf_dir):
+    """Type-pair mixing matrix: triple counts per (subject type, object
+    type) — the schema-level health check on an extracted KG (a spike in
+    tool→tool 'located_in' edges means the linker drifted). Two broadcast
+    joins of the tiny entity dim onto the triples, one aggregation."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities, Settings())
+    triples = pipe.triples(tdf)
+    edim = spark.createDataFrame(
+        fx.entities[["entity_id", "entity_type"]]
+    )
+    st = edim.select(
+        F.col("entity_id").alias("subj_entity_id"),
+        F.col("entity_type").alias("subj_type"),
+    )
+    ot = edim.select(
+        F.col("entity_id").alias("obj_entity_id"),
+        F.col("entity_type").alias("obj_type"),
+    )
+    return (
+        triples.join(F.broadcast(st), "subj_entity_id")
+        .join(F.broadcast(ot), "obj_entity_id")
+        .groupBy("subj_type", "obj_type")
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+    )
 
 
 @register("kg_negative_samples", value_oracles.lazy("kg_negative_samples"))

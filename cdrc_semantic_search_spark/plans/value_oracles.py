@@ -648,3 +648,27 @@ def _kg_negative_samples_values() -> str:
             ("neg_idx", "INTEGER"),
         ],
     )
+
+
+@_register("kg_type_assortativity")
+def _kg_type_assortativity_values() -> str:
+    """Type-pair mixing matrix twin: triple counts per (subject type,
+    object type), from the pure-Python triples joined to the entity dim."""
+    from cdrc_semantic_search_spark import fixtures
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    types = dict(zip(fx.entities.entity_id, fx.entities.entity_type))
+    pdf = _fixture_triples()
+    counts: dict[tuple[str, str], int] = {}
+    for r in pdf.itertuples(index=False):
+        k = (types[r.subj_entity_id], types[r.obj_entity_id])
+        counts[k] = counts.get(k, 0) + 1
+    rows = [(s, o, n) for (s, o), n in counts.items()]
+    return values_sql(
+        rows,
+        [
+            ("subj_type", "VARCHAR"),
+            ("obj_type", "VARCHAR"),
+            ("n_triples", "BIGINT"),
+        ],
+    )

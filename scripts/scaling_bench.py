@@ -233,6 +233,18 @@ results are parallelism-independent (asserted in tests/test_resume.py).
         with open("/root/repo/BENCH.md", "a") as f:
             f.write(cc_bench.render_section(cc_results))
 
+    # same for the bucketed-fanout section (scripts/bucketed_pagerank_bench.py)
+    pr_json = os.path.join(scripts_dir, ".pr_bucket_bench.json")
+    if os.path.exists(pr_json):
+        if scripts_dir not in sys.path:
+            sys.path.insert(0, scripts_dir)
+        import bucketed_pagerank_bench
+
+        with open(pr_json) as f:
+            pr_results = json.load(f)
+        with open("/root/repo/BENCH.md", "a") as f:
+            f.write("\n" + bucketed_pagerank_bench.render_section(pr_results))
+
 
 if __name__ == "__main__":
     main()

@@ -961,3 +961,31 @@ def test_bfs_distances_path_and_cap(spark):
     assert full == {1: 0, 2: 1, 3: 2, 4: 3}  # other component absent
     capped = {r.id: r.dist for r in bfs_distances(edges, sources, 2).collect()}
     assert capped == {1: 0, 2: 1, 3: 2}  # depth cap prunes vertex 4
+
+
+def test_gap_fill_locf_hand_series(spark):
+    """Hours 10:xx and 13:xx observed → spine covers 10..13 with 11 and
+    12 carried forward from 10 and flagged as gaps; groups are
+    independent; a single-point group yields one non-gap row."""
+    from cdrc_semantic_search_spark.operators.temporal import gap_fill_locf
+
+    rows = [
+        (1, "2026-01-01 10:15:00", 5.0),
+        (1, "2026-01-01 10:45:00", 7.0),   # same bucket: max wins
+        (1, "2026-01-01 13:05:00", 2.0),
+        (2, "2026-01-01 03:00:00", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "g int, ts string, value double").select(
+        "g", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = {
+        (r.g, str(r.bucket_ts)): (r.value, r.is_gap)
+        for r in gap_fill_locf(df, "g", "ts", "value").collect()
+    }
+    assert out == {
+        (1, "2026-01-01 10:00:00"): (7.0, False),
+        (1, "2026-01-01 11:00:00"): (7.0, True),
+        (1, "2026-01-01 12:00:00"): (7.0, True),
+        (1, "2026-01-01 13:00:00"): (2.0, False),
+        (2, "2026-01-01 03:00:00"): (9.0, False),
+    }
