@@ -2109,6 +2109,50 @@ def cc_components(spark, sf_dir):
 
 
 @register(
+    "graph_component_sizes",
+    """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT l_suppkey AS a, 1000 + l_partkey % 2000 AS b
+        FROM lineitem WHERE l_orderkey < 80
+    ),
+    sym(a, b) AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(n, m) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+    ),
+    labels AS (
+        SELECT n AS id, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n
+    ),
+    sizes AS (
+        SELECT component, COUNT(*) AS size FROM labels GROUP BY component
+    )
+    SELECT CAST(size AS BIGINT) AS component_size,
+           CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY size
+    """,
+)
+def graph_component_sizes(spark, sf_dir):
+    """Component-size distribution: connected components → size per
+    component → component count per size, the fragmentation health check
+    on canonicalization output (a giant component plus dust is healthy; a
+    flat distribution means the similarity threshold is too tight). Two
+    cheap aggregations composed on the CC kernel's labels; the sparser %2000 bucket graph actually fragments (dozens of components across many sizes at sf0.01)."""
+    from cdrc_semantic_search_spark.operators.canonicalize import connected_components
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 80")
+    edges = li.select(
+        F.col("l_suppkey").alias("id_a"),
+        (F.lit(1000) + F.col("l_partkey") % 2000).alias("id_b"),
+    ).distinct()
+    labels = connected_components(edges)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return sizes.groupBy("component_size").agg(
+        F.count(F.lit(1)).alias("n_components")
+    )
+
+
+@register(
     "graph_bfs_distances",
     """
     WITH RECURSIVE e AS (
@@ -2693,6 +2737,63 @@ def kg_two_hop_paths(spark, sf_dir):
         .agg(
             F.countDistinct("mid").alias("n_mids"),
             F.sum(F.col("w1") * F.col("w2")).alias("path_weight"),
+        )
+    )
+
+
+@register(
+    "doc_mad_outliers",
+    """
+    WITH med AS (
+        SELECT source, quantile_cont(n_chars, 0.5) AS med_chars
+        FROM documents GROUP BY source
+    ),
+    dev AS (
+        SELECT d.source, d.n_chars, m.med_chars,
+               ABS(d.n_chars - m.med_chars) AS absdev
+        FROM documents d JOIN med m ON m.source = d.source
+    ),
+    mad AS (
+        SELECT source, quantile_cont(absdev, 0.5) AS mad_chars FROM dev GROUP BY source
+    )
+    SELECT dev.source,
+           CAST(ANY_VALUE(dev.med_chars) AS DOUBLE) AS med_chars,
+           CAST(ANY_VALUE(mad.mad_chars) AS DOUBLE) AS mad_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN dev.absdev > 3 * mad.mad_chars
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON mad.source = dev.source
+    GROUP BY dev.source
+    """,
+)
+def doc_mad_outliers(spark, sf_dir):
+    """Robust outlier detection for curation: per-source median absolute
+    deviation of document length, counting docs beyond 3·MAD — the
+    outlier filter that, unlike mean±k·σ, a single 100 MB page dump
+    cannot drag. Two grouped exact percentiles (interpolated identically
+    by Spark's percentile and DuckDB's quantile_cont — the a7 invariant)
+    with broadcast joins back onto the facts; every derived double is
+    exact (integer inputs, .5 interpolation), so no rounding is needed."""
+    d = load(spark, sf_dir, "documents").select("source", "n_chars")
+    med = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med_chars")
+    )
+    dev = d.join(F.broadcast(med), "source").withColumn(
+        "absdev", F.abs(F.col("n_chars") - F.col("med_chars"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad_chars")
+    )
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.first("med_chars").alias("med_chars"),
+            F.first("mad_chars").alias("mad_chars"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("absdev") > 3 * F.col("mad_chars"), 1).otherwise(0)
+            ).alias("n_outliers"),
         )
     )
 
