@@ -362,3 +362,192 @@ def topk_cosine_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------- product
+# quantization: the memory-side ANN scale lever (IVF cuts candidates,
+# PQ cuts bytes/candidate — 64-dim float32 → 8 one-byte codes is 32×,
+# letting a 100-TB embedding corpus's scan side live in RAM/cache)
+
+def train_pq_codebooks(
+    sample: np.ndarray,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic per-subspace L2 Lloyd's k-means over a driver-side
+    sample → (m, k, dim/m) float32 codebooks.
+
+    The sample is unit-normalized FIRST (PQ here approximates cosine via
+    inner product over normalized vectors, consistent with the rest of
+    this module); each of the ``m`` contiguous sub-vectors then gets its
+    own k-means. Same training discipline as :func:`train_centroids`:
+    driver-side deterministic sample in, broadcast codebooks out — the
+    codebooks are an INPUT of the distributed operators, so the
+    pure-NumPy oracle twin can share them as specification.
+    """
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = (sample / norms).astype(np.float32)
+    sub = dim // m
+    books = np.zeros((m, k, sub), dtype=np.float32)
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        rng = np.random.default_rng(seed + j)
+        cent = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)].copy()
+        for _ in range(n_iter):
+            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(cent)):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0, dtype=np.float32)
+        books[j, : len(cent)] = cent
+    return books
+
+
+def _pq_luts(q_mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n_q, dim) unit float32 queries → (n_q, m, k) float32 IP lookup
+    tables. Shared specification kernel: the oracle twin calls this SAME
+    function, so the BLAS routine/accumulation order (sgemm per
+    subspace) is identical on both sides — einsum or a differently-shaped
+    matmul could round float32 sums differently."""
+    m, _, sub = books.shape
+    return np.stack(
+        [q_mat[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)],
+        axis=1,
+    ).astype(np.float32)
+
+
+def _pq_codes(v: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) unit-normalized float32 → (n, m) int32 code matrix."""
+    m, _, sub = books.shape
+    codes = np.empty((len(v), m), dtype=np.int32)
+    for j in range(m):
+        xs = v[:, j * sub : (j + 1) * sub]
+        d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1)
+    return codes
+
+
+def pq_encode(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+) -> DataFrame:
+    """Attach PQ codes (map-only, broadcast codebooks) → (id, codes:
+    array<int>). Vectors are unit-normalized before encoding (cosine-IP
+    convention); at scale this frame is what gets MATERIALIZED — m bytes
+    of code per vector instead of 4·dim — and the float vectors are only
+    fetched to re-rank a final candidate page."""
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            codes = _pq_codes(v / n, books)
+            out = pdf[[id_col]].copy()
+            out["codes"] = list(codes)
+            yield out
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, codes array<int>"
+    )
+
+
+def topk_pq_adc(
+    spark,
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation: the corpus
+    is PQ-encoded (map-only), each query builds an (m, k) inner-product
+    lookup table against the codebooks, and a candidate's score is the
+    sum of m table lookups — no float vector is touched on the scan
+    side.
+
+    Physical shape: queries are COLLECTED driver-side and broadcast
+    (they are the small side, same contract as topk_cosine_broadcast);
+    the encoded corpus streams through one map-only stage emitting each
+    partition's per-query top-k only (k rows per query per partition,
+    never the full score matrix), and one final window pass reduces
+    partitions' candidates to the global top-k. The |corpus| side never
+    shuffles; shuffle volume is O(partitions · queries · k).
+
+    Scores are float32 LUT sums (quantization error ≈ subspace
+    reconstruction error); ties and ordering follow (-score, c_id) as
+    everywhere in this module. Exact re-ranking of the final page is the
+    caller's optional second stage (fetch k·r true vectors by id).
+    """
+    q_rows = queries.select(q_id, q_vec).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"{q_id} long, {c_id} long, score double, rank int"
+        )
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float32) for r in q_rows])
+    n = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    q_mat = q_mat / n
+    # (n_q, m, k) inner-product tables: q_sub · codebook entry
+    luts = _pq_luts(q_mat, codebooks)
+    bc = spark.sparkContext.broadcast((q_ids, luts, k))
+    encoded = pq_encode(spark, corpus, c_id, c_vec, codebooks)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, tables, topk = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())  # (n_c, m)
+            cids = pdf[c_id].to_numpy()
+            n_c = len(codes)
+            take = min(topk, n_c)
+            rows = {q_id: [], c_id: [], "score": []}
+            for qi, qid in enumerate(ids):
+                # scores: sum over subspaces of LUT lookups, float32,
+                # fixed m-order — bit-identical to the NumPy twin
+                s = np.zeros(n_c, dtype=np.float32)
+                for j in range(tables.shape[1]):
+                    s += tables[qi, j][codes[:, j]]
+                # lexsort, not argpartition: quantized scores tie for
+                # REAL (duplicate vectors share codes), and a boundary
+                # tie must resolve by c_id here exactly as the global
+                # window will — argpartition's arbitrary boundary pick
+                # could evict the candidate the final tiebreak wants
+                part = np.lexsort((cids, -s))[:take]
+                rows[q_id].extend([qid] * take)
+                rows[c_id].extend(cids[part])
+                rows["score"].extend(s[part].astype(float))
+            yield pd.DataFrame(rows)
+
+    c_id_type = dict(corpus.dtypes)[c_id]
+    q_id_type = dict(queries.dtypes)[q_id]
+    scored = encoded.mapInPandas(
+        scan, schema=f"{q_id} {q_id_type}, {c_id} {c_id_type}, score double"
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -2551,6 +2551,40 @@ def graph_degree_histogram(spark, sf_dir):
     )
 
 
+@register("ann_pq_topk", value_oracles.lazy("ann_pq_topk"))
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/similarity.topk_pq_adc):
+    the corpus scans as 8 one-byte codes per 64-dim vector (32×
+    compression — the memory-side ANN lever, complementing IVF's
+    candidate cut), queries resolve scores through broadcast lookup
+    tables, each partition emits only its per-query top-k. Deterministic
+    end-to-end (seeded per-subspace k-means on the sorted vec_id < 256
+    sample; LUT kernel shared with the pure-NumPy twin so float32 sums
+    are bit-identical), so the oracle is a VALUES literal; recall vs the
+    exact scan is pinned in tests/test_ivf.py."""
+    import numpy as np
+
+    from cdrc_semantic_search_spark.operators.similarity import (
+        topk_pq_adc,
+        train_pq_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [
+            np.asarray(r["embedding"], dtype=np.float32)
+            for r in e.filter("vec_id < 256").orderBy("vec_id").collect()
+        ]
+    )
+    books = train_pq_codebooks(sample, m=8, k=16, seed=42)
+    q = e.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = topk_pq_adc(spark, q, c, books, k=5)
+    return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
+
+
 @register("kg_triples_fixture", value_oracles.lazy("kg_triples_fixture"))
 def kg_triples_fixture(spark, sf_dir):
     """The KG pipeline end-to-end on the deterministic transcript fixture.

@@ -672,3 +672,52 @@ def _kg_type_assortativity_values() -> str:
             ("n_triples", "BIGINT"),
         ],
     )
+
+
+@_register("ann_pq_topk")
+def _ann_pq_values() -> str:
+    """PQ-ADC twin: the codebooks are shared specification (an INPUT of
+    the distributed op, like IVF's centroids); encoding and the ADC scan
+    are re-derived here with plain per-candidate loops over the full
+    corpus — float32 LUT sums in the same fixed subspace order, so the
+    scores are bit-identical before the ROUND(6)."""
+    from cdrc_semantic_search_spark.operators.similarity import (
+        _pq_codes,
+        _pq_luts,
+        train_pq_codebooks,
+    )
+
+    t = _read("embeddings", ["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()]
+    order = np.argsort(np.array(ids))
+    sample = np.stack([vecs[i] for i in order if ids[i] < 256])
+    books = train_pq_codebooks(sample, m=8, k=16, seed=42)
+
+    def unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    corpus = unit(np.stack(vecs).astype(np.float32)).astype(np.float32)
+    codes = _pq_codes(corpus, books)
+    m, k_codes, sub = books.shape
+    rows = []
+    for qi, qid in enumerate(ids):
+        if qid >= 10:
+            continue
+        q = unit(vecs[qi].astype(np.float32).reshape(1, -1)).astype(np.float32)
+        lut = _pq_luts(q, books)[0]  # (m, k), same kernel as the operator
+        scored = []
+        for ci in range(len(corpus)):
+            s = np.float32(0.0)
+            for j in range(m):
+                s += lut[j][codes[ci, j]]
+            scored.append((-float(s), ids[ci]))
+        scored.sort()
+        for rank, (neg, cid) in enumerate(scored[:5], start=1):
+            rows.append((qid, cid, _round_half_up(-neg, 6), rank))
+    return values_sql(
+        rows,
+        [("q_id", "BIGINT"), ("c_id", "BIGINT"), ("score", "DOUBLE"), ("rank", "INTEGER")],
+    )
