@@ -551,3 +551,112 @@ def topk_pq_adc(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def topk_ivfpq(
+    spark,
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """IVF×PQ composition (the FAISS-IVFPQ shape): IVF cuts WHICH
+    candidates are scored (each query probes its ``n_probe`` nearest
+    coarse buckets), PQ cuts WHAT a candidate costs (m one-byte codes +
+    LUT sum instead of a float dot product). Together they are the
+    standard billion-vector recipe — candidates ↓ n_centroids/n_probe,
+    bytes/candidate ↓ 4·dim/m.
+
+    Physical shape: the corpus is bucket-assigned AND PQ-encoded in one
+    map-only pass (at scale: materialized once, bucket-partitioned);
+    queries are collected driver-side (small side) and their LUTs
+    broadcast; scoring runs inside a mapInPandas over each corpus
+    partition, consulting only the queries that probed each row's
+    bucket, and emits per-(partition, query) top-k. One window pass
+    reduces to the global top-k. The corpus side never shuffles.
+
+    Same determinism contract as :func:`topk_pq_adc`: shared LUT/code
+    kernels, float32 LUT sums in fixed subspace order, lexsort + c_id
+    tie-break — partition-invariant, VALUES-oracle-able.
+    """
+    q_rows = queries.select(q_id, q_vec).collect()
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"{q_id} long, {c_id} long, score double, rank int"
+        )
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.stack([np.asarray(r[1], dtype=np.float32) for r in q_rows])
+    n = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    q_mat = (q_mat / n).astype(np.float32)
+    luts = _pq_luts(q_mat, codebooks)
+    p = min(n_probe, len(centroids))
+    sims = q_mat @ centroids.T
+    probed = np.argpartition(-sims, p - 1, axis=1)[:, :p]  # (n_q, p)
+    bc = spark.sparkContext.broadcast((q_ids, luts, probed, k))
+
+    bc_cent = spark.sparkContext.broadcast(centroids)
+    bc_books = spark.sparkContext.broadcast(codebooks)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc_cent.value
+        books = bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf[c_vec].to_numpy()).astype(np.float32)
+            nn = np.linalg.norm(v, axis=1, keepdims=True)
+            nn[nn == 0] = 1.0
+            u = (v / nn).astype(np.float32)
+            out = pdf[[c_id]].copy()
+            out["bucket"] = (u @ cent.T).argmax(axis=1).astype(np.int32)
+            out["codes"] = list(_pq_codes(u, books))
+            yield out
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, tables, probes, topk = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy())
+            buckets = pdf["bucket"].to_numpy()
+            cids = pdf[c_id].to_numpy()
+            present = set(buckets.tolist())
+            rows = {q_id: [], c_id: [], "score": []}
+            for qi in range(len(ids)):
+                want = [int(b) for b in probes[qi] if int(b) in present]
+                if not want:
+                    continue
+                mask = np.isin(buckets, np.asarray(want, dtype=buckets.dtype))
+                sub_codes = codes[mask]
+                sub_ids = cids[mask]
+                s = np.zeros(len(sub_codes), dtype=np.float32)
+                for j in range(tables.shape[1]):
+                    s += tables[qi, j][sub_codes[:, j]]
+                take = min(topk, len(sub_codes))
+                part = np.lexsort((sub_ids, -s))[:take]
+                rows[q_id].extend([ids[qi]] * take)
+                rows[c_id].extend(sub_ids[part])
+                rows["score"].extend(s[part].astype(float))
+            yield pd.DataFrame(rows)
+
+    c_id_type = dict(corpus.dtypes)[c_id]
+    q_id_type = dict(queries.dtypes)[q_id]
+    encoded = corpus.select(c_id, c_vec).mapInPandas(
+        encode, schema=f"{c_id} {c_id_type}, bucket int, codes array<int>"
+    )
+    scored = encoded.mapInPandas(
+        scan, schema=f"{q_id} {q_id_type}, {c_id} {c_id_type}, score double"
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+

@@ -2585,6 +2585,39 @@ def ann_pq_topk(spark, sf_dir):
     return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
 
 
+@register("ann_ivfpq_topk", value_oracles.lazy("ann_ivfpq_topk"))
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF×PQ composition (operators/similarity.topk_ivfpq): coarse
+    buckets cut WHICH candidates are scored, PQ codes cut WHAT each one
+    costs — the standard billion-vector recipe, here as one map-only
+    encode pass + broadcast LUT scan + one top-k window. Same shared
+    deterministic kernels as ann_pq_topk, so the VALUES twin
+    hash-matches; recall composes the two stages' pytest bounds."""
+    import numpy as np
+
+    from cdrc_semantic_search_spark.operators.similarity import (
+        topk_ivfpq,
+        train_centroids,
+        train_pq_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [
+            np.asarray(r["embedding"], dtype=np.float32)
+            for r in e.filter("vec_id < 256").orderBy("vec_id").collect()
+        ]
+    )
+    cent = train_centroids(sample, n_centroids=16, seed=42)
+    books = train_pq_codebooks(sample, m=8, k=16, seed=42)
+    q = e.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = topk_ivfpq(spark, q, c, cent, books, k=5, n_probe=4)
+    return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
+
+
 @register("kg_triples_fixture", value_oracles.lazy("kg_triples_fixture"))
 def kg_triples_fixture(spark, sf_dir):
     """The KG pipeline end-to-end on the deterministic transcript fixture.

@@ -721,3 +721,61 @@ def _ann_pq_values() -> str:
         rows,
         [("q_id", "BIGINT"), ("c_id", "BIGINT"), ("score", "DOUBLE"), ("rank", "INTEGER")],
     )
+
+
+@_register("ann_ivfpq_topk")
+def _ann_ivfpq_values() -> str:
+    """IVF×PQ twin: coarse centroids, codebooks, probe selection, LUTs
+    all shared specification kernels (driver-side inputs of the
+    distributed op); candidate restriction and the ADC scan re-derived
+    with plain dict/loop arithmetic over the probed buckets only."""
+    from cdrc_semantic_search_spark.operators.similarity import (
+        _pq_codes,
+        _pq_luts,
+        train_centroids,
+        train_pq_codebooks,
+    )
+
+    t = _read("embeddings", ["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()]
+    order = np.argsort(np.array(ids))
+    sample = np.stack([vecs[i] for i in order if ids[i] < 256])
+    cent = train_centroids(sample, n_centroids=16, seed=42)
+    books = train_pq_codebooks(sample, m=8, k=16, seed=42)
+
+    def unit(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return m / n
+
+    corpus = unit(np.stack(vecs).astype(np.float32)).astype(np.float32)
+    assign = (corpus @ cent.T).argmax(axis=1)
+    codes = _pq_codes(corpus, books)
+    bucket_members: dict[int, list[int]] = {}
+    for idx, b in enumerate(assign):
+        bucket_members.setdefault(int(b), []).append(idx)
+    p = 4
+    m = books.shape[0]
+    rows = []
+    for qi, qid in enumerate(ids):
+        if qid >= 10:
+            continue
+        q = unit(vecs[qi].astype(np.float32).reshape(1, -1)).astype(np.float32)
+        lut = _pq_luts(q, books)[0]
+        sims = (q @ cent.T)[0]
+        probed = np.argpartition(-sims, p - 1)[:p]
+        scored = []
+        for b in probed:
+            for ci in bucket_members.get(int(b), []):
+                s = np.float32(0.0)
+                for j in range(m):
+                    s += lut[j][codes[ci, j]]
+                scored.append((-float(s), ids[ci]))
+        scored.sort()
+        for rank, (neg, cid) in enumerate(scored[:5], start=1):
+            rows.append((qid, cid, _round_half_up(-neg, 6), rank))
+    return values_sql(
+        rows,
+        [("q_id", "BIGINT"), ("c_id", "BIGINT"), ("score", "DOUBLE"), ("rank", "INTEGER")],
+    )

@@ -100,3 +100,39 @@ def test_pq_adc_recall_and_partition_invariance(spark):
     a1 = approx.sort_values(key).reset_index(drop=True)
     a2 = again.sort_values(key).reset_index(drop=True)
     assert list(a1["c_id"]) == list(a2["c_id"])
+
+
+def test_ivfpq_composes_probe_and_quantization(spark):
+    """IVF×PQ returns ≤k candidates per query drawn only from probed
+    buckets, recalls the cluster neighbours on the many-small-clusters
+    corpus, and is invariant to corpus partitioning."""
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((48, 32)).astype(np.float32) * 3
+    pts = np.vstack(
+        [c + rng.standard_normal((5, 32)).astype(np.float32) * 0.5 for c in centers]
+    )
+    pdf = pd.DataFrame({"vid": range(len(pts)), "vec": [list(map(float, v)) for v in pts]})
+    df = spark.createDataFrame(pdf)
+    cent = similarity.train_centroids(pts, n_centroids=12, seed=42)
+    books = similarity.train_pq_codebooks(pts, m=8, k=16, seed=42)
+
+    q = df.filter("vid < 20").select(F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"))
+    c = df.select(F.col("vid").alias("c_id"), F.col("vec").alias("c_vec"))
+    exact = similarity.topk_cosine_exact(q, c, k=5).toPandas()
+    approx = similarity.topk_ivfpq(spark, q, c, cent, books, k=5, n_probe=4).toPandas()
+
+    hits = 0
+    for qid in range(20):
+        e = set(exact[exact["q_id"] == qid]["c_id"])
+        a = set(approx[approx["q_id"] == qid]["c_id"])
+        assert len(a) <= 5
+        hits += len(e & a)
+    assert hits / (20 * 5) >= 0.8, f"IVFPQ recall {hits / 100}"
+
+    again = similarity.topk_ivfpq(
+        spark, q, c.repartition(6), cent, books, k=5, n_probe=4
+    ).toPandas()
+    key = ["q_id", "rank"]
+    a1 = approx.sort_values(key).reset_index(drop=True)
+    a2 = again.sort_values(key).reset_index(drop=True)
+    assert list(a1["c_id"]) == list(a2["c_id"])
