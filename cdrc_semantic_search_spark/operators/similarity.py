@@ -287,18 +287,24 @@ def ivf_assign(
     vec_col: str,
     centroids: np.ndarray,
 ) -> DataFrame:
-    """Attach the nearest-centroid bucket id (map-only, broadcast matmul)."""
+    """Attach the nearest-centroid bucket id (map-only, broadcast matmul).
+
+    The argmax matmul runs in float64: BLAS results are batch-shape
+    dependent (Arrow batch boundaries move with partitioning), and at
+    float32 a ~1e-7 near-tie between two centroids could flip a vector's
+    bucket across partitionings; at float64 the flip needs a ~1e-16
+    coincidence — the same tolerance class the SQL oracles' ROUND(6)
+    convention already accepts."""
     bc = spark.sparkContext.broadcast(centroids)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cent = bc.value
+        cent = bc.value.astype(np.float64)
         for pdf in batches:
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
-            n = np.linalg.norm(v, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            bucket = ((v / n) @ cent.T).argmax(axis=1).astype(np.int32)
+            u = _unit_rows(v).astype(np.float64)
+            bucket = (u @ cent.T).argmax(axis=1).astype(np.int32)
             out = pdf[[id_col, vec_col]].copy()
             out["bucket"] = bucket
             yield out
@@ -340,10 +346,9 @@ def topk_cosine_ivf(
             if not len(pdf):
                 continue
             v = np.stack(pdf[q_vec].to_numpy()).astype(np.float32)
-            n = np.linalg.norm(v, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            sims = (v / n) @ cent.T
-            top = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            # per-row + float64 probe kernel: batch-shape independent,
+            # shared with the oracle twins (see _probe_sets)
+            top = _probe_sets(_unit_rows(v), cent, p)
             out = pdf.loc[pdf.index.repeat(p), [q_id, q_vec]].reset_index(drop=True)
             out["bucket"] = top.reshape(-1).astype(np.int32)
             yield out
@@ -392,15 +397,17 @@ def train_pq_codebooks(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     if k < 1:
         raise ValueError("k must be >= 1")
-    norms = np.linalg.norm(sample, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    x = (sample / norms).astype(np.float32)
+    x = _unit_rows(sample)
     sub = dim // m
-    books = np.zeros((m, k, sub), dtype=np.float32)
+    # truncate, never zero-pad: a sample smaller than k must not leave
+    # phantom all-zero centroids that _pq_codes would treat as real
+    # (they'd absorb assignments and score 0.0 against every query)
+    k_eff = min(k, len(x))
+    books = np.zeros((m, k_eff, sub), dtype=np.float32)
     for j in range(m):
         xs = x[:, j * sub : (j + 1) * sub]
         rng = np.random.default_rng(seed + j)
-        cent = xs[rng.choice(len(xs), size=min(k, len(xs)), replace=False)].copy()
+        cent = xs[rng.choice(len(xs), size=k_eff, replace=False)].copy()
         for _ in range(n_iter):
             d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d.argmin(axis=1)
@@ -408,21 +415,50 @@ def train_pq_codebooks(
                 members = xs[assign == c]
                 if len(members):
                     cent[c] = members.mean(axis=0, dtype=np.float32)
-        books[j, : len(cent)] = cent
+        books[j] = cent
     return books
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    """Row-wise unit normalization, float32, zero rows kept as zeros —
+    the ONE normalization discipline for every ANN kernel in this module
+    (and the oracle twins, which import it)."""
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return (m / n).astype(np.float32)
 
 
 def _pq_luts(q_mat: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(n_q, dim) unit float32 queries → (n_q, m, k) float32 IP lookup
     tables. Shared specification kernel: the oracle twin calls this SAME
-    function, so the BLAS routine/accumulation order (sgemm per
-    subspace) is identical on both sides — einsum or a differently-shaped
-    matmul could round float32 sums differently."""
+    function; each query row is multiplied SEPARATELY ((1, sub) @
+    (sub, k)) because BLAS results are shape-dependent — a batched sgemm
+    over n_q rows rounds float32 sums differently than the twin's
+    one-query call would, and a ~1 ulp difference near a ROUND(6)
+    boundary would break the VALUES hash."""
     m, _, sub = books.shape
-    return np.stack(
-        [q_mat[:, j * sub : (j + 1) * sub] @ books[j].T for j in range(m)],
-        axis=1,
-    ).astype(np.float32)
+    out = np.empty((len(q_mat), m, books.shape[1]), dtype=np.float32)
+    for qi in range(len(q_mat)):
+        row = q_mat[qi : qi + 1]
+        for j in range(m):
+            out[qi, j] = (row[:, j * sub : (j + 1) * sub] @ books[j].T)[0]
+    return out
+
+
+def _probe_sets(
+    q_mat: np.ndarray, centroids: np.ndarray, p: int
+) -> np.ndarray:
+    """(n_q, p) int probe buckets, one (1, dim) @ (dim, n_cent) matmul
+    per query row — shared specification kernel, per-row for the same
+    shape-dependence reason as :func:`_pq_luts`; float64 so a near-tie
+    at the p-th bucket needs a ~1e-16 coincidence to flip."""
+    c64 = centroids.astype(np.float64)
+    p = min(p, len(centroids))
+    out = np.empty((len(q_mat), p), dtype=np.int64)
+    for qi in range(len(q_mat)):
+        sims = (q_mat[qi : qi + 1].astype(np.float64) @ c64.T)[0]
+        out[qi] = np.argpartition(-sims, p - 1)[:p]
+    return out
 
 
 def _pq_codes(v: np.ndarray, books: np.ndarray) -> np.ndarray:
@@ -456,9 +492,7 @@ def pq_encode(
             if not len(pdf):
                 continue
             v = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
-            n = np.linalg.norm(v, axis=1, keepdims=True)
-            n[n == 0] = 1.0
-            codes = _pq_codes(v / n, books)
+            codes = _pq_codes(_unit_rows(v), books)
             out = pdf[[id_col]].copy()
             out["codes"] = list(codes)
             yield out
@@ -499,16 +533,18 @@ def topk_pq_adc(
     everywhere in this module. Exact re-ranking of the final page is the
     caller's optional second stage (fetch k·r true vectors by id).
     """
+    q_id_type = dict(queries.dtypes)[q_id]
+    c_id_type = dict(corpus.dtypes)[c_id]
     q_rows = queries.select(q_id, q_vec).collect()
     if not q_rows:
+        # same schema as the non-empty path, not hardcoded long ids
         return spark.createDataFrame(
-            [], f"{q_id} long, {c_id} long, score double, rank int"
+            [], f"{q_id} {q_id_type}, {c_id} {c_id_type}, score double, rank int"
         )
     q_ids = [r[0] for r in q_rows]
-    q_mat = np.stack([np.asarray(r[1], dtype=np.float32) for r in q_rows])
-    n = np.linalg.norm(q_mat, axis=1, keepdims=True)
-    n[n == 0] = 1.0
-    q_mat = q_mat / n
+    q_mat = _unit_rows(
+        np.stack([np.asarray(r[1], dtype=np.float32) for r in q_rows])
+    )
     # (n_q, m, k) inner-product tables: q_sub · codebook entry
     luts = _pq_luts(q_mat, codebooks)
     bc = spark.sparkContext.broadcast((q_ids, luts, k))
@@ -541,8 +577,6 @@ def topk_pq_adc(
                 rows["score"].extend(s[part].astype(float))
             yield pd.DataFrame(rows)
 
-    c_id_type = dict(corpus.dtypes)[c_id]
-    q_id_type = dict(queries.dtypes)[q_id]
     scored = encoded.mapInPandas(
         scan, schema=f"{q_id} {q_id_type}, {c_id} {c_id_type}, score double"
     )
@@ -585,20 +619,19 @@ def topk_ivfpq(
     kernels, float32 LUT sums in fixed subspace order, lexsort + c_id
     tie-break — partition-invariant, VALUES-oracle-able.
     """
+    q_id_type = dict(queries.dtypes)[q_id]
+    c_id_type = dict(corpus.dtypes)[c_id]
     q_rows = queries.select(q_id, q_vec).collect()
     if not q_rows:
         return spark.createDataFrame(
-            [], f"{q_id} long, {c_id} long, score double, rank int"
+            [], f"{q_id} {q_id_type}, {c_id} {c_id_type}, score double, rank int"
         )
     q_ids = [r[0] for r in q_rows]
-    q_mat = np.stack([np.asarray(r[1], dtype=np.float32) for r in q_rows])
-    n = np.linalg.norm(q_mat, axis=1, keepdims=True)
-    n[n == 0] = 1.0
-    q_mat = (q_mat / n).astype(np.float32)
+    q_mat = _unit_rows(
+        np.stack([np.asarray(r[1], dtype=np.float32) for r in q_rows])
+    )
     luts = _pq_luts(q_mat, codebooks)
-    p = min(n_probe, len(centroids))
-    sims = q_mat @ centroids.T
-    probed = np.argpartition(-sims, p - 1, axis=1)[:, :p]  # (n_q, p)
+    probed = _probe_sets(q_mat, centroids, n_probe)  # (n_q, p)
     bc = spark.sparkContext.broadcast((q_ids, luts, probed, k))
 
     bc_cent = spark.sparkContext.broadcast(centroids)
@@ -611,11 +644,14 @@ def topk_ivfpq(
             if not len(pdf):
                 continue
             v = np.stack(pdf[c_vec].to_numpy()).astype(np.float32)
-            nn = np.linalg.norm(v, axis=1, keepdims=True)
-            nn[nn == 0] = 1.0
-            u = (v / nn).astype(np.float32)
+            u = _unit_rows(v)
             out = pdf[[c_id]].copy()
-            out["bucket"] = (u @ cent.T).argmax(axis=1).astype(np.int32)
+            # float64 argmax: batch-shape-robust bucketing (see ivf_assign)
+            out["bucket"] = (
+                (u.astype(np.float64) @ cent.astype(np.float64).T)
+                .argmax(axis=1)
+                .astype(np.int32)
+            )
             out["codes"] = list(_pq_codes(u, books))
             yield out
 
@@ -646,8 +682,6 @@ def topk_ivfpq(
                 rows["score"].extend(s[part].astype(float))
             yield pd.DataFrame(rows)
 
-    c_id_type = dict(corpus.dtypes)[c_id]
-    q_id_type = dict(queries.dtypes)[q_id]
     encoded = corpus.select(c_id, c_vec).mapInPandas(
         encode, schema=f"{c_id} {c_id_type}, bucket int, codes array<int>"
     )

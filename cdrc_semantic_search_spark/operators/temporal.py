@@ -227,7 +227,13 @@ def gap_fill_locf(
     gap at 1-second units) inflates only its own group's partition —
     the caller bounds spans upstream.
     """
-    b = F.date_trunc(_TRUNC_UNIT.get(unit, unit.split()[-1]), F.col(ts_col))
+    if unit not in _TRUNC_UNIT:
+        # an unknown unit would feed date_trunc an invalid fmt, which
+        # yields NULL (not an error) and silently returns an empty frame
+        raise ValueError(
+            f"unsupported unit {unit!r}; supported: {sorted(_TRUNC_UNIT)}"
+        )
+    b = F.date_trunc(_TRUNC_UNIT[unit], F.col(ts_col))
     obs = (
         df.select(
             F.col(group_col).alias("g"),

@@ -373,7 +373,11 @@ def _ann_ivf_values() -> str:
     """IVF twin: same driver-side centroids (they're an INPUT to the
     distributed op), then probe/assign/score/rank re-derived with plain
     dict lookups and the exact left-fold cosine."""
-    from cdrc_semantic_search_spark.operators.similarity import train_centroids
+    from cdrc_semantic_search_spark.operators.similarity import (
+        _probe_sets,
+        _unit_rows,
+        train_centroids,
+    )
 
     t = _read("embeddings", ["vec_id", "embedding"])
     ids = t.column("vec_id").to_pylist()
@@ -382,13 +386,9 @@ def _ann_ivf_values() -> str:
     sample = np.stack([vecs[i] for i in order if ids[i] < 256])
     cent = train_centroids(sample, n_centroids=16, seed=42)
 
-    def unit(m):
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        return m / n
-
-    corpus = np.stack(vecs)
-    assign = (unit(corpus.astype(np.float32)) @ cent.T).argmax(axis=1)
+    corpus = _unit_rows(np.stack(vecs).astype(np.float32))
+    # float64 argmax, matching ivf_assign's batch-shape-robust bucketing
+    assign = (corpus.astype(np.float64) @ cent.astype(np.float64).T).argmax(axis=1)
     bucket_members: dict[int, list[int]] = {}
     for idx, b in enumerate(assign):
         bucket_members.setdefault(int(b), []).append(idx)
@@ -396,9 +396,8 @@ def _ann_ivf_values() -> str:
     for qi, qid in enumerate(ids):
         if qid >= 10:
             continue
-        q = vecs[qi].astype(np.float32).reshape(1, -1)
-        sims = (unit(q) @ cent.T)[0]
-        probed = np.argpartition(-sims, 3)[:4]
+        q = _unit_rows(vecs[qi].astype(np.float32).reshape(1, -1))
+        probed = _probe_sets(q, cent, 4)[0]
         cand = []
         for b in probed:
             for ci in bucket_members.get(int(b), []):
@@ -684,6 +683,7 @@ def _ann_pq_values() -> str:
     from cdrc_semantic_search_spark.operators.similarity import (
         _pq_codes,
         _pq_luts,
+        _unit_rows,
         train_pq_codebooks,
     )
 
@@ -694,19 +694,14 @@ def _ann_pq_values() -> str:
     sample = np.stack([vecs[i] for i in order if ids[i] < 256])
     books = train_pq_codebooks(sample, m=8, k=16, seed=42)
 
-    def unit(m):
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        return m / n
-
-    corpus = unit(np.stack(vecs).astype(np.float32)).astype(np.float32)
+    corpus = _unit_rows(np.stack(vecs).astype(np.float32))
     codes = _pq_codes(corpus, books)
     m, k_codes, sub = books.shape
     rows = []
     for qi, qid in enumerate(ids):
         if qid >= 10:
             continue
-        q = unit(vecs[qi].astype(np.float32).reshape(1, -1)).astype(np.float32)
+        q = _unit_rows(vecs[qi].astype(np.float32).reshape(1, -1))
         lut = _pq_luts(q, books)[0]  # (m, k), same kernel as the operator
         scored = []
         for ci in range(len(corpus)):
@@ -732,6 +727,8 @@ def _ann_ivfpq_values() -> str:
     from cdrc_semantic_search_spark.operators.similarity import (
         _pq_codes,
         _pq_luts,
+        _probe_sets,
+        _unit_rows,
         train_centroids,
         train_pq_codebooks,
     )
@@ -744,13 +741,9 @@ def _ann_ivfpq_values() -> str:
     cent = train_centroids(sample, n_centroids=16, seed=42)
     books = train_pq_codebooks(sample, m=8, k=16, seed=42)
 
-    def unit(m):
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        return m / n
-
-    corpus = unit(np.stack(vecs).astype(np.float32)).astype(np.float32)
-    assign = (corpus @ cent.T).argmax(axis=1)
+    corpus = _unit_rows(np.stack(vecs).astype(np.float32))
+    # float64 argmax, matching topk_ivfpq's batch-shape-robust bucketing
+    assign = (corpus.astype(np.float64) @ cent.astype(np.float64).T).argmax(axis=1)
     codes = _pq_codes(corpus, books)
     bucket_members: dict[int, list[int]] = {}
     for idx, b in enumerate(assign):
@@ -761,10 +754,9 @@ def _ann_ivfpq_values() -> str:
     for qi, qid in enumerate(ids):
         if qid >= 10:
             continue
-        q = unit(vecs[qi].astype(np.float32).reshape(1, -1)).astype(np.float32)
+        q = _unit_rows(vecs[qi].astype(np.float32).reshape(1, -1))
         lut = _pq_luts(q, books)[0]
-        sims = (q @ cent.T)[0]
-        probed = np.argpartition(-sims, p - 1)[:p]
+        probed = _probe_sets(q, cent, p)[0]
         scored = []
         for b in probed:
             for ci in bucket_members.get(int(b), []):
