@@ -694,3 +694,46 @@ def topk_ivfpq(
         .filter(F.col("rank") <= k)
     )
 
+
+
+def topk_pq_rerank(
+    spark,
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    k: int,
+    shortlist: int = 20,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """The full production retrieval pattern: PQ-ADC builds a cheap
+    ``shortlist`` per query over the compressed corpus, then ONLY the
+    shortlisted candidates' true vectors are fetched (one semi-sized
+    equi-join by id) and re-ranked with the exact cosine → top-``k``
+    with true scores.
+
+    This recovers what quantization loses (PQ cannot rank within a
+    tight cluster — measured in test_ivf) at the cost of touching
+    |queries|·shortlist float vectors instead of |corpus|: the coarse
+    stage reads m bytes/candidate, the fine stage is a candidate-page
+    fetch. Exactness of the OUTPUT scores means the re-rank stage is
+    SQL-expressible — the oracle twin only needs the shortlist from the
+    shared PQ kernels, then plain fold-cosine.
+    """
+    if shortlist < k:
+        raise ValueError(f"shortlist {shortlist} must be >= k {k}")
+    short = topk_pq_adc(
+        spark, queries, corpus, codebooks, shortlist,
+        q_id=q_id, c_id=c_id, q_vec=q_vec, c_vec=c_vec,
+    ).select(q_id, c_id)
+    cand = short.join(corpus.select(c_id, c_vec), c_id)
+    rescored = cand.join(F.broadcast(queries.select(q_id, q_vec)), q_id).select(
+        q_id, c_id, V.cosine(F.col(q_vec), F.col(c_vec)).alias("score")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

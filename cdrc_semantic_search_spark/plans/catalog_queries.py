@@ -2618,6 +2618,37 @@ def ann_ivfpq_topk(spark, sf_dir):
     return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
 
 
+@register("ann_pq_rerank", value_oracles.lazy("ann_pq_rerank"))
+def ann_pq_rerank(spark, sf_dir):
+    """Coarse-to-fine retrieval (operators/similarity.topk_pq_rerank):
+    PQ-ADC shortlists 20 candidates per query over the compressed
+    corpus, only their true vectors are fetched and re-ranked with the
+    exact cosine — the production pattern that recovers what
+    quantization loses while touching |q|·20 float vectors instead of
+    the corpus. Output scores are EXACT cosines."""
+    import numpy as np
+
+    from cdrc_semantic_search_spark.operators.similarity import (
+        topk_pq_rerank,
+        train_pq_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [
+            np.asarray(r["embedding"], dtype=np.float32)
+            for r in e.filter("vec_id < 256").orderBy("vec_id").collect()
+        ]
+    )
+    books = train_pq_codebooks(sample, m=8, k=16, seed=42)
+    q = e.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = topk_pq_rerank(spark, q, c, books, k=5, shortlist=20)
+    return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
+
+
 @register("kg_triples_fixture", value_oracles.lazy("kg_triples_fixture"))
 def kg_triples_fixture(spark, sf_dir):
     """The KG pipeline end-to-end on the deterministic transcript fixture.

@@ -771,3 +771,53 @@ def _ann_ivfpq_values() -> str:
         rows,
         [("q_id", "BIGINT"), ("c_id", "BIGINT"), ("score", "DOUBLE"), ("rank", "INTEGER")],
     )
+
+
+@_register("ann_pq_rerank")
+def _ann_pq_rerank_values() -> str:
+    """Coarse-to-fine twin: the PQ shortlist re-derived via the shared
+    kernels (codes, LUTs — same float32 sums), then exact left-fold
+    cosine re-rank of only the shortlisted candidates."""
+    from cdrc_semantic_search_spark.operators.similarity import (
+        _pq_codes,
+        _pq_luts,
+        _unit_rows,
+        train_pq_codebooks,
+    )
+
+    t = _read("embeddings", ["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()]
+    order = np.argsort(np.array(ids))
+    sample = np.stack([vecs[i] for i in order if ids[i] < 256])
+    books = train_pq_codebooks(sample, m=8, k=16, seed=42)
+    corpus = _unit_rows(np.stack(vecs).astype(np.float32))
+    codes = _pq_codes(corpus, books)
+    m = books.shape[0]
+    by_id = {ids[i]: i for i in range(len(ids))}
+    rows = []
+    for qi, qid in enumerate(ids):
+        if qid >= 10:
+            continue
+        q = _unit_rows(vecs[qi].astype(np.float32).reshape(1, -1))
+        lut = _pq_luts(q, books)[0]
+        scored = []
+        for ci in range(len(corpus)):
+            s = np.float32(0.0)
+            for j in range(m):
+                s += lut[j][codes[ci, j]]
+            scored.append((-float(s), ids[ci]))
+        scored.sort()
+        short = [cid for _, cid in scored[:20]]
+        fine = sorted(
+            (
+                (-_fold_cosine(vecs[qi], vecs[by_id[cid]]), cid)
+                for cid in short
+            )
+        )
+        for rank, (neg, cid) in enumerate(fine[:5], start=1):
+            rows.append((qid, cid, _round_half_up(-neg, 6), rank))
+    return values_sql(
+        rows,
+        [("q_id", "BIGINT"), ("c_id", "BIGINT"), ("score", "DOUBLE"), ("rank", "INTEGER")],
+    )

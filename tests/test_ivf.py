@@ -136,3 +136,33 @@ def test_ivfpq_composes_probe_and_quantization(spark):
     a1 = approx.sort_values(key).reset_index(drop=True)
     a2 = again.sort_values(key).reset_index(drop=True)
     assert list(a1["c_id"]) == list(a2["c_id"])
+
+
+def test_pq_rerank_recovers_exact_topk(spark):
+    """With a 20-wide shortlist over the 48-cluster corpus, the exact
+    re-rank returns the TRUE top-5 with TRUE cosine scores (coarse
+    recall is high enough that the shortlist contains them); shortlist <
+    k raises."""
+    import pytest as _pytest
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((48, 32)).astype(np.float32) * 3
+    pts = np.vstack(
+        [c + rng.standard_normal((5, 32)).astype(np.float32) * 0.5 for c in centers]
+    )
+    pdf = pd.DataFrame({"vid": range(len(pts)), "vec": [list(map(float, v)) for v in pts]})
+    df = spark.createDataFrame(pdf)
+    books = similarity.train_pq_codebooks(pts, m=8, k=16, seed=42)
+    q = df.filter("vid < 10").select(F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"))
+    c = df.select(F.col("vid").alias("c_id"), F.col("vec").alias("c_vec"))
+
+    exact = similarity.topk_cosine_exact(q, c, k=5).toPandas()
+    fine = similarity.topk_pq_rerank(spark, q, c, books, k=5, shortlist=20).toPandas()
+    key = ["q_id", "rank"]
+    e = exact.sort_values(key).reset_index(drop=True)
+    f = fine.sort_values(key).reset_index(drop=True)
+    assert list(e["c_id"]) == list(f["c_id"])
+    assert np.allclose(e["score"], f["score"], atol=1e-6)
+
+    with _pytest.raises(ValueError):
+        similarity.topk_pq_rerank(spark, q, c, books, k=5, shortlist=3)
