@@ -380,6 +380,7 @@ def train_pq_codebooks(
     k: int = 16,
     n_iter: int = 10,
     seed: int = 42,
+    normalize: bool = True,
 ) -> np.ndarray:
     """Deterministic per-subspace L2 Lloyd's k-means over a driver-side
     sample → (m, k, dim/m) float32 codebooks.
@@ -397,7 +398,9 @@ def train_pq_codebooks(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     if k < 1:
         raise ValueError("k must be >= 1")
-    x = _unit_rows(sample)
+    # normalize=False for RESIDUAL training: residuals (vector − coarse
+    # centroid) must keep their geometry, re-normalizing would distort it
+    x = _unit_rows(sample) if normalize else sample.astype(np.float32)
     sub = dim // m
     # truncate, never zero-pad: a sample smaller than k must not leave
     # phantom all-zero centroids that _pq_codes would treat as real
@@ -458,6 +461,37 @@ def _probe_sets(
     for qi in range(len(q_mat)):
         sims = (q_mat[qi : qi + 1].astype(np.float64) @ c64.T)[0]
         out[qi] = np.argpartition(-sims, p - 1)[:p]
+    return out
+
+
+def train_residual_codebooks(
+    sample: np.ndarray,
+    centroids: np.ndarray,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Codebooks over RESIDUALS (unit vector − its coarse centroid) —
+    the true FAISS-IVFPQ formulation. Residuals concentrate near zero
+    with the cluster-level structure removed, so the same code budget
+    quantizes the WITHIN-cluster detail plain PQ throws away (measured
+    in test_ivf: plain PQ recall collapses on fat clusters). Scoring
+    adds back the analytic q·centroid term per bucket (see topk_ivfpq
+    residual=True)."""
+    u = _unit_rows(sample)
+    assign = (u.astype(np.float64) @ centroids.astype(np.float64).T).argmax(axis=1)
+    res = u - centroids[assign].astype(np.float32)
+    return train_pq_codebooks(res, m, k, n_iter, seed, normalize=False)
+
+
+def _query_centroid_ip(q_mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """(n_q, n_cent) float32 q·centroid terms, one (1, dim) matmul per
+    query row — shared specification kernel (see _pq_luts for why
+    per-row)."""
+    out = np.empty((len(q_mat), len(centroids)), dtype=np.float32)
+    for qi in range(len(q_mat)):
+        out[qi] = (q_mat[qi : qi + 1] @ centroids.T)[0]
     return out
 
 
@@ -599,6 +633,7 @@ def topk_ivfpq(
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF×PQ composition (the FAISS-IVFPQ shape): IVF cuts WHICH
     candidates are scored (each query probes its ``n_probe`` nearest
@@ -618,6 +653,12 @@ def topk_ivfpq(
     Same determinism contract as :func:`topk_pq_adc`: shared LUT/code
     kernels, float32 LUT sums in fixed subspace order, lexsort + c_id
     tie-break — partition-invariant, VALUES-oracle-able.
+
+    ``residual=True``: ``codebooks`` must come from
+    :func:`train_residual_codebooks`; each vector is encoded as codes of
+    (unit − coarse centroid) and scored as q·centroid[bucket] + the LUT
+    sum — same plan shape, one extra broadcast (n_q, n_cent) float32
+    table of analytic centroid terms.
     """
     q_id_type = dict(queries.dtypes)[q_id]
     c_id_type = dict(corpus.dtypes)[c_id]
@@ -632,7 +673,8 @@ def topk_ivfpq(
     )
     luts = _pq_luts(q_mat, codebooks)
     probed = _probe_sets(q_mat, centroids, n_probe)  # (n_q, p)
-    bc = spark.sparkContext.broadcast((q_ids, luts, probed, k))
+    qc = _query_centroid_ip(q_mat, centroids) if residual else None
+    bc = spark.sparkContext.broadcast((q_ids, luts, probed, k, qc))
 
     bc_cent = spark.sparkContext.broadcast(centroids)
     bc_books = spark.sparkContext.broadcast(codebooks)
@@ -647,16 +689,19 @@ def topk_ivfpq(
             u = _unit_rows(v)
             out = pdf[[c_id]].copy()
             # float64 argmax: batch-shape-robust bucketing (see ivf_assign)
-            out["bucket"] = (
+            bucket = (
                 (u.astype(np.float64) @ cent.astype(np.float64).T)
                 .argmax(axis=1)
-                .astype(np.int32)
             )
-            out["codes"] = list(_pq_codes(u, books))
+            out["bucket"] = bucket.astype(np.int32)
+            enc_in = (
+                u - cent.astype(np.float32)[bucket] if residual else u
+            )
+            out["codes"] = list(_pq_codes(enc_in, books))
             yield out
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, tables, probes, topk = bc.value
+        ids, tables, probes, topk, qcent = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -675,6 +720,10 @@ def topk_ivfpq(
                 s = np.zeros(len(sub_codes), dtype=np.float32)
                 for j in range(tables.shape[1]):
                     s += tables[qi, j][sub_codes[:, j]]
+                if qcent is not None:
+                    # analytic coarse term LAST, after the LUT sums —
+                    # the twin adds in the same order
+                    s += qcent[qi][buckets[mask]]
                 take = min(topk, len(sub_codes))
                 part = np.lexsort((sub_ids, -s))[:take]
                 rows[q_id].extend([ids[qi]] * take)

@@ -2649,6 +2649,39 @@ def ann_pq_rerank(spark, sf_dir):
     return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
 
 
+@register("ann_ivfpq_residual", value_oracles.lazy("ann_ivfpq_residual"))
+def ann_ivfpq_residual(spark, sf_dir):
+    """Residual IVF×PQ (operators/similarity.topk_ivfpq residual=True):
+    the true FAISS-IVFPQ formulation — PQ codes quantize (unit − coarse
+    centroid), scoring adds the analytic q·centroid term back. The same
+    code budget then captures within-cluster detail plain PQ discards
+    (recall comparison pinned in test_ivf). All kernels shared with the
+    twin; VALUES oracle hash-exact."""
+    import numpy as np
+
+    from cdrc_semantic_search_spark.operators.similarity import (
+        topk_ivfpq,
+        train_centroids,
+        train_residual_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [
+            np.asarray(r["embedding"], dtype=np.float32)
+            for r in e.filter("vec_id < 256").orderBy("vec_id").collect()
+        ]
+    )
+    cent = train_centroids(sample, n_centroids=16, seed=42)
+    books = train_residual_codebooks(sample, cent, m=8, k=16, seed=42)
+    q = e.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = topk_ivfpq(spark, q, c, cent, books, k=5, n_probe=4, residual=True)
+    return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
+
+
 @register("kg_triples_fixture", value_oracles.lazy("kg_triples_fixture"))
 def kg_triples_fixture(spark, sf_dir):
     """The KG pipeline end-to-end on the deterministic transcript fixture.

@@ -821,3 +821,60 @@ def _ann_pq_rerank_values() -> str:
         rows,
         [("q_id", "BIGINT"), ("c_id", "BIGINT"), ("score", "DOUBLE"), ("rank", "INTEGER")],
     )
+
+
+@_register("ann_ivfpq_residual")
+def _ann_ivfpq_residual_values() -> str:
+    """Residual IVF×PQ twin: codes of (unit − coarse centroid), score =
+    q·centroid[bucket] + LUT sum (coarse term added LAST, matching the
+    operator's accumulation order); all kernels shared."""
+    from cdrc_semantic_search_spark.operators.similarity import (
+        _pq_codes,
+        _pq_luts,
+        _probe_sets,
+        _query_centroid_ip,
+        _unit_rows,
+        train_centroids,
+        train_residual_codebooks,
+    )
+
+    t = _read("embeddings", ["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()]
+    order = np.argsort(np.array(ids))
+    sample = np.stack([vecs[i] for i in order if ids[i] < 256])
+    cent = train_centroids(sample, n_centroids=16, seed=42)
+    books = train_residual_codebooks(sample, cent, m=8, k=16, seed=42)
+
+    corpus = _unit_rows(np.stack(vecs).astype(np.float32))
+    assign = (corpus.astype(np.float64) @ cent.astype(np.float64).T).argmax(axis=1)
+    residuals = corpus - cent.astype(np.float32)[assign]
+    codes = _pq_codes(residuals, books)
+    m = books.shape[0]
+    p = 4
+    bucket_members: dict[int, list[int]] = {}
+    for idx, b in enumerate(assign):
+        bucket_members.setdefault(int(b), []).append(idx)
+    rows = []
+    for qi, qid in enumerate(ids):
+        if qid >= 10:
+            continue
+        q = _unit_rows(vecs[qi].astype(np.float32).reshape(1, -1))
+        lut = _pq_luts(q, books)[0]
+        qc = _query_centroid_ip(q, cent)[0]
+        probed = _probe_sets(q, cent, p)[0]
+        scored = []
+        for b in probed:
+            for ci in bucket_members.get(int(b), []):
+                s = np.float32(0.0)
+                for j in range(m):
+                    s += lut[j][codes[ci, j]]
+                s += qc[int(assign[ci])]
+                scored.append((-float(s), ids[ci]))
+        scored.sort()
+        for rank, (neg, cid) in enumerate(scored[:5], start=1):
+            rows.append((qid, cid, _round_half_up(-neg, 6), rank))
+    return values_sql(
+        rows,
+        [("q_id", "BIGINT"), ("c_id", "BIGINT"), ("score", "DOUBLE"), ("rank", "INTEGER")],
+    )

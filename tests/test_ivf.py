@@ -166,3 +166,45 @@ def test_pq_rerank_recovers_exact_topk(spark):
 
     with _pytest.raises(ValueError):
         similarity.topk_pq_rerank(spark, q, c, books, k=5, shortlist=3)
+
+
+def test_residual_ivfpq_beats_plain_pq_within_clusters(spark):
+    """On fat clusters (where plain PQ collapses — see the PQ test),
+    residual encoding at the same (m=16, k=64) budget ranks
+    within-cluster neighbours measurably better: measured 0.60 vs 0.42
+    recall@5 (at the coarse m=8/k=16 budget residual is a wash — codes
+    too coarse for the small residual magnitudes; the comparison is
+    budget-fair, not universal). Full-probe IVF keeps candidate recall
+    out of the equation."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((6, 32)).astype(np.float32) * 3
+    pts = np.vstack(
+        [c + rng.standard_normal((40, 32)).astype(np.float32) * 0.5 for c in centers]
+    )
+    pdf = pd.DataFrame({"vid": range(len(pts)), "vec": [list(map(float, v)) for v in pts]})
+    df = spark.createDataFrame(pdf)
+    cent = similarity.train_centroids(pts, n_centroids=6, seed=42)
+    plain_books = similarity.train_pq_codebooks(pts, m=16, k=64, seed=42)
+    resid_books = similarity.train_residual_codebooks(pts, cent, m=16, k=64, seed=42)
+
+    q = df.filter("vid < 20").select(F.col("vid").alias("q_id"), F.col("vec").alias("q_vec"))
+    c = df.select(F.col("vid").alias("c_id"), F.col("vec").alias("c_vec"))
+    exact = similarity.topk_cosine_exact(q, c, k=5).toPandas()
+
+    def recall(approx):
+        hits = 0
+        for qid in range(20):
+            e = set(exact[exact["q_id"] == qid]["c_id"])
+            hits += len(e & set(approx[approx["q_id"] == qid]["c_id"]))
+        return hits / 100
+
+    r_plain = recall(
+        similarity.topk_ivfpq(spark, q, c, cent, plain_books, k=5, n_probe=6).toPandas()
+    )
+    r_resid = recall(
+        similarity.topk_ivfpq(
+            spark, q, c, cent, resid_books, k=5, n_probe=6, residual=True
+        ).toPandas()
+    )
+    assert r_resid > r_plain, (r_resid, r_plain)
+    assert r_resid >= 0.5, r_resid
