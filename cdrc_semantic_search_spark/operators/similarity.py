@@ -311,7 +311,9 @@ def ivf_assign(
 
     vec_type = dict(df.dtypes)[vec_col]
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, vec_col).mapInPandas(
+    return df.select(id_col, vec_col).filter(
+        F.col(vec_col).isNotNull()  # see pq_encode
+    ).mapInPandas(
         run, schema=f"{id_col} {id_type}, {vec_col} {vec_type}, bucket int"
     )
 
@@ -532,9 +534,11 @@ def pq_encode(
             yield out
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, vec_col).mapInPandas(
-        run, schema=f"{id_col} {id_type}, codes array<int>"
-    )
+    # NULL vectors cannot be encoded (np.stack would crash the executor);
+    # dropped like lsh_assign does — they could never score anyway
+    return df.select(id_col, vec_col).filter(
+        F.col(vec_col).isNotNull()
+    ).mapInPandas(run, schema=f"{id_col} {id_type}, codes array<int>")
 
 
 def topk_pq_adc(
@@ -569,7 +573,9 @@ def topk_pq_adc(
     """
     q_id_type = dict(queries.dtypes)[q_id]
     c_id_type = dict(corpus.dtypes)[c_id]
-    q_rows = queries.select(q_id, q_vec).collect()
+    q_rows = [
+        r for r in queries.select(q_id, q_vec).collect() if r[1] is not None
+    ]
     if not q_rows:
         # same schema as the non-empty path, not hardcoded long ids
         return spark.createDataFrame(
@@ -662,7 +668,9 @@ def topk_ivfpq(
     """
     q_id_type = dict(queries.dtypes)[q_id]
     c_id_type = dict(corpus.dtypes)[c_id]
-    q_rows = queries.select(q_id, q_vec).collect()
+    q_rows = [
+        r for r in queries.select(q_id, q_vec).collect() if r[1] is not None
+    ]
     if not q_rows:
         return spark.createDataFrame(
             [], f"{q_id} {q_id_type}, {c_id} {c_id_type}, score double, rank int"
@@ -731,7 +739,9 @@ def topk_ivfpq(
                 rows["score"].extend(s[part].astype(float))
             yield pd.DataFrame(rows)
 
-    encoded = corpus.select(c_id, c_vec).mapInPandas(
+    encoded = corpus.select(c_id, c_vec).filter(
+        F.col(c_vec).isNotNull()  # see pq_encode
+    ).mapInPandas(
         encode, schema=f"{c_id} {c_id_type}, bucket int, codes array<int>"
     )
     scored = encoded.mapInPandas(

@@ -208,3 +208,30 @@ def test_residual_ivfpq_beats_plain_pq_within_clusters(spark):
     )
     assert r_resid > r_plain, (r_resid, r_plain)
     assert r_resid >= 0.5, r_resid
+
+
+def test_pq_paths_tolerate_null_vectors(spark):
+    """NULL embeddings are dropped, not executor crashes: on the corpus
+    side they can never score; all-NULL query frames return the typed
+    empty result."""
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]), (2, None)]
+    df = spark.createDataFrame(rows, "vid long, vec array<float>")
+    pts = np.eye(4, dtype=np.float32)
+    books = similarity.train_pq_codebooks(pts, m=2, k=2, seed=1)
+
+    c = df.select(F.col("vid").alias("c_id"), F.col("vec").alias("c_vec"))
+    enc = similarity.pq_encode(spark, c, "c_id", "c_vec", books).toPandas()
+    assert sorted(enc["c_id"]) == [0, 1]  # NULL row dropped
+
+    q = df.filter("vid = 0").select(
+        F.col("vid").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    out = similarity.topk_pq_adc(spark, q, c, books, k=2).toPandas()
+    assert set(out["c_id"]) <= {0, 1}
+
+    null_q = df.filter("vid = 2").select(
+        F.col("vid").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    empty = similarity.topk_pq_adc(spark, null_q, c, books, k=2)
+    assert empty.count() == 0
+    assert dict(empty.dtypes)["q_id"] == "bigint"
