@@ -544,13 +544,14 @@ def pq_encode(
 def topk_pq_adc(
     spark,
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     codebooks: np.ndarray,
     k: int,
     q_id: str = "q_id",
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
+    encoded: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation: the corpus
     is PQ-encoded (map-only), each query builds an (m, k) inner-product
@@ -571,8 +572,10 @@ def topk_pq_adc(
     everywhere in this module. Exact re-ranking of the final page is the
     caller's optional second stage (fetch k·r true vectors by id).
     """
+    if (corpus is None) == (encoded is None):
+        raise ValueError("pass exactly one of corpus or encoded")
     q_id_type = dict(queries.dtypes)[q_id]
-    c_id_type = dict(corpus.dtypes)[c_id]
+    c_id_type = dict((corpus if encoded is None else encoded).dtypes)[c_id]
     q_rows = [
         r for r in queries.select(q_id, q_vec).collect() if r[1] is not None
     ]
@@ -588,7 +591,8 @@ def topk_pq_adc(
     # (n_q, m, k) inner-product tables: q_sub · codebook entry
     luts = _pq_luts(q_mat, codebooks)
     bc = spark.sparkContext.broadcast((q_ids, luts, k))
-    encoded = pq_encode(spark, corpus, c_id, c_vec, codebooks)
+    if encoded is None:
+        encoded = pq_encode(spark, corpus, c_id, c_vec, codebooks)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, tables, topk = bc.value
@@ -795,4 +799,100 @@ def topk_pq_rerank(
     return (
         rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+# -------------------------------------------------------------- PQ index
+# lifecycle: build once, store codes + codebooks as catalog tables, query
+# and upsert without ever re-touching the float corpus (the reference's
+# K1 vector-index-upsert analog, /root/reference/src/datastore.py:88-95,
+# re-expressed as table materialization instead of a Pinecone call)
+
+def codebooks_to_df(spark, codebooks: np.ndarray) -> DataFrame:
+    """(m, k, sub) float32 codebooks → rows (subspace, code, vals) — the
+    storable form; tiny (m·k rows)."""
+    rows = [
+        (j, c, [float(x) for x in codebooks[j, c]])
+        for j in range(codebooks.shape[0])
+        for c in range(codebooks.shape[1])
+    ]
+    return spark.createDataFrame(rows, "subspace int, code int, vals array<float>")
+
+
+def codebooks_from_df(df: DataFrame) -> np.ndarray:
+    """Inverse of :func:`codebooks_to_df` (driver-side collect — the
+    codebook table is m·k rows by construction)."""
+    rows = df.collect()
+    m = 1 + max(r["subspace"] for r in rows)
+    k = 1 + max(r["code"] for r in rows)
+    sub = len(rows[0]["vals"])
+    books = np.zeros((m, k, sub), dtype=np.float32)
+    for r in rows:
+        books[r["subspace"], r["code"]] = np.asarray(r["vals"], dtype=np.float32)
+    return books
+
+
+def materialize_pq_index(
+    spark,
+    catalog,
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "c_id",
+    vec_col: str = "c_vec",
+    prefix: str = "pq_index",
+) -> None:
+    """Build + store the PQ index: ``<prefix>_codes`` (id, codes) and
+    ``<prefix>_codebooks`` through the catalog. One map-only encode pass;
+    after this, queries touch m bytes per candidate and the float corpus
+    only for re-rank pages."""
+    catalog.create_or_replace(
+        pq_encode(spark, corpus, id_col, vec_col, codebooks),
+        f"{prefix}_codes",
+    )
+    catalog.create_or_replace(codebooks_to_df(spark, codebooks), f"{prefix}_codebooks")
+
+
+def upsert_pq_index(
+    spark,
+    catalog,
+    new_vectors: DataFrame,
+    id_col: str = "c_id",
+    vec_col: str = "c_vec",
+    prefix: str = "pq_index",
+) -> None:
+    """Incremental index maintenance: encode ONLY the new/changed vectors
+    with the STORED codebooks and MERGE into the codes table (updated ids
+    replace, new ids append — operators/split.merge_upsert, the same
+    full-outer-join algebra table-format MERGE compiles to). The
+    codebooks stay fixed — standard practice (re-training invalidates
+    every stored code; done as a rebuild, not an upsert)."""
+    from cdrc_semantic_search_spark.operators.split import merge_upsert
+
+    books = codebooks_from_df(catalog.read_table(spark, f"{prefix}_codebooks"))
+    existing = catalog.read_table(spark, f"{prefix}_codes")
+    delta = pq_encode(spark, new_vectors, id_col, vec_col, books)
+    merged = merge_upsert(existing, delta, [id_col])
+    catalog.create_or_replace(merged, f"{prefix}_codes")
+
+
+def topk_pq_adc_index(
+    spark,
+    queries: DataFrame,
+    catalog,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    prefix: str = "pq_index",
+) -> DataFrame:
+    """ADC top-k against a MATERIALIZED index: reads ``<prefix>_codes``
+    and ``<prefix>_codebooks`` from the catalog — the float corpus is
+    never opened. Must return exactly what :func:`topk_pq_adc` computes
+    from the raw corpus with the same codebooks (pinned by the
+    ann_pq_index_roundtrip query sharing ann_pq_topk's oracle)."""
+    books = codebooks_from_df(catalog.read_table(spark, f"{prefix}_codebooks"))
+    encoded = catalog.read_table(spark, f"{prefix}_codes")
+    return topk_pq_adc(
+        spark, queries, None, books, k,
+        q_id=q_id, c_id=c_id, q_vec=q_vec, encoded=encoded,
     )

@@ -2682,6 +2682,53 @@ def ann_ivfpq_residual(spark, sf_dir):
     return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
 
 
+# same oracle as ann_pq_topk ON PURPOSE: querying the materialized,
+# upsert-maintained index must reproduce the direct-path result
+# bit-for-bit (the kg_edges_incremental pattern, applied to the vector
+# index lifecycle)
+@register("ann_pq_index_roundtrip", value_oracles.lazy("ann_pq_topk"))
+def ann_pq_index_roundtrip(spark, sf_dir):
+    """Vector-index lifecycle (reference K1 upsert analog): codebooks +
+    codes materialize through the catalog from HALF the corpus, the
+    other half arrives later via upsert_pq_index (merge_upsert on id,
+    codebooks fixed), and the query runs against the STORED index — the
+    float corpus is never reopened at query time. Must hash EQUAL to
+    ann_pq_topk's direct-path oracle."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from cdrc_semantic_search_spark.operators.similarity import (
+        materialize_pq_index,
+        topk_pq_adc_index,
+        train_pq_codebooks,
+        upsert_pq_index,
+    )
+    from cdrc_semantic_search_spark.sources.catalog import ParquetTableCatalog
+
+    e = load(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [
+            np.asarray(r["embedding"], dtype=np.float32)
+            for r in e.filter("vec_id < 256").orderBy("vec_id").collect()
+        ]
+    )
+    books = train_pq_codebooks(sample, m=8, k=16, seed=42)
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    # fixed per-user path, overwritten per call (create_or_replace), so
+    # repeated harness evaluations don't leak directories
+    root = os.path.join(tempfile.gettempdir(), f"pq_index_fixture_{os.getuid()}")
+    catalog = ParquetTableCatalog(root)
+    materialize_pq_index(spark, catalog, c.filter("c_id < 250"), books)
+    upsert_pq_index(spark, catalog, c.filter("c_id >= 250"))
+    q = e.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = topk_pq_adc_index(spark, q, catalog, k=5)
+    return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
+
+
 @register("kg_triples_fixture", value_oracles.lazy("kg_triples_fixture"))
 def kg_triples_fixture(spark, sf_dir):
     """The KG pipeline end-to-end on the deterministic transcript fixture.

@@ -235,3 +235,58 @@ def test_pq_paths_tolerate_null_vectors(spark):
     empty = similarity.topk_pq_adc(spark, null_q, c, books, k=2)
     assert empty.count() == 0
     assert dict(empty.dtypes)["q_id"] == "bigint"
+
+
+def test_pq_index_lifecycle_roundtrip_and_upsert(spark, tmp_path):
+    """Codebooks survive the table roundtrip bit-for-bit; a two-batch
+    materialize+upsert index equals the one-shot encode; re-upserting an
+    EXISTING id replaces its codes (merge semantics, not append)."""
+    from cdrc_semantic_search_spark.operators.similarity import (
+        codebooks_from_df,
+        codebooks_to_df,
+        materialize_pq_index,
+        pq_encode,
+        topk_pq_adc,
+        topk_pq_adc_index,
+        upsert_pq_index,
+    )
+    from cdrc_semantic_search_spark.sources.catalog import ParquetTableCatalog
+
+    rng = np.random.default_rng(13)
+    pts = rng.standard_normal((60, 16)).astype(np.float32)
+    books = similarity.train_pq_codebooks(pts, m=4, k=8, seed=3)
+    assert np.array_equal(
+        codebooks_from_df(codebooks_to_df(spark, books)), books
+    )
+
+    pdf = pd.DataFrame({"c_id": range(60), "c_vec": [list(map(float, v)) for v in pts]})
+    c = spark.createDataFrame(pdf)
+    catalog = ParquetTableCatalog(str(tmp_path / "idx"))
+    materialize_pq_index(spark, catalog, c.filter("c_id < 40"), books)
+    upsert_pq_index(spark, catalog, c.filter("c_id >= 40"))
+
+    one_shot = pq_encode(spark, c, "c_id", "c_vec", books).toPandas()
+    stored = catalog.read_table(spark, "pq_index_codes").toPandas()
+    key = lambda d: sorted((r.c_id, tuple(r.codes)) for r in d.itertuples())
+    assert key(stored) == key(one_shot)
+
+    q = c.filter("c_id < 3").select(
+        F.col("c_id").alias("q_id"), F.col("c_vec").alias("q_vec")
+    )
+    direct = topk_pq_adc(spark, q, c, books, k=4).toPandas()
+    via_index = topk_pq_adc_index(spark, q, catalog, k=4).toPandas()
+    srt = lambda d: d.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert list(srt(direct)["c_id"]) == list(srt(via_index)["c_id"])
+
+    # upsert an existing id with a DIFFERENT vector: codes must change
+    import pandas as _pd
+    new_vec = [list(map(float, -pts[0]))]
+    delta = spark.createDataFrame(
+        _pd.DataFrame({"c_id": [0], "c_vec": new_vec})
+    )
+    before = {tuple(r.codes) for r in stored.itertuples() if r.c_id == 0}
+    upsert_pq_index(spark, catalog, delta)
+    after_df = catalog.read_table(spark, "pq_index_codes").toPandas()
+    assert len(after_df) == 60  # replaced, not appended
+    after = {tuple(r.codes) for r in after_df.itertuples() if r.c_id == 0}
+    assert after != before
