@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
@@ -241,4 +241,88 @@ def windowed_turn_counts(
             "role",
             "n_turns",
         )
+    )
+
+
+def stream_pq_upsert(
+    spark: SparkSession,
+    input_dir: str,
+    catalog: ParquetTableCatalog,
+    checkpoint_dir: str,
+    prefix: str = "pq_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming vector-index maintenance: each micro-batch of new
+    embeddings is PQ-encoded with the STORED codebooks and committed as
+    a ledgered code-delta partition — no read-modify-write of the codes
+    table per batch (impossible at 10^12 vectors), the same
+    log-structured scheme as the streaming graph deltas. Read the
+    current index merge-on-read via :func:`compacted_pq_codes` (latest
+    batch wins per id). Re-delivered batches overwrite idempotently.
+
+    Codebooks stay fixed across the stream (re-training invalidates all
+    stored codes and is a rebuild, not an upsert).
+    """
+    from cdrc_semantic_search_spark.operators.similarity import (
+        codebooks_from_df,
+        pq_encode,
+    )
+
+    books = codebooks_from_df(catalog.read_table(spark, f"{prefix}_codebooks"))
+    snapshot = f"stream:{os.path.basename(input_dir)}"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        codes = pq_encode(
+            spark,
+            batch_df.select(
+                F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+            ),
+            "c_id",
+            "c_vec",
+            books,
+        ).withColumn("batch_id", F.lit(batch_id))
+        catalog.overwrite_partition(
+            codes,
+            f"{prefix}_code_deltas",
+            partition=str(batch_id),
+            source_snapshot=snapshot,
+            metrics={"n_vectors": n},
+        )
+
+    q = (
+        spark.readStream.schema(f"{id_col} long, {vec_col} array<double>")
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def compacted_pq_codes(spark: SparkSession, catalog: ParquetTableCatalog,
+                       prefix: str = "pq_index") -> DataFrame:
+    """Merge-on-read view of a streamed PQ index: committed code-delta
+    partitions, latest batch winning per id (ties cannot happen — one
+    partition per batch, one row per id within a batch). A pre-existing
+    batch-built ``<prefix>_codes`` table, if any, participates as
+    generation -1 (the base the stream upserts over)."""
+    deltas = catalog.read_committed(spark, f"{prefix}_code_deltas").select(
+        "c_id", "codes", "batch_id"
+    )
+    base_path = catalog.table_path(f"{prefix}_codes")
+    if os.path.exists(base_path):
+        base = catalog.read_table(spark, f"{prefix}_codes").select(
+            "c_id", "codes", F.lit(-1).alias("batch_id")
+        )
+        deltas = base.unionByName(deltas)
+    w = Window.partitionBy("c_id").orderBy(F.desc("batch_id"))
+    return (
+        deltas.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("c_id", "codes")
     )

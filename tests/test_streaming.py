@@ -349,3 +349,69 @@ def test_windowed_agg_join_stream_append_mode(spark, spark_fixture, transcript_d
     # ...and for sealed windows the stream emitted EXACTLY the batch rows
     sealed_starts = {r[3] for r in want_set}
     assert {r for r in got_set if r[3] in sealed_starts} == want_set
+
+
+def test_stream_pq_upsert_equals_batch_rebuild(spark, tmp_path):
+    """Two streamed embedding waves over a batch-built base: the
+    merge-on-read compacted codes equal a one-shot encode of the final
+    vector state (stream upserts replace the base's stale codes), and a
+    second identical run is an idempotent no-op."""
+    import numpy as np
+    import pandas as pd
+
+    from cdrc_semantic_search_spark.operators.similarity import (
+        materialize_pq_index,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from cdrc_semantic_search_spark.sources.catalog import ParquetTableCatalog
+    from cdrc_semantic_search_spark.streaming.incremental import (
+        compacted_pq_codes,
+        stream_pq_upsert,
+    )
+
+    rng = np.random.default_rng(17)
+    base_pts = rng.standard_normal((30, 16)).astype(np.float32)
+    books = train_pq_codebooks(base_pts, m=4, k=8, seed=5)
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {"c_id": range(30), "c_vec": [list(map(float, v)) for v in base_pts]}
+        )
+    )
+    catalog = ParquetTableCatalog(str(tmp_path / "cat"))
+    materialize_pq_index(spark, catalog, base, books)
+
+    # wave 1: new ids 30..39; wave 2: REPLACES ids 0..4 with new vectors
+    w1 = rng.standard_normal((10, 16)).astype(np.float32)
+    w2 = rng.standard_normal((5, 16)).astype(np.float32)
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    pd.DataFrame(
+        {"vec_id": range(30, 40), "embedding": [list(map(float, v)) for v in w1]}
+    ).to_parquet(stream_dir / "wave1.parquet")
+    stream_pq_upsert(
+        spark, str(stream_dir), catalog, str(tmp_path / "ckpt")
+    )
+    pd.DataFrame(
+        {"vec_id": range(5), "embedding": [list(map(float, v)) for v in w2]}
+    ).to_parquet(stream_dir / "wave2.parquet")
+    stream_pq_upsert(
+        spark, str(stream_dir), catalog, str(tmp_path / "ckpt")
+    )
+
+    final_vecs = np.vstack([w2, base_pts[5:], w1])
+    final_ids = list(range(5)) + list(range(5, 30)) + list(range(30, 40))
+    final = spark.createDataFrame(
+        pd.DataFrame(
+            {"c_id": final_ids, "c_vec": [list(map(float, v)) for v in final_vecs]}
+        )
+    )
+    want = pq_encode(spark, final, "c_id", "c_vec", books).toPandas()
+    got = compacted_pq_codes(spark, catalog).toPandas()
+    key = lambda d: sorted((r.c_id, tuple(r.codes)) for r in d.itertuples())
+    assert key(got) == key(want)
+
+    # idempotent redelivery: nothing new to process
+    stream_pq_upsert(spark, str(stream_dir), catalog, str(tmp_path / "ckpt"))
+    again = compacted_pq_codes(spark, catalog).toPandas()
+    assert key(again) == key(want)
