@@ -357,7 +357,9 @@ def topk_cosine_ivf(
 
     q_vec_type = dict(queries.dtypes)[q_vec]
     q_id_type = dict(queries.dtypes)[q_id]
-    probed = queries.select(q_id, q_vec).mapInPandas(
+    probed = queries.select(q_id, q_vec).filter(
+        F.col(q_vec).isNotNull()  # see pq_encode
+    ).mapInPandas(
         probe, schema=f"{q_id} {q_id_type}, {q_vec} {q_vec_type}, bucket int"
     )
     tagged = ivf_assign(spark, corpus, c_id, c_vec, centroids)
@@ -823,8 +825,17 @@ def codebooks_from_df(df: DataFrame) -> np.ndarray:
     """Inverse of :func:`codebooks_to_df` (driver-side collect — the
     codebook table is m·k rows by construction)."""
     rows = df.collect()
+    if not rows:
+        raise ValueError("codebooks table is empty (torn write?)")
     m = 1 + max(r["subspace"] for r in rows)
     k = 1 + max(r["code"] for r in rows)
+    if len(rows) != m * k:
+        # a partial table would silently zero-fill phantom centroids —
+        # the exact hazard train_pq_codebooks refuses to create
+        raise ValueError(
+            f"codebooks table has {len(rows)} rows, expected {m * k} "
+            "(torn write?)"
+        )
     sub = len(rows[0]["vals"])
     books = np.zeros((m, k, sub), dtype=np.float32)
     for r in rows:
@@ -850,6 +861,10 @@ def materialize_pq_index(
         f"{prefix}_codes",
     )
     catalog.create_or_replace(codebooks_to_df(spark, codebooks), f"{prefix}_codebooks")
+    # a rebuild retires any streamed delta generation: stale deltas were
+    # encoded under the PREVIOUS codebooks and would override the fresh
+    # base on merge-on-read, silently scoring garbage against new LUTs
+    catalog.drop_table(f"{prefix}_code_deltas")
 
 
 def upsert_pq_index(
@@ -872,7 +887,11 @@ def upsert_pq_index(
     existing = catalog.read_table(spark, f"{prefix}_codes")
     delta = pq_encode(spark, new_vectors, id_col, vec_col, books)
     merged = merge_upsert(existing, delta, [id_col])
-    catalog.create_or_replace(merged, f"{prefix}_codes")
+    # staging swap, NOT create_or_replace: the merged plan READS the
+    # codes table it replaces — an in-place overwrite deletes the files
+    # the write job is reading and a mid-write failure destroys the
+    # only copy of the index
+    catalog.replace_via_staging(merged, f"{prefix}_codes")
 
 
 def topk_pq_adc_index(

@@ -2551,6 +2551,29 @@ def graph_degree_histogram(spark, sf_dir):
     )
 
 
+def _ann_fixture(spark, sf_dir):
+    """Shared ANN fixture for the ann_* queries: the deterministic
+    training sample (vec_id < 256 SORTED — limit() would be
+    partitioning-dependent), the 10 query vectors, and the corpus.
+    One definition on purpose: several queries share VALUES oracles
+    derived from these exact constants, so drift between copies would
+    break a far-away hash at harness time."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [
+            np.asarray(r["embedding"], dtype=np.float32)
+            for r in e.filter("vec_id < 256").orderBy("vec_id").collect()
+        ]
+    )
+    q = e.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return sample, q, c
+
+
 @register("ann_pq_topk", value_oracles.lazy("ann_pq_topk"))
 def ann_pq_topk(spark, sf_dir):
     """Product-quantization ADC top-k (operators/similarity.topk_pq_adc):
@@ -2562,25 +2585,13 @@ def ann_pq_topk(spark, sf_dir):
     sample; LUT kernel shared with the pure-NumPy twin so float32 sums
     are bit-identical), so the oracle is a VALUES literal; recall vs the
     exact scan is pinned in tests/test_ivf.py."""
-    import numpy as np
-
     from cdrc_semantic_search_spark.operators.similarity import (
         topk_pq_adc,
         train_pq_codebooks,
     )
 
-    e = load(spark, sf_dir, "embeddings")
-    sample = np.array(
-        [
-            np.asarray(r["embedding"], dtype=np.float32)
-            for r in e.filter("vec_id < 256").orderBy("vec_id").collect()
-        ]
-    )
+    sample, q, c = _ann_fixture(spark, sf_dir)
     books = train_pq_codebooks(sample, m=8, k=16, seed=42)
-    q = e.filter("vec_id < 10").select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     out = topk_pq_adc(spark, q, c, books, k=5)
     return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
 
@@ -2593,27 +2604,15 @@ def ann_ivfpq_topk(spark, sf_dir):
     encode pass + broadcast LUT scan + one top-k window. Same shared
     deterministic kernels as ann_pq_topk, so the VALUES twin
     hash-matches; recall composes the two stages' pytest bounds."""
-    import numpy as np
-
     from cdrc_semantic_search_spark.operators.similarity import (
         topk_ivfpq,
         train_centroids,
         train_pq_codebooks,
     )
 
-    e = load(spark, sf_dir, "embeddings")
-    sample = np.array(
-        [
-            np.asarray(r["embedding"], dtype=np.float32)
-            for r in e.filter("vec_id < 256").orderBy("vec_id").collect()
-        ]
-    )
+    sample, q, c = _ann_fixture(spark, sf_dir)
     cent = train_centroids(sample, n_centroids=16, seed=42)
     books = train_pq_codebooks(sample, m=8, k=16, seed=42)
-    q = e.filter("vec_id < 10").select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     out = topk_ivfpq(spark, q, c, cent, books, k=5, n_probe=4)
     return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
 
@@ -2626,25 +2625,13 @@ def ann_pq_rerank(spark, sf_dir):
     exact cosine — the production pattern that recovers what
     quantization loses while touching |q|·20 float vectors instead of
     the corpus. Output scores are EXACT cosines."""
-    import numpy as np
-
     from cdrc_semantic_search_spark.operators.similarity import (
         topk_pq_rerank,
         train_pq_codebooks,
     )
 
-    e = load(spark, sf_dir, "embeddings")
-    sample = np.array(
-        [
-            np.asarray(r["embedding"], dtype=np.float32)
-            for r in e.filter("vec_id < 256").orderBy("vec_id").collect()
-        ]
-    )
+    sample, q, c = _ann_fixture(spark, sf_dir)
     books = train_pq_codebooks(sample, m=8, k=16, seed=42)
-    q = e.filter("vec_id < 10").select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     out = topk_pq_rerank(spark, q, c, books, k=5, shortlist=20)
     return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
 
@@ -2657,27 +2644,15 @@ def ann_ivfpq_residual(spark, sf_dir):
     code budget then captures within-cluster detail plain PQ discards
     (recall comparison pinned in test_ivf). All kernels shared with the
     twin; VALUES oracle hash-exact."""
-    import numpy as np
-
     from cdrc_semantic_search_spark.operators.similarity import (
         topk_ivfpq,
         train_centroids,
         train_residual_codebooks,
     )
 
-    e = load(spark, sf_dir, "embeddings")
-    sample = np.array(
-        [
-            np.asarray(r["embedding"], dtype=np.float32)
-            for r in e.filter("vec_id < 256").orderBy("vec_id").collect()
-        ]
-    )
+    sample, q, c = _ann_fixture(spark, sf_dir)
     cent = train_centroids(sample, n_centroids=16, seed=42)
     books = train_residual_codebooks(sample, cent, m=8, k=16, seed=42)
-    q = e.filter("vec_id < 10").select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     out = topk_ivfpq(spark, q, c, cent, books, k=5, n_probe=4, residual=True)
     return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
 
@@ -2697,8 +2672,6 @@ def ann_pq_index_roundtrip(spark, sf_dir):
     import os
     import tempfile
 
-    import numpy as np
-
     from cdrc_semantic_search_spark.operators.similarity import (
         materialize_pq_index,
         topk_pq_adc_index,
@@ -2707,24 +2680,17 @@ def ann_pq_index_roundtrip(spark, sf_dir):
     )
     from cdrc_semantic_search_spark.sources.catalog import ParquetTableCatalog
 
-    e = load(spark, sf_dir, "embeddings")
-    sample = np.array(
-        [
-            np.asarray(r["embedding"], dtype=np.float32)
-            for r in e.filter("vec_id < 256").orderBy("vec_id").collect()
-        ]
-    )
+    sample, q, c = _ann_fixture(spark, sf_dir)
     books = train_pq_codebooks(sample, m=8, k=16, seed=42)
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    # fixed per-user path, overwritten per call (create_or_replace), so
-    # repeated harness evaluations don't leak directories
-    root = os.path.join(tempfile.gettempdir(), f"pq_index_fixture_{os.getuid()}")
+    # pid-suffixed path: repeated harness evaluations in one process
+    # reuse it (create_or_replace overwrites), while CONCURRENT runs
+    # (pytest + check_entry) can't race on each other's swap windows
+    root = os.path.join(
+        tempfile.gettempdir(), f"pq_index_fixture_{os.getuid()}_{os.getpid()}"
+    )
     catalog = ParquetTableCatalog(root)
     materialize_pq_index(spark, catalog, c.filter("c_id < 250"), books)
     upsert_pq_index(spark, catalog, c.filter("c_id >= 250"))
-    q = e.filter("vec_id < 10").select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
     out = topk_pq_adc_index(spark, q, catalog, k=5)
     return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
 
@@ -3295,25 +3261,13 @@ def ann_ivf_topk(spark, sf_dir):
     limit(), whose row pick depends on partitioning), so the oracle is a
     VALUES literal from the pure-NumPy twin; recall bounds are separately
     pinned in tests/test_ivf.py and the exact twin is j3_topk_cosine."""
-    import numpy as np
-
     from cdrc_semantic_search_spark.operators.similarity import (
         topk_cosine_ivf,
         train_centroids,
     )
 
-    e = load(spark, sf_dir, "embeddings")
-    sample = np.array(
-        [
-            np.asarray(r["embedding"], dtype=np.float32)
-            for r in e.filter("vec_id < 256").orderBy("vec_id").collect()
-        ]
-    )
+    sample, q, c = _ann_fixture(spark, sf_dir)
     cent = train_centroids(sample, n_centroids=16, seed=42)
-    q = e.filter("vec_id < 10").select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
-    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     out = topk_cosine_ivf(spark, q, c, cent, k=5, n_probe=4)
     return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
 

@@ -69,6 +69,37 @@ class ParquetTableCatalog:
         df.write.mode("overwrite").parquet(self.table_path(name))
         shutil.rmtree(self._ledger_dir(name), ignore_errors=True)
 
+    def drop_table(self, name: str) -> None:
+        """Remove a table's data, ledger, and retirement marks entirely
+        (rebuild prep: e.g. a PQ index rebuild must also retire the
+        streamed code-delta generation, or stale deltas would override
+        the fresh base on merge-on-read)."""
+        shutil.rmtree(self.table_path(name), ignore_errors=True)
+        shutil.rmtree(self._ledger_dir(name), ignore_errors=True)
+        shutil.rmtree(self._retired_dir(name), ignore_errors=True)
+
+    def replace_via_staging(self, df: DataFrame, name: str) -> None:
+        """Full-table replace SAFE for a plan that reads the table it
+        replaces (e.g. merge-upsert of a table into itself):
+        ``create_or_replace`` would delete the directory the plan is
+        still reading — Spark fails with FAILED_READ_FILE mid-write and
+        the only copy is gone. Here the plan materializes into a staging
+        dir first, then swaps in by rename. A crash between the two
+        renames leaves ``<name>__old`` intact next to a missing table —
+        recoverable by hand, unlike the destroyed-in-place state.
+        """
+        staging = self.table_path(f"{name}__staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        df.write.mode("overwrite").parquet(staging)
+        dst = self.table_path(name)
+        old = dst + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(dst):
+            os.rename(dst, old)
+        os.rename(staging, dst)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self._ledger_dir(name), ignore_errors=True)
+
     def retire_partitions(self, name: str, partitions: list[str]) -> None:
         """Retire delta partitions that were folded into a base table: the
         commit marker MOVES to the retired ledger (lineage preserved; the

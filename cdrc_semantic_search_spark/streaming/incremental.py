@@ -252,6 +252,7 @@ def stream_pq_upsert(
     prefix: str = "pq_index",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    source_schema: str | None = None,
 ) -> None:
     """Streaming vector-index maintenance: each micro-batch of new
     embeddings is PQ-encoded with the STORED codebooks and committed as
@@ -262,7 +263,12 @@ def stream_pq_upsert(
     batch wins per id). Re-delivered batches overwrite idempotently.
 
     Codebooks stay fixed across the stream (re-training invalidates all
-    stored codes and is a rebuild, not an upsert).
+    stored codes and is a rebuild, not an upsert; materialize_pq_index
+    retires the delta generation for exactly that reason).
+
+    ``source_schema``: the file stream's DDL schema; defaults to
+    ``"<id_col> long, <vec_col> array<double>"`` — pass the real one for
+    string ids / float32 arrays.
     """
     from cdrc_semantic_search_spark.operators.similarity import (
         codebooks_from_df,
@@ -273,8 +279,7 @@ def stream_pq_upsert(
     snapshot = f"stream:{os.path.basename(input_dir)}"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
-        if n == 0:
+        if batch_df.isEmpty():  # cheap probe, not a full count pass
             return
         codes = pq_encode(
             spark,
@@ -285,16 +290,19 @@ def stream_pq_upsert(
             "c_vec",
             books,
         ).withColumn("batch_id", F.lit(batch_id))
+        # no pre-counted metric: the ledger's row_count is the committed
+        # truth (a source-side count would disagree whenever pq_encode
+        # drops NULL embeddings)
         catalog.overwrite_partition(
             codes,
             f"{prefix}_code_deltas",
             partition=str(batch_id),
             source_snapshot=snapshot,
-            metrics={"n_vectors": n},
         )
 
+    schema = source_schema or f"{id_col} long, {vec_col} array<double>"
     q = (
-        spark.readStream.schema(f"{id_col} long, {vec_col} array<double>")
+        spark.readStream.schema(schema)
         .parquet(input_dir)
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
@@ -311,15 +319,24 @@ def compacted_pq_codes(spark: SparkSession, catalog: ParquetTableCatalog,
     partition per batch, one row per id within a batch). A pre-existing
     batch-built ``<prefix>_codes`` table, if any, participates as
     generation -1 (the base the stream upserts over)."""
-    deltas = catalog.read_committed(spark, f"{prefix}_code_deltas").select(
-        "c_id", "codes", "batch_id"
-    )
+    # columns are the canonical (c_id, codes) the writers emit: both
+    # stream_pq_upsert and materialize_pq_index normalize to them
+    try:
+        deltas = catalog.read_committed(spark, f"{prefix}_code_deltas").select(
+            "c_id", "codes", "batch_id"
+        )
+    except FileNotFoundError:
+        deltas = None  # purely batch-built index: no stream ran yet
     base_path = catalog.table_path(f"{prefix}_codes")
     if os.path.exists(base_path):
         base = catalog.read_table(spark, f"{prefix}_codes").select(
             "c_id", "codes", F.lit(-1).alias("batch_id")
         )
-        deltas = base.unionByName(deltas)
+        deltas = base if deltas is None else base.unionByName(deltas)
+    if deltas is None:
+        raise FileNotFoundError(
+            f"no {prefix}_codes base and no committed {prefix}_code_deltas"
+        )
     w = Window.partitionBy("c_id").orderBy(F.desc("batch_id"))
     return (
         deltas.withColumn("__rn", F.row_number().over(w))

@@ -415,3 +415,52 @@ def test_stream_pq_upsert_equals_batch_rebuild(spark, tmp_path):
     stream_pq_upsert(spark, str(stream_dir), catalog, str(tmp_path / "ckpt"))
     again = compacted_pq_codes(spark, catalog).toPandas()
     assert key(again) == key(want)
+
+
+def test_pq_rebuild_retires_stale_code_deltas(spark, tmp_path):
+    """An index rebuild (new codebooks) must retire the streamed delta
+    generation: old deltas were encoded under the previous codebooks and
+    would otherwise override the fresh base on merge-on-read. Also:
+    compacted view works for a purely batch-built index (no deltas)."""
+    import numpy as np
+    import pandas as pd
+
+    from cdrc_semantic_search_spark.operators.similarity import (
+        materialize_pq_index,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from cdrc_semantic_search_spark.sources.catalog import ParquetTableCatalog
+    from cdrc_semantic_search_spark.streaming.incremental import (
+        compacted_pq_codes,
+        stream_pq_upsert,
+    )
+
+    rng = np.random.default_rng(19)
+    pts = rng.standard_normal((20, 16)).astype(np.float32)
+    books1 = train_pq_codebooks(pts, m=4, k=8, seed=1)
+    c = spark.createDataFrame(
+        pd.DataFrame({"c_id": range(20), "c_vec": [list(map(float, v)) for v in pts]})
+    )
+    catalog = ParquetTableCatalog(str(tmp_path / "cat"))
+    materialize_pq_index(spark, catalog, c, books1)
+
+    # batch-only index: compacted view = the base, no FileNotFoundError
+    base_only = compacted_pq_codes(spark, catalog).toPandas()
+    assert len(base_only) == 20
+
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    pd.DataFrame(
+        {"vec_id": [0], "embedding": [list(map(float, -pts[0]))]}
+    ).to_parquet(stream_dir / "w.parquet")
+    stream_pq_upsert(spark, str(stream_dir), catalog, str(tmp_path / "ck"))
+    assert catalog.committed_partitions("pq_index_code_deltas")
+
+    # rebuild under DIFFERENT codebooks: deltas must vanish
+    books2 = train_pq_codebooks(pts, m=4, k=8, seed=2)
+    materialize_pq_index(spark, catalog, c, books2)
+    got = compacted_pq_codes(spark, catalog).toPandas()
+    want = pq_encode(spark, c, "c_id", "c_vec", books2).toPandas()
+    key = lambda d: sorted((r.c_id, tuple(r.codes)) for r in d.itertuples())
+    assert key(got) == key(want)  # no stale-delta override
