@@ -468,6 +468,21 @@ def _probe_sets(
     return out
 
 
+def _topk_tiesafe(s: np.ndarray, cids: np.ndarray, take: int) -> np.ndarray:
+    """Indices of the top-``take`` scores under the (-score, c_id)
+    tie-break, O(n) selection + lexsort of only the candidate slice: the
+    kth-largest VALUE bounds the slice from below with every boundary
+    tie included (s >= v), so no tied candidate the global tie-break
+    would pick can be evicted — the correctness argpartition alone
+    cannot give, at a fraction of a full lexsort."""
+    n = len(s)
+    if take >= n:
+        return np.lexsort((cids, -s))[:take]
+    v = np.partition(s, n - take)[n - take]
+    idx = np.flatnonzero(s >= v)
+    return idx[np.lexsort((cids[idx], -s[idx]))][:take]
+
+
 def train_residual_codebooks(
     sample: np.ndarray,
     centroids: np.ndarray,
@@ -612,12 +627,11 @@ def topk_pq_adc(
                 s = np.zeros(n_c, dtype=np.float32)
                 for j in range(tables.shape[1]):
                     s += tables[qi, j][codes[:, j]]
-                # lexsort, not argpartition: quantized scores tie for
-                # REAL (duplicate vectors share codes), and a boundary
-                # tie must resolve by c_id here exactly as the global
-                # window will — argpartition's arbitrary boundary pick
-                # could evict the candidate the final tiebreak wants
-                part = np.lexsort((cids, -s))[:take]
+                # tie-safe selection (see _topk_tiesafe): quantized
+                # scores tie for REAL (duplicate vectors share codes),
+                # and a boundary tie must resolve by c_id exactly as
+                # the global window will
+                part = _topk_tiesafe(s, cids, take)
                 rows[q_id].extend([qid] * take)
                 rows[c_id].extend(cids[part])
                 rows["score"].extend(s[part].astype(float))
@@ -739,7 +753,7 @@ def topk_ivfpq(
                     # the twin adds in the same order
                     s += qcent[qi][buckets[mask]]
                 take = min(topk, len(sub_codes))
-                part = np.lexsort((sub_ids, -s))[:take]
+                part = _topk_tiesafe(s, sub_ids, take)
                 rows[q_id].extend([ids[qi]] * take)
                 rows[c_id].extend(sub_ids[part])
                 rows["score"].extend(s[part].astype(float))
