@@ -245,6 +245,18 @@ results are parallelism-independent (asserted in tests/test_resume.py).
         with open("/root/repo/BENCH.md", "a") as f:
             f.write("\n" + bucketed_pagerank_bench.render_section(pr_results))
 
+    # and the ANN scan section (scripts/ann_bench.py)
+    ann_json = os.path.join(scripts_dir, ".ann_bench.json")
+    if os.path.exists(ann_json):
+        if scripts_dir not in sys.path:
+            sys.path.insert(0, scripts_dir)
+        import ann_bench
+
+        with open(ann_json) as f:
+            ann_results = json.load(f)
+        with open("/root/repo/BENCH.md", "a") as f:
+            f.write("\n" + ann_bench.render_section(ann_results))
+
 
 if __name__ == "__main__":
     main()
