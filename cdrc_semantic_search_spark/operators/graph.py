@@ -609,3 +609,69 @@ def negative_sample_edges(
             "neg_idx",
         )
     )
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    n_rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Fixed-round Bellman-Ford single-source shortest paths over a
+    DIRECTED weighted graph → (id, dist); vertices unreached within
+    ``n_rounds`` hops are absent.
+
+    dist_{t+1}(v) = min(dist_t(v), min_{u→v}(dist_t(u) + w(u,v)))
+
+    The weighted companion of :func:`bfs_distances` (edge weights =
+    kg_edges' inverse corroboration, hop costs, latencies). Per round:
+    one key-partitioned join of the (static, persisted) edge list with
+    the current frontier distances, one map-side-combined MIN per
+    destination, one union+MIN merge — checkpointed, the same lineage
+    discipline as every iterative operator here. Rounds bound the hop
+    count (Bellman-Ford's defining property), so the result is
+    deterministic even before convergence; run rounds ≥ graph diameter
+    for the fixpoint. Non-positive weights are rejected (negative
+    cycles would make fixed-round results meaningless).
+
+    Exactness: each distance is one specific left-to-right sum of edge
+    weights along one path, and MIN compares exact doubles — identical
+    in any engine, so an unrolled-CTE SQL oracle matches bit-for-bit.
+    """
+    if n_rounds < 0:
+        raise ValueError("n_rounds must be >= 0")
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))  # parallel edges: cheapest wins
+        .persist()
+    )
+    try:
+        if e.filter(F.col("w") <= 0).limit(1).count() > 0:
+            raise ValueError("sssp_weighted requires strictly positive weights")
+        dist = (
+            sources.select(F.col("id"))
+            .distinct()
+            .withColumn("dist", F.lit(0.0))
+            .localCheckpoint()
+        )
+        for _ in range(n_rounds):
+            relaxed = (
+                e.join(dist, e["src"] == dist["id"])
+                .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            )
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint()
+            )
+        return dist
+    finally:
+        e.unpersist()

@@ -994,6 +994,23 @@ def u2_except(spark, sf_dir):
     return c.distinct().subtract(s)  # EXCEPT (set) semantics
 
 
+@register(
+    "u3_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def u3_intersect(spark, sf_dir):
+    """INTERSECT (set) — the remaining §2.7 set operator: nations with
+    BOTH customers and suppliers. Spark plans it as a distinct left-semi
+    join, same shuffle shape as except."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
 # =====================================================================
 # §2.9 vector / semantic core
 # =====================================================================
@@ -2693,6 +2710,66 @@ def ann_pq_index_roundtrip(spark, sf_dir):
     upsert_pq_index(spark, catalog, c.filter("c_id >= 250"))
     out = topk_pq_adc_index(spark, q, catalog, k=5)
     return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
+
+
+def _sssp_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled Bellman-Ford oracle: each MATERIALIZED round merges the
+    previous distances with one relaxation over the symmetrized weighted
+    edge list (plain CTEs would inline 2^rounds-fold — the graph_kcore
+    lesson). Integral weights keep every path sum exact in double."""
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+        SELECT l_suppkey AS s, 1000 + l_partkey % 100 AS t,
+               MIN(l_quantity) AS w
+        FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+        SELECT s AS src, t AS dst, w FROM e0
+        UNION ALL
+        SELECT t, s, w FROM e0
+    ),
+    d0 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS DOUBLE) AS dist)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{i} AS MATERIALIZED (
+        SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM d{i - 1}
+            UNION ALL
+            SELECT e.dst AS id, d{i - 1}.dist + e.w AS dist
+            FROM d{i - 1} JOIN e ON e.src = d{i - 1}.id
+        ) GROUP BY id
+    )"""
+        )
+    parts.append(f"""
+    SELECT id, dist FROM d{rounds}
+    """)
+    return "".join(parts)
+
+
+@register("graph_sssp_weighted", _sssp_oracle_sql)
+def graph_sssp_weighted(spark, sf_dir):
+    """Weighted single-source shortest paths (fixed-round Bellman-Ford,
+    operators/graph.sssp_weighted) from supplier 1 over the symmetrized
+    supplier↔bucket graph, edges weighted by cheapest quantity — the
+    weighted companion of graph_bfs_distances. Path sums of integral
+    weights are exact in double, so the unrolled oracle matches
+    bit-for-bit with no rounding."""
+    from cdrc_semantic_search_spark.operators.graph import sssp_weighted
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+        F.col("l_quantity").alias("w"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    sources = spark.range(1, 2).select(F.col("id"))
+    return sssp_weighted(edges, sources, n_rounds=6)
 
 
 @register("kg_triples_fixture", value_oracles.lazy("kg_triples_fixture"))

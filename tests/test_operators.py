@@ -501,6 +501,36 @@ def test_negative_sample_edges_filters_and_determinism(spark):
         negative_sample_edges(edges, ents.filter("idx < 0"), k=1)
 
 
+def test_sssp_weighted_relaxation(spark):
+    """Hand graph where the cheap 2-hop path beats the direct edge
+    (1→2→3 costs 2 vs direct 10); parallel edges keep the cheapest;
+    unreachable vertices absent; hop-bounded rounds; non-positive
+    weights rejected."""
+    import pytest as _pytest
+
+    from cdrc_semantic_search_spark.operators.graph import sssp_weighted
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 10.0), (1, 3, 7.0), (4, 5, 1.0)],
+        "src long, dst long, w double",
+    )
+    src = spark.createDataFrame([(1,)], "id long")
+    d = {r.id: r.dist for r in sssp_weighted(edges, src, n_rounds=4).collect()}
+    assert d == {1: 0.0, 2: 1.0, 3: 2.0}  # 4,5 unreachable; 2-hop beats 7
+
+    d1 = {r.id: r.dist for r in sssp_weighted(edges, src, n_rounds=1).collect()}
+    assert d1 == {1: 0.0, 2: 1.0, 3: 7.0}  # 1 hop: cheapest direct edge only
+
+    with _pytest.raises(ValueError):
+        sssp_weighted(
+            spark.createDataFrame([(1, 2, 0.0)], "src long, dst long, w double"),
+            src,
+            n_rounds=1,
+        )
+    with _pytest.raises(ValueError):
+        sssp_weighted(edges, src, n_rounds=-1)
+
+
 def test_stratified_sample_exact_quotas_and_determinism(spark):
     """Every stratum yields exactly ceil(n*frac) rows; the member SET is
     stable across repartitioning; bad fractions raise."""
