@@ -18,6 +18,7 @@ contract (SURVEY §5.5).
 
 from __future__ import annotations
 
+import logging
 import zlib
 from collections.abc import Iterator
 
@@ -27,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdrc_semantic_search_spark.functions.text import word_shingles
+
+log = logging.getLogger(__name__)
 
 
 # --------------------------------------------------------------- exact dedup
@@ -62,6 +65,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     cache_handle: list | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with k-word-shingle Jaccard ≥ threshold.
 
@@ -70,6 +74,20 @@ def ngram_jaccard_pairs(
     (shingle_hash, id) pairs; per-pair intersection size falls out of a
     groupBy count, union size from the per-doc distinct-shingle counts —
     no document text ever re-shuffles.
+
+    ``max_shingle_df``: the scale guard. A boilerplate shingle shared by
+    10M documents creates a 10M-row posting list and a quadratic
+    candidate blowup inside the self-join. With a cap, shingles whose
+    document frequency exceeds it are removed from the universe BEFORE
+    the self-join — consistently, from both the intersection counts and
+    the per-doc sizes, so the returned ``jaccard`` is the exact Jaccard
+    over the capped shingle universe (stop-shingles carry no
+    discriminative signal anyway). The hot-shingle list is tiny by
+    construction (only hashes with DF > cap) and is broadcast; the
+    posting table never shuffles for the filter. The number of dropped
+    shingle hashes is logged. Default ``None`` = off (exact Jaccard over
+    the full universe; fine up to moderate corpora, required off for the
+    VALUES oracle).
     """
     shingled = df.select(
         F.col(id_col).alias("id"),
@@ -89,6 +107,23 @@ def ngram_jaccard_pairs(
     if cache_handle is not None:
         cache_handle.append(shingled)
 
+    if max_shingle_df is not None:
+        hot = (
+            shingled.groupBy("shash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shash")
+        )
+        # one cheap count over the cached posting list — the honest price
+        # of reporting what the cap dropped (no silent truncation)
+        n_hot = hot.count()
+        if n_hot:
+            log.info(
+                "ngram_jaccard_pairs: dropping %d shingle hashes with "
+                "document frequency > %d", n_hot, max_shingle_df,
+            )
+        shingled = shingled.join(F.broadcast(hot), "shash", "left_anti")
+
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
     a = shingled.select(F.col("id").alias("id_a"), "shash")
@@ -101,9 +136,12 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    # plain shuffle joins on id — the size table is one row PER DOCUMENT,
+    # so a forced broadcast dies at billions of docs; AQE may still pick
+    # broadcast when the corpus is genuinely small
     return (
-        inter.join(F.broadcast(sz_a), "id_a")
-        .join(F.broadcast(sz_b), "id_b")
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
         .withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
@@ -114,6 +152,32 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------- MinHash LSH
+def _cap_buckets(
+    tagged: DataFrame, keys: list[str], cap: int | None, who: str
+) -> DataFrame:
+    """Shared bucket-size guard for the banded self-joins: drop groups of
+    ``keys`` larger than ``cap`` before candidate generation. The
+    oversized-bucket list is tiny by construction and broadcast; the
+    tagged side never shuffles for the filter. Logs how many buckets
+    (and member rows) were skipped — capping must never be silent."""
+    if cap is None:
+        return tagged
+    big = (
+        tagged.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+    )
+    stats = big.agg(
+        F.count(F.lit(1)).alias("buckets"), F.sum("n").alias("rows")
+    ).collect()[0]
+    if stats["buckets"]:
+        log.info(
+            "%s: skipping %d buckets (> %d members, %d rows total) for "
+            "candidate generation", who, stats["buckets"], cap, stats["rows"],
+        )
+    return tagged.join(F.broadcast(big.select(*keys)), keys, "left_anti")
+
+
 def _minhash_matrix(shingle_hashes: list[np.ndarray], n_perm: int, seed: int) -> np.ndarray:
     """(n_docs, n_perm) uint64 minhash signatures via affine permutations."""
     rng = np.random.default_rng(seed)
@@ -177,12 +241,24 @@ def minhash_lsh_pairs(
     n_bands: int = 16,
     min_est_jaccard: float = 0.5,
     cache_handle: list | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from banded minhash buckets + estimated Jaccard.
 
     rows-per-band = n_perm/n_bands; a pair collides in ≥1 band with
     probability 1-(1-j^r)^b. Estimated Jaccard = matching-component
     fraction of the two signatures (zip_with equality mean).
+
+    ``max_bucket_size``: the scale guard. A degenerate bucket (millions
+    of near-empty docs sharing one signature band) explodes the
+    self-join quadratically. With a cap, (band, bucket) groups larger
+    than it are skipped for candidate generation — the skipped bucket
+    list is tiny (only the pathological ones), broadcast for the
+    anti-join, and its size is logged (no silent truncation). Members of
+    a skipped bucket can still pair through their other n_bands−1 bands;
+    true mass-duplicates should be collapsed by
+    :func:`exact_duplicate_groups` FIRST, which is both cheaper and
+    exact for that case. Default ``None`` = off (oracle-exact).
 
     An INTERNAL projection of the signature table is cached before the
     self-join (never the caller's frame — persisting an input is a
@@ -206,6 +282,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
+    banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size, "minhash_lsh_pairs")
     a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     pairs = (
@@ -264,6 +341,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     cache_handle: list | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Pairs within hamming distance ≤ max_hamming via banded blocking.
 
@@ -271,6 +349,13 @@ def simhash_near_pairs(
     is identical — candidates join on (band, chunk), then exact hamming
     (bit_count of xor) filters. Choose n_bands > max_hamming for a
     completeness guarantee; no all-pairs join ever runs.
+
+    ``max_bucket_size``: same scale guard and logging contract as
+    :func:`minhash_lsh_pairs` — (band, chunk) groups larger than the cap
+    are skipped (a million empty docs share simhash 0 and would pair
+    quadratically; collapse those with :func:`exact_duplicate_groups`
+    first). Default ``None`` = off (oracle-exact, pigeonhole guarantee
+    intact).
 
     An internal projection of the signatures is cached before the
     self-join (same rationale and cache_handle contract as
@@ -294,6 +379,7 @@ def simhash_near_pairs(
     tagged = sigs.select(
         F.col(id_col).alias("id"), "simhash", F.explode(bands).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    tagged = _cap_buckets(tagged, ["band", "chunk"], max_bucket_size, "simhash_near_pairs")
     a = tagged.select("band", "chunk", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
     b = tagged.select("band", "chunk", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
     return (

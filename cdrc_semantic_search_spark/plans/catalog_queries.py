@@ -415,14 +415,17 @@ def j6_semi_membership(spark, sf_dir):
 )
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective dim filter → two joins → agg → top-k.
-    Customer (filtered) broadcasts; lineitem never shuffles before the
+    Customer is SF-proportional, so NO forced broadcast hint — AQE /
+    autoBroadcastJoinThreshold picks broadcast when the filtered side is
+    genuinely small and falls back to shuffle join at 100× (a forced
+    hint would OOM the driver there). Lineitem never shuffles before the
     groupBy on its own key."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-03-15")
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy(F.col("l_orderkey").alias("orderkey"), F.col("o_orderdate"))
         .agg(
             F.round(
@@ -465,8 +468,8 @@ def q5_local_supplier_volume(spark, sf_dir):
     n = load(spark, sf_dir, "nation")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(c), (o["o_custkey"] == c["c_custkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, (o["o_custkey"] == c["c_custkey"]) & (c["c_nationkey"] == s["s_nationkey"]))
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(
@@ -523,8 +526,8 @@ def q7_volume_shipping(spark, sf_dir):
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -592,9 +595,9 @@ def q8_market_share(spark, sf_dir):
     ).cast("decimal(8,4)")
     joined = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -648,7 +651,7 @@ def q10_returned_items(spark, sf_dir):
     n = load(spark, sf_dir, "nation")
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation_name"))
         .agg(
@@ -3498,9 +3501,12 @@ def a9_pivot(spark, sf_dir):
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape: correlated scalar subquery (per-part average gates
     the outer row). Decorrelated the way Catalyst would: the per-partkey
-    average aggregates to ≤|part| rows and joins back BROADCAST — the
-    lineitem fact side never shuffles. l_quantity is integral, so the
-    double AVG is exact and the 0.2·avg comparison is engine-independent."""
+    average aggregates to ≤|filtered part| rows and joins back — no
+    FORCED broadcast, because both the filtered part list and the
+    per-partkey average table are SF-proportional; AQE broadcasts them
+    while they fit and falls back to a shuffle join at 100× instead of
+    OOMing the driver. l_quantity is integral, so the double AVG is
+    exact and the 0.2·avg comparison is engine-independent."""
     li = load(spark, sf_dir, "lineitem")
     p = (
         load(spark, sf_dir, "part")
@@ -3508,12 +3514,12 @@ def q17_small_quantity_revenue(spark, sf_dir):
         .select("p_partkey")
     )
     avg_q = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("l_partkey")
         .agg(F.avg("l_quantity").alias("avg_qty"))
     )
     return (
-        li.join(F.broadcast(avg_q), "l_partkey")
+        li.join(avg_q, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.round(
@@ -3605,7 +3611,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
         & (F.col("p_size") <= 15)
     )
     j = li.filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)).join(
-        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+        p, F.col("p_partkey") == F.col("l_partkey")
     )
     cond = (
         ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5)
@@ -3685,7 +3691,7 @@ def q14_promo_revenue(spark, sf_dir):
         F.lit(0).cast("decimal(24,8)")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
             F.round(
                 F.lit(100.0)
@@ -3796,10 +3802,11 @@ def q21_lone_returner_suppliers(spark, sf_dir):
         "left_anti",
     )
     # orders is a fact table — it joins on the same l_orderkey partitioning
-    # (exchange reuse), only the supplier dim broadcasts
+    # (exchange reuse); supplier is SF-proportional, so AQE decides the
+    # join strategy rather than a forced broadcast
     return (
         cand.join(o, F.col("l1.l_orderkey") == o["o_orderkey"])
-        .join(F.broadcast(s), F.col("l1.l_suppkey") == s["s_suppkey"])
+        .join(s, F.col("l1.l_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
