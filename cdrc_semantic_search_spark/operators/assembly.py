@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdrc_semantic_search_spark.functions.names import internal_col
+
 TURN_SEP = "\n"
 
 
@@ -140,12 +142,15 @@ def salted_join(
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
         raise ValueError(f"unsupported how for salted_join: {how}")
+    # collision-proof lane name: either input may already carry __lane
+    # (e.g. the output of another salting job)
+    lane_col = internal_col([*fact.columns, *dim.columns], "__lane")
     lane = F.pmod(
         F.xxhash64(*[F.col(c) for c in fact_salt_cols]), F.lit(n_salts)
     )
-    f = fact.withColumn("__lane", lane)
+    f = fact.withColumn(lane_col, lane)
     d = dim.withColumn(
-        "__lane",
+        lane_col,
         F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
     )
-    return f.join(d, [*on, "__lane"], how).drop("__lane")
+    return f.join(d, [*on, lane_col], how).drop(lane_col)

@@ -894,11 +894,30 @@ def upsert_pq_index(
     replace, new ids append — operators/split.merge_upsert, the same
     full-outer-join algebra table-format MERGE compiles to). The
     codebooks stay fixed — standard practice (re-training invalidates
-    every stored code; done as a rebuild, not an upsert)."""
+    every stored code; done as a rebuild, not an upsert).
+
+    Coherent with the STREAMING maintenance path: if committed
+    ``<prefix>_code_deltas`` exist (stream_pq_upsert ran under this
+    prefix), the merge base is the compacted merge-on-read view — not
+    the raw codes table — and the folded delta partitions are RETIRED
+    after the swap (markers move to the retired ledger, lineage kept).
+    Without the fold, a batch upsert of an id previously touched by the
+    stream would be silently shadowed by the stale delta on the next
+    merge-on-read. A batch upsert therefore doubles as a compaction
+    event; a stream resuming afterwards writes fresh deltas over the
+    new base (its checkpoint never re-emits retired batches)."""
     from cdrc_semantic_search_spark.operators.split import merge_upsert
+    from cdrc_semantic_search_spark.streaming.incremental import (
+        compacted_pq_codes,
+    )
 
     books = codebooks_from_df(catalog.read_table(spark, f"{prefix}_codebooks"))
-    existing = catalog.read_table(spark, f"{prefix}_codes")
+    delta_table = f"{prefix}_code_deltas"
+    streamed = catalog.committed_partitions(delta_table)
+    if streamed:
+        existing = compacted_pq_codes(spark, catalog, prefix)
+    else:
+        existing = catalog.read_table(spark, f"{prefix}_codes")
     delta = pq_encode(spark, new_vectors, id_col, vec_col, books)
     merged = merge_upsert(existing, delta, [id_col])
     # staging swap, NOT create_or_replace: the merged plan READS the
@@ -906,6 +925,14 @@ def upsert_pq_index(
     # the write job is reading and a mid-write failure destroys the
     # only copy of the index
     catalog.replace_via_staging(merged, f"{prefix}_codes")
+    if streamed:
+        # folded into the base above — retire AFTER the swap: retiring
+        # first would, on a crash, leave a base missing its folded
+        # updates with the deltas gone (data loss). The crash window
+        # here (swapped but not yet retired) merely re-shadows
+        # batch-upserted ids with their pre-upsert stream values —
+        # re-running the same upsert repairs it (idempotent).
+        catalog.retire_partitions(delta_table, sorted(streamed))
 
 
 def topk_pq_adc_index(
@@ -922,9 +949,21 @@ def topk_pq_adc_index(
     and ``<prefix>_codebooks`` from the catalog — the float corpus is
     never opened. Must return exactly what :func:`topk_pq_adc` computes
     from the raw corpus with the same codebooks (pinned by the
-    ann_pq_index_roundtrip query sharing ann_pq_topk's oracle)."""
+    ann_pq_index_roundtrip query sharing ann_pq_topk's oracle).
+
+    If committed streamed code-deltas exist for this prefix, the scan
+    reads the compacted merge-on-read view so queries see streamed
+    updates — the batch and streaming maintenance paths stay coherent
+    under one prefix (pinned in test_streaming)."""
+    from cdrc_semantic_search_spark.streaming.incremental import (
+        compacted_pq_codes,
+    )
+
     books = codebooks_from_df(catalog.read_table(spark, f"{prefix}_codebooks"))
-    encoded = catalog.read_table(spark, f"{prefix}_codes")
+    if catalog.committed_partitions(f"{prefix}_code_deltas"):
+        encoded = compacted_pq_codes(spark, catalog, prefix)
+    else:
+        encoded = catalog.read_table(spark, f"{prefix}_codes")
     return topk_pq_adc(
         spark, queries, None, books, k,
         q_id=q_id, c_id=c_id, q_vec=q_vec, encoded=encoded,

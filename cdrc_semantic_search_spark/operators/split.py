@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdrc_semantic_search_spark.functions.names import internal_col
+
 _BUCKETS = 10_000
 
 
@@ -95,14 +97,16 @@ def stratified_sample(
         split_bucket(F.col(key_col), salt), F.col(key_col)
     )
     wc = Window.partitionBy(strata_col)
+    rn = internal_col(df.columns, "__rn")
+    cnt = internal_col([*df.columns, rn], "__n")
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        df.withColumn(rn, F.row_number().over(w))
+        .withColumn(cnt, F.count(F.lit(1)).over(wc))
         .filter(
-            (F.col("__rn") - 1).cast("decimal(38,0)") * F.lit(den)
-            < F.col("__n").cast("decimal(38,0)") * F.lit(num)
+            (F.col(rn) - 1).cast("decimal(38,0)") * F.lit(den)
+            < F.col(cnt).cast("decimal(38,0)") * F.lit(num)
         )
-        .drop("__rn", "__n")
+        .drop(rn, cnt)
     )
 
 
@@ -191,9 +195,10 @@ def weighted_mix(
         F.asc_nulls_last(split_bucket(F.col(key_col), salt)),
         F.asc_nulls_last(F.col(key_col)),
     )
+    rn = internal_col(df.columns, "__rn")
     return (
         df.filter(F.col(source_col).isin(list(weights)))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= quota_col)
-        .drop("__rn")
+        .withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= quota_col)
+        .drop(rn)
     )

@@ -290,6 +290,17 @@ def stream_pq_upsert(
             "c_vec",
             books,
         ).withColumn("batch_id", F.lit(batch_id))
+        # a micro-batch may legitimately carry the same id twice (two
+        # files, an at-least-once upstream); a file stream has no
+        # within-batch order, so "latest" is undefined — dedupe by a
+        # DETERMINISTIC total order (lexicographic on the codes array)
+        # or the compacted view's winner would be partition-dependent
+        dw = Window.partitionBy("c_id").orderBy(F.asc("codes"))
+        codes = (
+            codes.withColumn("__rn", F.row_number().over(dw))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         # no pre-counted metric: the ledger's row_count is the committed
         # truth (a source-side count would disagree whenever pq_encode
         # drops NULL embeddings)
@@ -315,10 +326,14 @@ def stream_pq_upsert(
 def compacted_pq_codes(spark: SparkSession, catalog: ParquetTableCatalog,
                        prefix: str = "pq_index") -> DataFrame:
     """Merge-on-read view of a streamed PQ index: committed code-delta
-    partitions, latest batch winning per id (ties cannot happen — one
-    partition per batch, one row per id within a batch). A pre-existing
-    batch-built ``<prefix>_codes`` table, if any, participates as
-    generation -1 (the base the stream upserts over)."""
+    partitions, latest batch winning per id. stream_pq_upsert dedupes
+    ids within each batch before committing, but the window still
+    carries a deterministic within-generation tiebreak (codes asc) so a
+    base table written by another tool with duplicate ids compacts to
+    the same winner on every run — determinism here is a contract, not
+    an assumption about writers. A pre-existing batch-built
+    ``<prefix>_codes`` table, if any, participates as generation -1
+    (the base the stream upserts over)."""
     # columns are the canonical (c_id, codes) the writers emit: both
     # stream_pq_upsert and materialize_pq_index normalize to them
     try:
@@ -337,7 +352,7 @@ def compacted_pq_codes(spark: SparkSession, catalog: ParquetTableCatalog,
         raise FileNotFoundError(
             f"no {prefix}_codes base and no committed {prefix}_code_deltas"
         )
-    w = Window.partitionBy("c_id").orderBy(F.desc("batch_id"))
+    w = Window.partitionBy("c_id").orderBy(F.desc("batch_id"), F.asc("codes"))
     return (
         deltas.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

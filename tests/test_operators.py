@@ -226,6 +226,66 @@ def test_simhash_near_pairs(spark):
     assert got.set_index(["id_a", "id_b"]).loc[(1, 2), "hamming"] == 7
 
 
+
+
+
+def test_dedup_scale_caps(spark):
+    """The scale guards: a document-frequency cap removes stop-shingles
+    consistently (Jaccard stays exact over the capped universe), and a
+    bucket-size cap skips degenerate buckets without touching the rest."""
+    # every doc shares the boilerplate prefix; only 1 and 2 share content
+    boiler = "copyright acme corp all rights reserved "
+    rows = [
+        (1, boiler + "alpha beta gamma delta epsilon zeta"),
+        (2, boiler + "alpha beta gamma delta epsilon eta"),
+        (3, boiler + "one two three four five six"),
+        (4, boiler + "seven eight nine ten eleven twelve"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap at 1: boilerplate shingles (DF=4) drop; content shingles (DF<=2)
+    # stay, so (1,2) still pairs and its jaccard is EXACT over the capped
+    # universe — strictly higher than uncapped (the shared boilerplate no
+    # longer dilutes the union)
+    capped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.3, max_shingle_df=2
+    ).toPandas()
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.3
+    ).toPandas()
+    assert (1, 2) in set(zip(capped["id_a"], capped["id_b"]))
+    j_cap = capped.set_index(["id_a", "id_b"]).loc[(1, 2), "jaccard"]
+    j_unc = uncapped.set_index(["id_a", "id_b"]).loc[(1, 2), "jaccard"]
+    assert j_cap > 0 and j_unc > 0
+
+    # minhash bucket cap: identical docs 10..14 form one 5-member bucket
+    # per band; cap=4 skips those buckets entirely, while the separate
+    # near-pair (20, 21) still surfaces through its own small buckets
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = base.replace("tok30", "tokX")
+    dup_rows = [(i, "spam spam spam identical") for i in range(10, 15)]
+    df2 = spark.createDataFrame(
+        dup_rows + [(20, base), (21, near)], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_signatures(df2, "doc_id", "text", k=3, n_perm=64)
+    got = dedup.minhash_lsh_pairs(
+        sigs, "doc_id", n_perm=64, n_bands=16, max_bucket_size=4
+    ).toPandas()
+    pairs = set(zip(got["id_a"], got["id_b"]))
+    assert (20, 21) in pairs
+    assert not any(10 <= a < 15 and 10 <= b < 15 for a, b in pairs)
+    # without the cap the duplicate block pairs quadratically
+    allp = dedup.minhash_lsh_pairs(sigs, "doc_id", n_perm=64, n_bands=16).toPandas()
+    assert {(a, b) for a, b in zip(allp["id_a"], allp["id_b"]) if a >= 10 and b < 20}
+
+    # simhash bucket cap: same contract
+    ssigs = dedup.simhash_signatures(df2, "doc_id", "text")
+    sgot = dedup.simhash_near_pairs(
+        ssigs, "doc_id", max_hamming=7, n_bands=8, max_bucket_size=4
+    ).toPandas()
+    spairs = set(zip(sgot["id_a"], sgot["id_b"]))
+    assert not any(10 <= a < 15 and 10 <= b < 15 for a, b in spairs)
+
+
 # ------------------------------------------------------------- text analysis
 def test_quality_and_language(spark):
     rows = [

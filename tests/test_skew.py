@@ -128,3 +128,41 @@ def test_salted_join_matches_plain_join_and_spreads_lanes(spark):
         salted_join(fact, dim, ["k"], 0, ["row_id"])
     with _pytest.raises(ValueError):
         salted_join(fact, dim, ["k"], 4, ["row_id"], how="right")
+
+
+def test_internal_column_names_cannot_collide(spark):
+    """Inputs that already carry __lane / __rn (e.g. output of another
+    salting job) must not break salted_join / weighted_mix /
+    stratified_sample — the helper columns rename themselves."""
+    from cdrc_semantic_search_spark.functions.names import internal_col
+    from cdrc_semantic_search_spark.operators.assembly import salted_join
+    from cdrc_semantic_search_spark.operators.split import (
+        stratified_sample,
+        weighted_mix,
+    )
+
+    assert internal_col(["a"], "__lane") == "__lane"
+    assert internal_col(["__lane"], "__lane") == "__lane_2"
+    assert internal_col(["__lane", "__lane_2"], "__lane") == "__lane_3"
+
+    fact = spark.createDataFrame(
+        [(i, i % 3, 99) for i in range(30)], "id int, k int, __lane int"
+    )
+    dim = spark.createDataFrame(
+        [(0, "a", 7), (1, "b", 7), (2, "c", 7)], "k int, v string, __lane int"
+    )
+    got = salted_join(fact, dim, ["k"], 4, ["id"])
+    plain = fact.join(dim, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    # the caller's own __lane columns survive untouched
+    assert got.columns.count("__lane") == 2
+
+    df = spark.createDataFrame(
+        [(i, "s" if i % 2 else "t", -1) for i in range(40)],
+        "id int, src string, __rn int",
+    )
+    mixed = weighted_mix(df, "src", "id", {"s": 0.5, "t": 0.5}, 10)
+    assert mixed.count() == 10 and "__rn" in mixed.columns
+
+    samp = stratified_sample(df, "src", "id", 0.25)
+    assert samp.count() == 10 and "__rn" in samp.columns

@@ -464,3 +464,95 @@ def test_pq_rebuild_retires_stale_code_deltas(spark, tmp_path):
     want = pq_encode(spark, c, "c_id", "c_vec", books2).toPandas()
     key = lambda d: sorted((r.c_id, tuple(r.codes)) for r in d.itertuples())
     assert key(got) == key(want)  # no stale-delta override
+
+
+def test_batch_upsert_folds_streamed_deltas(spark, tmp_path):
+    """Batch/stream index-maintenance coherence under one prefix:
+    (a) after a stream ran, topk_pq_adc_index reads the merge-on-read
+    view (streamed updates visible to queries);
+    (b) a batch upsert_pq_index FOLDS the committed code-deltas into the
+    new base and retires the delta generation — without the fold the
+    stale delta for an id the batch just updated would shadow it;
+    (c) duplicate ids within one micro-batch resolve to a deterministic
+    winner (lexicographically smallest codes)."""
+    import numpy as np
+    import pandas as pd
+
+    from cdrc_semantic_search_spark.operators.similarity import (
+        materialize_pq_index,
+        pq_encode,
+        topk_pq_adc,
+        topk_pq_adc_index,
+        train_pq_codebooks,
+        upsert_pq_index,
+    )
+    from cdrc_semantic_search_spark.sources.catalog import ParquetTableCatalog
+    from cdrc_semantic_search_spark.streaming.incremental import (
+        compacted_pq_codes,
+        stream_pq_upsert,
+    )
+
+    rng = np.random.default_rng(23)
+    pts = rng.standard_normal((20, 16)).astype(np.float32)
+    books = train_pq_codebooks(pts, m=4, k=8, seed=3)
+    mk = lambda ids, vecs: spark.createDataFrame(
+        pd.DataFrame({"c_id": ids, "c_vec": [list(map(float, v)) for v in vecs]})
+    )
+    catalog = ParquetTableCatalog(str(tmp_path / "cat"))
+    materialize_pq_index(spark, catalog, mk(range(20), pts), books)
+
+    # stream: replace id 0, add id 20 TWICE in one batch (dup in-batch)
+    v0_new = rng.standard_normal(16).astype(np.float32)
+    v20_a = rng.standard_normal(16).astype(np.float32)
+    v20_b = rng.standard_normal(16).astype(np.float32)
+    stream_dir = tmp_path / "in"
+    stream_dir.mkdir()
+    pd.DataFrame(
+        {
+            "vec_id": [0, 20, 20],
+            "embedding": [list(map(float, v)) for v in (v0_new, v20_a, v20_b)],
+        }
+    ).to_parquet(stream_dir / "w.parquet")
+    stream_pq_upsert(spark, str(stream_dir), catalog, str(tmp_path / "ck"))
+
+    # (c) deterministic in-batch winner: smallest codes tuple
+    cand = pq_encode(spark, mk([20, 20], [v20_a, v20_b]), "c_id", "c_vec", books)
+    win20 = min(tuple(r.codes) for r in cand.collect())
+    delta = catalog.read_committed(spark, "pq_index_code_deltas").toPandas()
+    assert sorted(delta.c_id) == [0, 20]
+    assert tuple(delta[delta.c_id == 20].codes.iloc[0]) == win20
+    v20 = v20_a if tuple(
+        pq_encode(spark, mk([20], [v20_a]), "c_id", "c_vec", books)
+        .collect()[0].codes
+    ) == win20 else v20_b
+
+    # (a) the index query path sees the streamed state
+    after_stream = np.vstack([v0_new, pts[1:], v20])
+    ids_after = list(range(21))
+    q = mk([100], [rng.standard_normal(16).astype(np.float32)]).selectExpr(
+        "c_id as q_id", "c_vec as q_vec"
+    )
+    want = topk_pq_adc(
+        spark, q, mk(ids_after, after_stream), books, k=5
+    ).toPandas()
+    got = topk_pq_adc_index(spark, q, catalog, k=5).toPandas()
+    pair = lambda d: [tuple(r) for r in d.sort_values("rank")[["c_id", "rank"]].itertuples(index=False)]
+    assert pair(got) == pair(want)
+
+    # (b) batch upsert replaces id 0 AGAIN and adds id 21: deltas fold
+    v0_batch = rng.standard_normal(16).astype(np.float32)
+    v21 = rng.standard_normal(16).astype(np.float32)
+    upsert_pq_index(spark, catalog, mk([0, 21], [v0_batch, v21]))
+    assert not catalog.committed_partitions("pq_index_code_deltas")
+    assert catalog.retired_partitions("pq_index_code_deltas")
+    final = np.vstack([v0_batch, pts[1:], v20, v21])
+    want_codes = pq_encode(
+        spark, mk(range(22), final), "c_id", "c_vec", books
+    ).toPandas()
+    got_codes = compacted_pq_codes(spark, catalog).toPandas()
+    key = lambda d: sorted((r.c_id, tuple(r.codes)) for r in d.itertuples())
+    assert key(got_codes) == key(want_codes)
+    # and the index query path agrees with the raw-corpus scan
+    want2 = topk_pq_adc(spark, q, mk(range(22), final), books, k=5).toPandas()
+    got2 = topk_pq_adc_index(spark, q, catalog, k=5).toPandas()
+    assert pair(got2) == pair(want2)
