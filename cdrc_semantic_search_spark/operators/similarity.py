@@ -240,6 +240,25 @@ def cosine_pairs_lsh(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    return exact_recheck(base, cand, id_col, vec_col).filter(
+        F.col("score") >= threshold
+    )
+
+
+def exact_recheck(
+    base: DataFrame, cand: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Score candidate id pairs (id_a, id_b) with exact cosine by
+    re-joining the (id, vec) ``base`` once per side → (id_a, id_b, score).
+
+    The one expensive join in embedding dedup: at 100 TB the base is the
+    billion-row side. Store it BUCKETED by ``id_col`` (bucketBy + sortBy)
+    and both re-joins read the buckets in place — zero base-side Exchange,
+    only the candidate pairs shuffle (alias-aware output partitioning
+    carries the bucket layout through the per-side renames; plan-pinned in
+    test_bucketing, shuffle bytes measured in BENCH.md via
+    scripts/dedup_bucket_bench.py).
+    """
     va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
@@ -248,7 +267,6 @@ def cosine_pairs_lsh(
         .select(
             "id_a", "id_b", V.cosine(F.col("vec_a"), F.col("vec_b")).alias("score")
         )
-        .filter(F.col("score") >= threshold)
     )
 
 

@@ -2173,6 +2173,47 @@ def graph_component_sizes(spark, sf_dir):
 
 
 @register(
+    "cc_incremental",
+    """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT l_suppkey AS a, 1000 + l_partkey % 500 AS b
+        FROM lineitem WHERE l_orderkey < 300
+    ),
+    sym(a, b) AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+    reach(n, m) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+    )
+    SELECT n AS id, LEAST(n, MIN(m)) AS component FROM reach GROUP BY n
+    """,
+)
+def cc_incremental(spark, sf_dir):
+    """Incremental canonicalization maintenance: converge components on
+    the first half of the edges, then fold the second half in with
+    incremental_components — cost proportional to the NEW batch, never
+    the full graph (the 10^12-mention regime, where labels are a
+    materialized table and each micro-batch of high-similarity mention
+    pairs patches it). The oracle is the recursive-CTE transitive closure
+    over the UNION of both waves — incremental ≡ full rebuild, exactly."""
+    from cdrc_semantic_search_spark.operators.canonicalize import (
+        connected_components,
+        incremental_components,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("id_a"),
+        (F.lit(1000) + F.col("l_partkey") % 500).alias("id_b"),
+        "l_orderkey",
+    )
+    wave1 = edges.filter("l_orderkey < 150").drop("l_orderkey").distinct()
+    wave2 = edges.filter("l_orderkey >= 150").drop("l_orderkey").distinct()
+    base = connected_components(wave1)
+    return incremental_components(base, wave2).select("id", "component")
+
+
+@register(
     "graph_bfs_distances",
     """
     WITH RECURSIVE e AS (
@@ -3810,6 +3851,91 @@ def q21_lone_returner_suppliers(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+@register(
+    "q4_order_priority_checking",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority_checking(spark, sf_dir):
+    """TPC-H Q4 shape: date-windowed orders having at least one late line,
+    counted per priority. The testdata carries no commit/receipt dates
+    (same adaptation note as q21), so "late" is l_shipdate more than 60
+    days after o_orderdate — a CORRELATED exists whose predicate spans
+    both tables, compiled to one left-semi hash join on l_orderkey with
+    the date comparison as a residual condition. Orders is filtered
+    before the join (pushed to the scan); lineitem never aggregates —
+    the semi join stops at first match per order."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q12_priority_by_returnflag",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_priority_by_returnflag(spark, sf_dir):
+    """TPC-H Q12 shape: fact-fact join + conditional-count pivot per
+    group (the testdata has no l_shipmode, so l_returnflag is the
+    grouping stand-in — the idiom under test is the CASE-WHEN partial
+    aggregation, which collapses each map partition to 3 rows before the
+    exchange). The l_shipdate range filter is pushed to the lineitem
+    scan; orders carries only (o_orderkey, o_orderpriority) through the
+    join (column pruning)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
     )
 
 

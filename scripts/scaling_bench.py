@@ -245,6 +245,30 @@ results are parallelism-independent (asserted in tests/test_resume.py).
         with open("/root/repo/BENCH.md", "a") as f:
             f.write("\n" + bucketed_pagerank_bench.render_section(pr_results))
 
+    # the hot-component skew section (scripts/cc_skew_bench.py)
+    skew_json = os.path.join(scripts_dir, ".cc_skew_bench.json")
+    if os.path.exists(skew_json):
+        if scripts_dir not in sys.path:
+            sys.path.insert(0, scripts_dir)
+        import cc_skew_bench
+
+        with open(skew_json) as f:
+            skew_results = json.load(f)
+        with open("/root/repo/BENCH.md", "a") as f:
+            f.write("\n" + cc_skew_bench.render_section(skew_results))
+
+    # the bucketed dedup re-check section (scripts/dedup_bucket_bench.py)
+    db_json = os.path.join(scripts_dir, ".dedup_bucket_bench.json")
+    if os.path.exists(db_json):
+        if scripts_dir not in sys.path:
+            sys.path.insert(0, scripts_dir)
+        import dedup_bucket_bench
+
+        with open(db_json) as f:
+            db_results = json.load(f)
+        with open("/root/repo/BENCH.md", "a") as f:
+            f.write("\n" + dedup_bucket_bench.render_section(db_results))
+
     # and the ANN scan section (scripts/ann_bench.py)
     ann_json = os.path.join(scripts_dir, ".ann_bench.json")
     if os.path.exists(ann_json):

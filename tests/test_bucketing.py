@@ -140,3 +140,60 @@ def test_bucketed_fanout_pagerank_iteration_skips_edge_exchange(spark, tmp_path_
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_threshold)
         spark.sql("DROP TABLE IF EXISTS pr_fanout_bkt")
+
+
+def test_recheck_bucketed_base_no_exchange(spark, tmp_path_factory):
+    """Dedup's exact-cosine re-check join over a base stored bucketed by
+    id must not exchange the base on EITHER side-join (alias-aware output
+    partitioning carries the bucket layout through the id_a/id_b renames);
+    only the candidate-pair side shuffles. Scores must equal the plain
+    path bit-for-bit (same join order → same float evaluation)."""
+    from cdrc_semantic_search_spark.operators.similarity import exact_recheck
+
+    root = tmp_path_factory.mktemp("recheck_bkt")
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .selectExpr("vec_id AS doc_id", "embedding AS vec")
+    )
+    spark.sql("DROP TABLE IF EXISTS recheck_base_bkt")
+    (
+        base.write.bucketBy(8, "doc_id").sortBy("doc_id")
+        .option("path", str(root / "recheck_base_bkt"))
+        .mode("overwrite").format("parquet").saveAsTable("recheck_base_bkt")
+    )
+    ids = base.select("doc_id")
+    # materialize the pair set so the plan under test contains ONLY the
+    # re-check join (candidate generation has its own exchanges)
+    cand = (
+        ids.selectExpr("doc_id AS id_a")
+        .join(ids.selectExpr("doc_id + 1 AS id_b"), F.expr("id_a = id_b - 1"))
+        .filter("id_a % 3 = 0")
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    orig_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = exact_recheck(
+            spark.table("recheck_base_bkt"), cand, "doc_id", "vec"
+        )
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # bucketed pays only the candidate side: cand by id_a, then the
+        # scored rows by id_b. Count DATA exchanges — Spark may inject a
+        # runtime bloom-filter subquery whose scalar build uses an
+        # Exchange SinglePartition; that is not a base shuffle
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+        assert "BroadcastExchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+
+        got = {(r.id_a, r.id_b): r.score for r in bucketed.collect()}
+        want = {
+            (r.id_a, r.id_b): r.score
+            for r in exact_recheck(base, cand, "doc_id", "vec").collect()
+        }
+        assert got == want
+        assert len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig_threshold)
+        spark.sql("DROP TABLE IF EXISTS recheck_base_bkt")
