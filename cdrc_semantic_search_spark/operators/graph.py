@@ -675,3 +675,173 @@ def sssp_weighted(
         return dist
     finally:
         e.unpersist()
+
+
+def _propagate_min(
+    edges: DataFrame, verts: DataFrame, max_iter: int
+) -> DataFrame:
+    """Directed min-label flood: m(v) = min id over {v} ∪ ancestors(v),
+    where ancestors follow edges (a, b) from a to b. Per round, each
+    vertex takes the min of its label, its in-neighbors' labels, and a
+    pointer jump through its current label (m(v) is an ancestor-or-self
+    id, so ancestors-of-m(v) are ancestors of v — the jump is valid and
+    cuts rounds to O(log diameter)). Observation rides the checkpoint:
+    zero extra convergence jobs."""
+    import uuid
+
+    from pyspark.sql import Observation
+
+    lab = verts.select("id", F.col("id").alias("m")).localCheckpoint()
+    for _ in range(max_iter):
+        la = lab.select(F.col("id").alias("a"), F.col("m").alias("ma"))
+        inbound = (
+            edges.join(la, "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("ma").alias("nb"))
+        )
+        jump = lab.select(F.col("id").alias("m"), F.col("m").alias("mm"))
+        upd = (
+            lab.join(inbound, "id", "left")
+            .join(jump, "m", "left")
+            .select(
+                "id",
+                F.col("m").alias("old"),
+                F.least(
+                    F.col("m"),
+                    F.coalesce("nb", F.col("m")),
+                    F.coalesce("mm", F.col("m")),
+                ).alias("m"),
+            )
+        )
+        obs = Observation(f"__scc_{uuid.uuid4().hex}")
+        nxt = (
+            upd.select(
+                "id", "m", (F.col("m") != F.col("old")).cast("int").alias("__chg")
+            )
+            .observe(obs, F.sum("__chg").alias("chg"))
+            .localCheckpoint()
+        )
+        lab = nxt.drop("__chg")
+        if (obs.get["chg"] or 0) == 0:
+            return lab
+    raise RuntimeError(
+        f"min-label flood did not converge in {max_iter} rounds"
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_outer: int = 20,
+    max_inner: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Directed edges (src, dst) → (id, scc_id): strongly connected
+    components, scc_id = min vertex id in the component. The cycle-
+    structure analysis of a directed KG (e.g. `derived_from` chains that
+    loop indicate canonicalization or provenance errors).
+
+    Min-label coloring with forward/backward agreement (the distributed
+    FB-trim family): per outer round compute FWD(v) = min over
+    ancestors∪self and BWD(v) = min over descendants∪self (two min-label
+    floods, O(log diameter) rounds each via pointer jumping). Vertices
+    with FWD(v) == BWD(v) == m are settled into SCC(m) — m reaches v AND
+    v reaches m. The SCC of the globally smallest remaining id always
+    settles (its members see exactly m on both sides), so every round
+    retires at least one component; settled vertices and their edges
+    leave the graph and the remainder iterates.
+
+    100-TB shape: each flood round is one edge⋈label equi-join + one
+    dst-keyed min groupBy (map-side partials absorb hub skew, as
+    measured for connected_components in BENCH.md) + a label-sized
+    update join; localCheckpoint truncates lineage every round. Rounds
+    scale with log(diameter) × SCC-condensation nesting depth, not
+    graph size.
+
+    Exact oracle: DuckDB mutual-reachability classes (graph_scc).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    settled: DataFrame | None = None
+    rounds = 0
+    cur_e, cur_rev, cur_v = e, rev.localCheckpoint(), verts
+    for _ in range(max_outer):
+        # TRIM: a vertex with no remaining in-edges or no remaining
+        # out-edges cannot sit on a cycle — it is its own SCC. Peel such
+        # vertices in bulk until none remain; acyclic regions (the common
+        # shape of provenance graphs) vanish here without ever paying a
+        # flood, leaving only cyclic cores for the FB rounds. Each peel
+        # is two semi-joins — no flood, no groupBy.
+        while not cur_v.isEmpty():
+            core = (
+                cur_v.join(
+                    cur_e.select(F.col("b").alias("id")), "id", "left_semi"
+                )
+                .join(cur_e.select(F.col("a").alias("id")), "id", "left_semi")
+                .localCheckpoint()
+            )
+            peeled = cur_v.join(core, "id", "left_anti").select(
+                "id", F.col("id").alias("scc_id")
+            )
+            if peeled.isEmpty():
+                break
+            settled = (
+                peeled if settled is None else settled.unionByName(peeled)
+            ).localCheckpoint()
+            cur_v = core
+            cur_e = (
+                cur_e.join(core.select(F.col("id").alias("a")), "a", "left_semi")
+                .join(core.select(F.col("id").alias("b")), "b", "left_semi")
+                .localCheckpoint()
+            )
+        if cur_v.isEmpty():
+            break
+        cur_rev = cur_e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        rounds += 1
+        fwd = _propagate_min(cur_e, cur_v, max_inner)
+        bwd = _propagate_min(cur_rev, cur_v, max_inner)
+        lab = fwd.join(
+            bwd.select("id", F.col("m").alias("g")), "id"
+        )
+        now = lab.filter(F.col("m") == F.col("g")).select(
+            "id", F.col("m").alias("scc_id")
+        )
+        settled = (
+            now if settled is None else settled.unionByName(now)
+        ).localCheckpoint()
+        cur_v = cur_v.join(now, "id", "left_anti").localCheckpoint()
+        if cur_v.isEmpty():
+            break
+        alive = cur_v.select(F.col("id").alias("a"))
+        alive_b = cur_v.select(F.col("id").alias("b"))
+        cur_e = (
+            cur_e.join(alive, "a", "left_semi")
+            .join(alive_b, "b", "left_semi")
+            .localCheckpoint()
+        )
+        cur_rev = cur_e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    else:
+        raise RuntimeError(
+            f"strongly_connected_components did not settle every vertex in "
+            f"{max_outer} outer rounds"
+        )
+    if stats is not None:
+        stats.update({"outer_rounds": rounds})
+    if settled is None:
+        # no non-self edges at all: empty result, stable schema
+        return verts.select(
+            "id", F.col("id").alias("scc_id")
+        ).limit(0)
+    return settled

@@ -246,3 +246,51 @@ def common_token_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             / (F.col("n_tokens") * F.col("__total")).cast("double")
         ).alias("common_score"),
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Cross-document duplicate n-gram signal (the Gopher/MassiveText
+    "duplicate 5-gram fraction" quality filter): per document, the share
+    of its DISTINCT word n-grams that occur in at least one OTHER
+    document. High = boilerplate/templated text; pipelines drop or
+    down-weight above a threshold.
+
+    → (id_col, n_distinct_ngrams, n_shared_ngrams, dup_fraction). The
+    final int/int double division is bit-identical across engines; all
+    accumulation is integer.
+
+    100-TB shape: distinct (doc, gram) pairs then a gram-keyed
+    document-frequency count — both per-key aggregations with map-side
+    partials, nothing global beyond the gram key space. The exchange
+    carries gram STRINGS here (keeps the DuckDB oracle exact); at real
+    scale swap the key to xxhash64(gram) before the shuffle — 8 bytes
+    per key, same counts (the 16-byte-digest discipline dedup_exact
+    already uses), collision odds ~n²/2⁶⁴.
+    """
+    from cdrc_semantic_search_spark.functions.text import word_shingles
+
+    dg = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__g"),
+    ).distinct()
+    freq = dg.groupBy("__g").agg(F.count(F.lit(1)).alias("__docs"))
+    # the doc-frequency table is gram-keyed like dg: the join reuses the
+    # gram-hash partitioning of the distinct, so only freq's (small)
+    # aggregate output moves
+    return (
+        dg.join(freq, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_ngrams"),
+            F.sum(F.when(F.col("__docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_ngrams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("n_shared_ngrams").cast("double")
+            / F.col("n_distinct_ngrams").cast("double"),
+        )
+    )

@@ -2079,6 +2079,44 @@ def sketch_approx_distinct(spark, sf_dir):
     )
 
 
+@register(
+    "ta_dup_ngram_fraction",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    g AS (
+        SELECT doc_id, unnest(list_filter(
+            CASE WHEN len(w) >= 5
+                 THEN list_transform(range(1, len(w) - 3),
+                                     i -> array_to_string(w[i:i+4], ' '))
+                 ELSE [array_to_string(w, ' ')] END,
+            s -> s <> '')) AS gram
+        FROM t
+    ),
+    dg AS (SELECT DISTINCT doc_id, gram FROM g),
+    freq AS (SELECT gram, COUNT(*) AS n_docs FROM dg GROUP BY gram)
+    SELECT dg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_ngrams,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_ngrams,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_fraction
+    FROM dg JOIN freq USING (gram)
+    GROUP BY dg.doc_id
+    """,
+)
+def ta_dup_ngram_fraction(spark, sf_dir):
+    """Gopher-style duplicate 5-gram fraction per document: the share of
+    a doc's distinct word 5-grams that appear in any other document —
+    the boilerplate/template filter of large-corpus curation. Two
+    map-side-combined aggregations over the (doc, gram) key space; the
+    oracle replicates the shingle construction (including the
+    shorter-than-5-tokens degenerate join) in DuckDB list functions."""
+    from cdrc_semantic_search_spark.operators.text_analysis import dup_ngram_fraction
+
+    d = load(spark, sf_dir, "documents")
+    return dup_ngram_fraction(d, "doc_id", "text", n=5)
+
+
 @register("ta_winnowing", value_oracles.lazy("ta_winnowing"))
 def ta_winnowing(spark, sf_dir):
     """Winnowing fingerprint counts. xxhash64 isn't SQL-portable, so the
@@ -2211,6 +2249,55 @@ def cc_incremental(spark, sf_dir):
     wave2 = edges.filter("l_orderkey >= 150").drop("l_orderkey").distinct()
     base = connected_components(wave1)
     return incremental_components(base, wave2).select("id", "component")
+
+
+@register(
+    "graph_scc",
+    """
+    WITH RECURSIVE e AS (
+        SELECT l_suppkey AS a, 1000 + l_partkey % 80 AS b
+        FROM lineitem WHERE l_orderkey < 200 AND l_returnflag = 'R'
+        UNION
+        SELECT 1000 + l_partkey % 80 AS a, l_suppkey AS b
+        FROM lineitem WHERE l_orderkey < 200 AND l_returnflag = 'A'
+    ),
+    reach(n, m) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
+    ),
+    v AS (SELECT a AS id FROM e UNION SELECT b AS id FROM e),
+    mutual AS (
+        SELECT l.n AS id, l.m AS other
+        FROM reach l JOIN reach r ON l.n = r.m AND l.m = r.n
+    )
+    SELECT v.id, COALESCE(LEAST(v.id, MIN(other)), v.id) AS scc_id
+    FROM v LEFT JOIN mutual ON mutual.id = v.id
+    GROUP BY v.id
+    """,
+)
+def graph_scc(spark, sf_dir):
+    """Strongly connected components over a DIRECTED supplier↔bucket
+    graph (returned lines point supplier→bucket, accepted lines point
+    back — the cyclic core models provenance loops a KG must flag).
+    FB-trim min-label coloring (operators/graph) vs a DuckDB
+    mutual-reachability oracle: two recursive transitive closures joined
+    transposed. At sf0.01 the fixture is one 154-vertex cyclic core plus
+    trivial fringe — trim settles the fringe without a flood."""
+    from cdrc_semantic_search_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 200")
+    fwd = li.filter("l_returnflag = 'R'").select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 80).alias("dst"),
+    )
+    bwd = li.filter("l_returnflag = 'A'").select(
+        (F.lit(1000) + F.col("l_partkey") % 80).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    return strongly_connected_components(fwd.unionByName(bwd))
 
 
 @register(

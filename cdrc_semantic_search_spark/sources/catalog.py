@@ -41,6 +41,11 @@ class CommitRecord:
     status: str = "committed"
 
 
+class SnapshotUnavailableError(RuntimeError):
+    """A time-travel read asked for a snapshot whose bytes were reclaimed
+    (partition overwritten or retired since ``as_of``)."""
+
+
 class ParquetTableCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -62,12 +67,16 @@ class ParquetTableCatalog:
     def _retired_dir(self, name: str) -> str:
         return os.path.join(self.root, "_ledger_retired", name)
 
+    def _history_dir(self, name: str) -> str:
+        return os.path.join(self.root, "_ledger_history", name)
+
     # ---- DDL / writes ----------------------------------------------------
     def create_or_replace(self, df: DataFrame, name: str) -> None:
         """K2 analog: full-table replace (reference `overwrite=true`,
         /root/reference/src/datastore.py:88-95)."""
         df.write.mode("overwrite").parquet(self.table_path(name))
         shutil.rmtree(self._ledger_dir(name), ignore_errors=True)
+        shutil.rmtree(self._history_dir(name), ignore_errors=True)
 
     def drop_table(self, name: str) -> None:
         """Remove a table's data, ledger, and retirement marks entirely
@@ -77,6 +86,7 @@ class ParquetTableCatalog:
         shutil.rmtree(self.table_path(name), ignore_errors=True)
         shutil.rmtree(self._ledger_dir(name), ignore_errors=True)
         shutil.rmtree(self._retired_dir(name), ignore_errors=True)
+        shutil.rmtree(self._history_dir(name), ignore_errors=True)
 
     def replace_via_staging(self, df: DataFrame, name: str) -> None:
         """Full-table replace SAFE for a plan that reads the table it
@@ -99,6 +109,7 @@ class ParquetTableCatalog:
         os.rename(staging, dst)
         shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(self._ledger_dir(name), ignore_errors=True)
+        shutil.rmtree(self._history_dir(name), ignore_errors=True)
 
     def retire_partitions(self, name: str, partitions: list[str]) -> None:
         """Retire delta partitions that were folded into a base table: the
@@ -163,10 +174,25 @@ class ParquetTableCatalog:
             committed_at=time.time(),
         )
         os.makedirs(self._ledger_dir(name), exist_ok=True)
-        tmp = self._marker_path(name, partition) + ".tmp"
+        marker = self._marker_path(name, partition)
+        if os.path.exists(marker):
+            # preserve the superseded commit record: time travel
+            # (read_as_of) needs to KNOW an older version existed even
+            # though merge-on-write reclaimed its bytes
+            with open(marker) as f:
+                prev = json.load(f)
+            os.makedirs(self._history_dir(name), exist_ok=True)
+            hist = os.path.join(
+                self._history_dir(name),
+                f"{partition}.{prev['committed_at']:.6f}.json",
+            )
+            with open(hist + ".tmp", "w") as f:
+                json.dump(prev, f)
+            os.replace(hist + ".tmp", hist)
+        tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             json.dump(rec.__dict__, f)
-        os.replace(tmp, self._marker_path(name, partition))  # atomic commit
+        os.replace(tmp, marker)  # atomic commit
         return rec
 
     # ---- reads -----------------------------------------------------------
@@ -200,6 +226,87 @@ class ParquetTableCatalog:
             with open(self._marker_path(name, p)) as f:
                 out.append(CommitRecord(**json.load(f)))
         return out
+
+    def _retired_records(self, name: str) -> list[CommitRecord]:
+        d = self._retired_dir(name)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(CommitRecord(**json.load(fh)))
+        return out
+
+    def _history_records(self, name: str) -> list[CommitRecord]:
+        d = self._history_dir(name)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".json"):
+                with open(os.path.join(d, f)) as fh:
+                    out.append(CommitRecord(**json.load(fh)))
+        return out
+
+    def snapshot_partitions(self, name: str, as_of: float) -> set[str]:
+        """Partitions visible at time ``as_of`` — Iceberg-style snapshot
+        membership from the commit ledger.
+
+        This catalog is merge-on-WRITE (one live version per partition),
+        so a snapshot is reconstructable only while none of its member
+        versions were reclaimed since.  Rather than silently returning
+        current bytes for an old snapshot (Iceberg would return the OLD
+        bytes), raise :class:`SnapshotUnavailableError` when:
+
+        * a partition was OVERWRITTEN after ``as_of`` (its superseded
+          commit record sits in the history ledger) — the as-of version's
+          bytes are gone;
+        * a partition visible at ``as_of`` was RETIRED by compaction —
+          its rows live on in a folded base table, but the partition
+          itself is unreadable.
+
+        At real scale this layer is Iceberg and both cases disappear
+        (old data files survive until snapshot expiry); the ledger
+        algebra here is the same, minus file retention.
+        """
+        current = {
+            r.partition: r for r in self.ledger(name)
+        }
+        visible = {p for p, r in current.items() if r.committed_at <= as_of}
+        gone = []
+        for h in self._history_records(name):
+            cur = current.get(h.partition)
+            if h.committed_at <= as_of and (
+                cur is None or cur.committed_at > as_of
+            ):
+                gone.append(f"{h.partition} (overwritten)")
+        for r in self._retired_records(name):
+            if r.committed_at <= as_of:
+                gone.append(f"{r.partition} (retired by compaction)")
+        if gone:
+            raise SnapshotUnavailableError(
+                f"snapshot of {name!r} as of {as_of} is not reconstructable: "
+                f"{', '.join(sorted(set(gone)))} — this catalog keeps one "
+                "live version per partition (Iceberg retains old data "
+                "files until snapshot expiry)"
+            )
+        return visible
+
+    def read_as_of(
+        self, spark: SparkSession, name: str, as_of: float
+    ) -> DataFrame:
+        """Time-travel read: the union of partitions committed at or
+        before ``as_of`` (raises if that snapshot's bytes were since
+        overwritten or retired — see :meth:`snapshot_partitions`)."""
+        parts = sorted(self.snapshot_partitions(name, as_of))
+        if not parts:
+            raise FileNotFoundError(
+                f"no partitions of {name} were committed at {as_of}"
+            )
+        return spark.read.parquet(
+            *[self._partition_path(name, p) for p in parts]
+        )
 
     def uncommitted(self, name: str, all_partitions: list[str]) -> list[str]:
         """Resume set = all − committed − retired (the reference's

@@ -1136,3 +1136,65 @@ def test_incremental_components_equals_full_rebuild(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     again = incremental_components(labels, empty)
     assert {(r.id, r.component) for r in again.collect()} == got
+
+
+def test_strongly_connected_components(spark):
+    """FB-trim SCC vs a pure-Python transitive-closure twin: hand graph
+    with two cycles sharing no vertices, randomized digraphs (dense and
+    sparse), plus empty/self-loop-only degenerate inputs."""
+    import random
+
+    from cdrc_semantic_search_spark.operators.graph import (
+        strongly_connected_components,
+    )
+
+    def truth(edges):
+        verts = sorted({v for ab in edges for v in ab if ab[0] != ab[1]})
+        idx = {v: i for i, v in enumerate(verts)}
+        n = len(verts)
+        reach = [[False] * n for _ in range(n)]
+        for i in range(n):
+            reach[i][i] = True
+        for a, b in edges:
+            if a != b:
+                reach[idx[a]][idx[b]] = True
+        for k in range(n):
+            for i in range(n):
+                if reach[i][k]:
+                    ri, rk = reach[i], reach[k]
+                    for j in range(n):
+                        if rk[j]:
+                            ri[j] = True
+        return {
+            v: min(
+                u for u in verts if reach[idx[v]][idx[u]] and reach[idx[u]][idx[v]]
+            )
+            for v in verts
+        }
+
+    # two disjoint cycles bridged by a one-way edge: the bridge must NOT
+    # merge them; the chain hangs off as trivial SCCs
+    hand = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 10), (3, 10), (11, 20), (20, 21)]
+    e = spark.createDataFrame(hand, "src long, dst long")
+    got = {r.id: r.scc_id for r in strongly_connected_components(e).collect()}
+    assert got == truth(hand)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == 20 and got[21] == 21
+
+    rng = random.Random(123)
+    for n_edges in (45, 75):
+        edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(n_edges)]
+        e = spark.createDataFrame(edges, "src long, dst long")
+        st: dict = {}
+        got = {
+            r.id: r.scc_id
+            for r in strongly_connected_components(e, stats=st).collect()
+        }
+        assert got == truth(edges), f"mismatch at {n_edges} edges"
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = strongly_connected_components(empty)
+    assert out.columns == ["id", "scc_id"] and out.count() == 0
+    selfonly = spark.createDataFrame([(3, 3)], "src long, dst long")
+    assert strongly_connected_components(selfonly).count() == 0

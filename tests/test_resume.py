@@ -213,3 +213,52 @@ def test_full_rebuild_table_not_mistaken_for_base(spark, tmp_path):
     cat.overwrite_partition(edge, "edge_deltas", "0")
     rows = KGPipeline.compacted_edges(spark, cat).collect()
     assert len(rows) == 1 and rows[0].weight == 5  # 5, not 10
+
+
+def test_time_travel_read_as_of(spark, tmp_path):
+    """Snapshot time travel from the commit ledger: read_as_of(ts) sees
+    exactly the partitions committed by ts; asking for a snapshot whose
+    bytes were since overwritten or retired RAISES instead of silently
+    serving current data (this catalog is merge-on-write; Iceberg would
+    retain the old files)."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from cdrc_semantic_search_spark.sources.catalog import (
+        SnapshotUnavailableError,
+    )
+
+    cat = ParquetTableCatalog(str(tmp_path / "tt"))
+    df1 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(10, 30).selectExpr("id", "id * 2 AS v")
+    df3 = spark.range(30, 35).selectExpr("id", "id * 3 AS v")
+
+    cat.overwrite_partition(df1, "t", "p0")
+    cat.overwrite_partition(df2, "t", "p1")
+    t_mid = _time.time()
+    _time.sleep(0.01)
+    cat.overwrite_partition(df3, "t", "p2")
+
+    assert cat.snapshot_partitions("t", t_mid) == {"p0", "p1"}
+    assert cat.read_as_of(spark, "t", t_mid).count() == 30
+    assert cat.snapshot_partitions("t", _time.time()) == {"p0", "p1", "p2"}
+    assert cat.read_as_of(spark, "t", _time.time()).count() == 35
+
+    # before anything was committed: empty snapshot -> FileNotFoundError
+    with _pytest.raises(FileNotFoundError):
+        cat.read_as_of(spark, "t", 0.0)
+
+    # overwriting p0 reclaims the as-of-t_mid bytes: the old snapshot
+    # must become unavailable, the current read unaffected
+    _time.sleep(0.01)
+    cat.overwrite_partition(df1.limit(3), "t", "p0")
+    with _pytest.raises(SnapshotUnavailableError, match="p0 .overwritten."):
+        cat.snapshot_partitions("t", t_mid)
+    assert cat.read_as_of(spark, "t", _time.time()).count() == 28
+
+    # the REWRITTEN p0 is part of snapshots after its commit; retiring p1
+    # breaks every snapshot that contained it
+    cat.retire_partitions("t", ["p1"])
+    with _pytest.raises(SnapshotUnavailableError, match="p1 .retired"):
+        cat.read_as_of(spark, "t", _time.time())
