@@ -845,3 +845,62 @@ def strongly_connected_components(
             "id", F.col("id").alias("scc_id")
         ).limit(0)
     return settled
+
+
+def topo_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_layers: int = 200,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Directed edges → (id, layer): topological layering by longest path
+    — layer(v) = max path length from any in-degree-0 root (roots = 0).
+    The dependency-ordering pass of a provenance/derivation KG: layer k
+    can be processed once layers < k are done. Vertices on or downstream
+    of a CYCLE never become in-degree-0 and surface with layer NULL (the
+    caller routes them to strongly_connected_components for diagnosis).
+
+    Kahn peel, vectorized per layer: round r settles ALL current
+    in-degree-0 vertices at layer r (one anti-join against the remaining
+    edges' dst side), then drops their out-edges (one semi-join). Rounds
+    = longest-path depth — inherently depth-sequential, but each round
+    is two joins with no aggregation or flood, and real derivation
+    graphs are shallow (depth ≪ size). Self-loops count as cycles.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    cur_v = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur_e = e.localCheckpoint()
+    settled: DataFrame | None = None
+    layer = 0
+    for layer in range(max_layers):
+        if cur_v.isEmpty():
+            break
+        now = cur_v.join(
+            cur_e.select(F.col("b").alias("id")), "id", "left_anti"
+        ).select("id", F.lit(layer).cast("int").alias("layer"))
+        if now.isEmpty():
+            break  # every remaining vertex has an in-edge: cyclic core
+        settled = (
+            now if settled is None else settled.unionByName(now)
+        ).localCheckpoint()
+        cur_v = cur_v.join(now, "id", "left_anti").localCheckpoint()
+        cur_e = cur_e.join(
+            cur_v.select(F.col("id").alias("a")), "a", "left_semi"
+        ).localCheckpoint()
+    else:
+        raise RuntimeError(
+            f"topo_layers exceeded max_layers={max_layers}; the graph is "
+            "deeper than expected (raise max_layers) — cycles do NOT "
+            "cause this, they exit via the empty-peel branch"
+        )
+    cyclic = cur_v.select("id", F.lit(None).cast("int").alias("layer"))
+    if stats is not None:
+        stats.update({"depth": layer})
+    out = cyclic if settled is None else settled.unionByName(cyclic)
+    return out

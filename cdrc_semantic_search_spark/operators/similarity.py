@@ -270,6 +270,55 @@ def exact_recheck(
     )
 
 
+def cosine_pairs_lsh_delta(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    new_col: str,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 42,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """:func:`cosine_pairs_lsh` restricted to pairs touching a NEW row:
+    ``df`` carries a boolean ``new_col``; only candidate pairs where at
+    least one side is new are generated and re-checked.
+
+    The maintenance twin of the full pair generator: when converged
+    component labels already cover the OLD rows (their pairwise edges
+    are folded into the labels), feeding these delta edges to
+    ``incremental_components`` reproduces the full rebuild exactly —
+    pair-generation cost tracks the BATCH (new-side bucket membership),
+    not the corpus. Old-old pairs are pruned before the bucket
+    self-join's exchange: the old side of the join carries only buckets;
+    the new side is the small delta.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col), F.col(new_col)).persist()
+    tagged = lsh_assign(
+        base, vec_col, dim, n_planes, n_bands, seed, drop_vec=True
+    ).persist()
+    if cache_handle is not None:
+        cache_handle.extend([base, tagged])
+    a = tagged.select(
+        "band", "bucket", F.col(id_col).alias("id_a"), F.col(new_col).alias("__na")
+    )
+    b = tagged.select(
+        "band", "bucket", F.col(id_col).alias("id_b"), F.col(new_col).alias("__nb")
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("__na") | F.col("__nb"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return exact_recheck(base, cand, id_col, vec_col).filter(
+        F.col("score") >= threshold
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the scale path when the corpus outgrows broadcast
 # ---------------------------------------------------------------------------

@@ -2301,6 +2301,48 @@ def graph_scc(spark, sf_dir):
 
 
 @register(
+    "graph_topo_layers",
+    """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT 1000 * l_linenumber + l_suppkey % 300 AS a,
+               1000 * (l_linenumber + 1) + l_partkey % 300 AS b
+        FROM lineitem WHERE l_orderkey < 400
+    ),
+    v AS (SELECT a AS id FROM e UNION SELECT b AS id FROM e),
+    roots AS (
+        SELECT id FROM v WHERE id NOT IN (SELECT b FROM e)
+    ),
+    walk(id, d) AS (
+        SELECT id, 0 FROM roots
+        UNION
+        SELECT e.b, walk.d + 1 FROM walk JOIN e ON e.a = walk.id
+    )
+    SELECT id, CAST(MAX(d) AS INT) AS layer FROM walk GROUP BY id
+    """,
+)
+def graph_topo_layers(spark, sf_dir):
+    """Topological layering (longest path from any root) over a
+    line-number-leveled DAG — the dependency-ordering pass of a
+    derivation graph (operators/graph.topo_layers, Kahn peel with one
+    whole layer settled per round). The oracle walks every root-to-node
+    path in a recursive CTE and takes MAX(d); the fixture is cycle-free
+    by construction (edges always climb one level), so no layer is NULL
+    — the cyclic branch is pinned in pytest instead."""
+    from cdrc_semantic_search_spark.operators.graph import topo_layers
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 400")
+    e = li.select(
+        (F.lit(1000) * F.col("l_linenumber") + F.col("l_suppkey") % 300).alias(
+            "src"
+        ),
+        (
+            F.lit(1000) * (F.col("l_linenumber") + 1) + F.col("l_partkey") % 300
+        ).alias("dst"),
+    )
+    return topo_layers(e)
+
+
+@register(
     "graph_bfs_distances",
     """
     WITH RECURSIVE e AS (

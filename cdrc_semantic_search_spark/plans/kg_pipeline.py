@@ -712,4 +712,76 @@ class KGPipeline:
         distinct = allsurf.groupBy("surface").agg(
             F.min("entity_id").alias("entity_id")
         )
-        return self._cluster_surfaces(distinct)
+        if base is None:
+            return self._cluster_surfaces(distinct)
+        return self._cluster_surfaces_incremental(base, distinct)
+
+    def _cluster_surfaces_incremental(
+        self, base: DataFrame, distinct: DataFrame
+    ) -> DataFrame:
+        """Patch the previous generation's converged surface clusters with
+        only the NEW surfaces — compaction cost proportional to the delta,
+        not the accumulated surface history (at 10^12 mentions the full
+        LSH + global CC per compaction is the one step whose cost grows
+        with history; this removes it EXACTLY, not approximately).
+
+        Old-old similarity pairs are already folded into the base labels
+        (canonical_surface = converged component minimum), so the only
+        edges the union's component structure can add are pairs touching
+        a new surface: generate exactly those (cosine_pairs_lsh_delta —
+        same planes/bands/threshold as the full path, encoder is
+        deterministic) and fold them with incremental_components.
+        ``incremental_components(cc(E_old), E_new) ≡ cc(E_old ∪ E_new)``,
+        so the output hash-matches a from-scratch rebuild — pinned in
+        test_streaming's generation test (wave2 compacted over wave1's
+        base ≡ one-shot clustering of the union).
+
+        What stays linear in |all surfaces|: the map-only re-encode +
+        LSH re-tag (no shuffle; at real scale persist (surface, band,
+        bucket) alongside the base and only the delta re-encodes) and
+        the label-patch join (one equi-join against the batch-sized
+        contracted mapping, which AQE broadcasts). What tracks the
+        DELTA: candidate generation, the cosine re-check, and the CC
+        itself — the superlinear pieces."""
+        from cdrc_semantic_search_spark.encoder import make_encoder_udf
+        from cdrc_semantic_search_spark.operators.canonicalize import (
+            incremental_components,
+        )
+        from cdrc_semantic_search_spark.operators.similarity import (
+            cosine_pairs_lsh_delta,
+        )
+
+        base_labels = base.select(
+            F.col("surface").alias("id"),
+            F.col("canonical_surface").alias("component"),
+        )
+        flagged = distinct.join(
+            base.select("surface", F.lit(False).alias("__old")).distinct(),
+            "surface",
+            "left",
+        ).select(
+            "surface", "entity_id", F.col("__old").isNull().alias("__is_new")
+        )
+        enc = self.settings.encoder
+        encode = make_encoder_udf(dim=enc.embed_dim, seed=enc.seed, ngram=enc.ngram)
+        caches: list = []
+        new_pairs = cosine_pairs_lsh_delta(
+            flagged.withColumn("vec", encode(F.col("surface"))),
+            "surface",
+            "vec",
+            dim=enc.embed_dim,
+            threshold=0.85,
+            new_col="__is_new",
+            seed=enc.seed,
+            cache_handle=caches,
+        )
+        labels = incremental_components(base_labels, new_pairs).localCheckpoint()
+        for cached in caches:
+            cached.unpersist()
+        return distinct.join(
+            labels, distinct["surface"] == labels["id"], "left"
+        ).select(
+            "surface",
+            F.coalesce("component", "surface").alias("canonical_surface"),
+            "entity_id",
+        )

@@ -1198,3 +1198,42 @@ def test_strongly_connected_components(spark):
     assert out.columns == ["id", "scc_id"] and out.count() == 0
     selfonly = spark.createDataFrame([(3, 3)], "src long, dst long")
     assert strongly_connected_components(selfonly).count() == 0
+
+
+def test_topo_layers_hand_graph_and_cycles(spark):
+    """Kahn-peel layering: longest-path layers on a diamond-with-tail
+    DAG; vertices on or downstream of a cycle get layer NULL; pure-cycle
+    input yields all-NULL; empty input yields empty."""
+    from cdrc_semantic_search_spark.operators.graph import topo_layers
+
+    # diamond 1->(2,3)->4 plus long arm 1->5->6->4: layer(4) must be 3
+    # (longest path), not 2 (shortest); 7->8 is a detached root pair
+    dag = [(1, 2), (1, 3), (2, 4), (3, 4), (1, 5), (5, 6), (6, 4), (7, 8)]
+    e = spark.createDataFrame(dag, "src long, dst long")
+    st: dict = {}
+    got = {r.id: r.layer for r in topo_layers(e, stats=st).collect()}
+    assert got == {1: 0, 7: 0, 2: 1, 3: 1, 5: 1, 8: 1, 6: 2, 4: 3}
+    assert st["depth"] == 4
+
+    # cycle 10<->11 feeds 12: all three are unlayerable (NULL); the
+    # clean chain 1->2 upstream keeps its layers
+    mixed = [(1, 2), (10, 11), (11, 10), (11, 12)]
+    got = {
+        r.id: r.layer
+        for r in topo_layers(
+            spark.createDataFrame(mixed, "src long, dst long")
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 10: None, 11: None, 12: None}
+
+    # self-loop is a cycle
+    got = {
+        r.id: r.layer
+        for r in topo_layers(
+            spark.createDataFrame([(5, 5), (5, 6)], "src long, dst long")
+        ).collect()
+    }
+    assert got == {5: None, 6: None}
+
+    out = topo_layers(spark.createDataFrame([], "src long, dst long"))
+    assert out.columns == ["id", "layer"] and out.count() == 0
