@@ -84,10 +84,24 @@ class PipelineSettings:
     skew_turn_threshold: int = 512
     skew_salt: int = 8
     overwrite: bool = True
+    # canonicalization LSH bucket space: each band hashes surfaces into
+    # 2^(canon_n_planes / canon_n_bands) buckets and candidate generation
+    # is quadratic IN THE BUCKET — size planes/band to ~log2(n_surfaces /
+    # desired_bucket_rows). The 16/4 default fits thousands of surfaces;
+    # measured at 20k near-dup surfaces: 125 s to pair at 16/4, ~5 s at
+    # 48/4 (canonicalize_embedded docstring, scripts/inc_canon_bench.py)
+    canon_n_planes: int = 16
+    canon_n_bands: int = 4
 
     def __post_init__(self) -> None:
         _check(self.num_buckets > 0, "num_buckets must be > 0")
         _check(self.skew_salt > 0, "skew_salt must be > 0")
+        _check(
+            self.canon_n_planes > 0
+            and self.canon_n_bands > 0
+            and self.canon_n_planes % self.canon_n_bands == 0,
+            "canon_n_planes must be a positive multiple of canon_n_bands",
+        )
 
 
 @dataclass(frozen=True)

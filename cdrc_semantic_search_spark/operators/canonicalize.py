@@ -154,12 +154,27 @@ def canonicalize_embedded(
     dim: int,
     threshold: float = 0.9,
     seed: int = 42,
+    n_planes: int = 16,
+    n_bands: int = 4,
 ) -> DataFrame:
     """→ (id, canonical_id): cluster rows whose embeddings reach cosine ≥
-    threshold through any path; canonical = min id in the component."""
+    threshold through any path; canonical = min id in the component.
+
+    SIZE THE BUCKET SPACE TO THE CORPUS: each band hashes to
+    2^(n_planes/n_bands) buckets, and candidate generation is quadratic
+    IN THE BUCKET. The 16/4 default (16 buckets per band) is right for
+    thousands of rows; at N rows pick n_planes/n_bands ≳ log2(N/target)
+    so buckets hold ~target (tens) of rows — e.g. 48/4 (4096 buckets)
+    at 10^5, 96/4 at 10^8. More planes per band also lowers per-band
+    recall for borderline pairs (p^(planes/band)); compensate with more
+    bands if the threshold is loose. Measured: 20k near-dup surfaces
+    take 125 s to pair at 16/4 and ~5 s at 48/4 (scripts/
+    inc_canon_bench.py).
+    """
     caches: list = []
     pairs = cosine_pairs_lsh(
-        df, id_col, vec_col, dim, threshold, seed=seed, cache_handle=caches
+        df, id_col, vec_col, dim, threshold, seed=seed,
+        n_planes=n_planes, n_bands=n_bands, cache_handle=caches,
     )
     comp = connected_components(pairs)
     # connected_components eagerly checkpointed its edge list, so the LSH
@@ -205,6 +220,17 @@ def incremental_components(
     ``labels`` must be converged (id, component) output of
     :func:`connected_components` / this function — feeding unconverged
     labels breaks the minima-contraction argument.
+
+    Storage boundary between generations: pass ``labels`` read back from
+    a TABLE (as the catalog compaction path does), not a chain of
+    in-memory localCheckpoints. Spark's localCheckpoint preserves the
+    child plan's sizeInBytes into the LogicalRDD, so repeated
+    checkpoint→join→checkpoint generations compound Catalyst's BigInt
+    size estimate exponentially until query PLANNING (bignum
+    multiplication inside the stats visitor) dominates wall time; a
+    parquet scan resets the estimate to file size. Measured in
+    scripts/inc_canon_bench.py (a 3-generation in-memory chain stalled
+    planning for minutes; the table round-trip is flat).
     """
     e = new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     ca = labels.select(F.col("id").alias("a"), F.col("component").alias("ca"))

@@ -263,10 +263,11 @@ class KGPipeline:
 
         enc = self.settings.encoder
         encode = make_encoder_udf(dim=enc.embed_dim, seed=enc.seed, ngram=enc.ngram)
+        ps = self.settings.pipeline
         with_vec = distinct.withColumn("vec", encode(F.col("surface")))
         clusters = canonicalize_embedded(
             with_vec, "surface", "vec", dim=enc.embed_dim, threshold=0.85,
-            seed=enc.seed,
+            seed=enc.seed, n_planes=ps.canon_n_planes, n_bands=ps.canon_n_bands,
         ).withColumnRenamed("id", "surface").withColumnRenamed(
             "canonical_id", "canonical_surface"
         )
@@ -765,6 +766,7 @@ class KGPipeline:
         enc = self.settings.encoder
         encode = make_encoder_udf(dim=enc.embed_dim, seed=enc.seed, ngram=enc.ngram)
         caches: list = []
+        ps = self.settings.pipeline
         new_pairs = cosine_pairs_lsh_delta(
             flagged.withColumn("vec", encode(F.col("surface"))),
             "surface",
@@ -773,6 +775,8 @@ class KGPipeline:
             threshold=0.85,
             new_col="__is_new",
             seed=enc.seed,
+            n_planes=ps.canon_n_planes,
+            n_bands=ps.canon_n_bands,
             cache_handle=caches,
         )
         labels = incremental_components(base_labels, new_pairs).localCheckpoint()

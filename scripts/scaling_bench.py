@@ -269,6 +269,18 @@ results are parallelism-independent (asserted in tests/test_resume.py).
         with open("/root/repo/BENCH.md", "a") as f:
             f.write("\n" + dedup_bucket_bench.render_section(db_results))
 
+    # the incremental canonicalization section (scripts/inc_canon_bench.py)
+    ic_json = os.path.join(scripts_dir, ".inc_canon_bench.json")
+    if os.path.exists(ic_json):
+        if scripts_dir not in sys.path:
+            sys.path.insert(0, scripts_dir)
+        import inc_canon_bench
+
+        with open(ic_json) as f:
+            ic_results = json.load(f)
+        with open("/root/repo/BENCH.md", "a") as f:
+            f.write("\n" + inc_canon_bench.render_section(ic_results))
+
     # and the ANN scan section (scripts/ann_bench.py)
     ann_json = os.path.join(scripts_dir, ".ann_bench.json")
     if os.path.exists(ann_json):
