@@ -294,3 +294,99 @@ def dup_ngram_fraction(
             / F.col("n_distinct_ngrams").cast("double"),
         )
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_pair_count: int = 1,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """Token co-occurrence lift per unordered pair — PMI's ratio without
+    the log, the statistical relation-strength scorer a KG uses to weight
+    candidate (entity, entity) edges beyond raw counts:
+
+        lift(a, b) = P(a, b) / (P(a) · P(b))
+                   = n_ab · N / (n_a · n_b)     over document sets
+
+    lift > 1 = the pair co-occurs more than independence predicts (a
+    real association); < 1 = avoidance. All counts are integers and the
+    single int/int double division is bit-identical across engines — no
+    log, no rounding discipline needed (log-PMI = ln(lift) is one map
+    away when a caller wants it).
+
+    → (token_a, token_b, n_ab, lift) for pairs with n_ab ≥
+    ``min_pair_count``, token_a < token_b.
+
+    100-TB shape: one distinct over (doc, token) — map-side combined —
+    then a per-doc self-join whose fan-out is quadratic in the PER-DOC
+    DISTINCT token count, not the corpus. For entity co-occurrence that
+    count is the entities-per-conversation (tens); for open-vocabulary
+    text, cap the per-doc distinct set or drop stop-tokens first — same
+    DF-cap guard as ngram_jaccard_pairs (operators/dedup.py). The
+    doc-frequency table joins the pair aggregate on the token key —
+    AQE-broadcast at any realistic vocabulary.
+
+    The (doc, token) distinct is cached — three plan branches read it
+    (doc-frequency + both self-join sides). Pass a list as
+    ``cache_handle`` to receive it and unpersist after consuming the
+    result (the cosine_pairs_lsh convention); otherwise the
+    ContextCleaner reclaims the blocks when references drop.
+    """
+    items = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens(F.col(text_col))).alias("__item"),
+    )
+    n_docs = df.select(id_col).distinct().count()
+    return cooccurrence_lift_items(
+        items, "__doc", "__item", n_docs,
+        min_pair_count=min_pair_count, cache_handle=cache_handle,
+    )
+
+
+def cooccurrence_lift_items(
+    items: DataFrame,
+    doc_col: str,
+    item_col: str,
+    n_docs: int,
+    min_pair_count: int = 1,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """The item-level core of :func:`cooccurrence_lift`: ``items`` is any
+    (doc, item) membership frame — tokens in documents, ENTITIES in
+    conversations (KGPipeline.entity_cooccurrence), products in baskets.
+    ``n_docs`` is the caller's universe size (P(a) = df_a / n_docs).
+    Rows need not be distinct; multiplicity within a doc collapses."""
+    dt = items.select(
+        F.col(doc_col).alias("__doc"), F.col(item_col).alias("__tok")
+    ).distinct()
+    dt = dt.persist()
+    if cache_handle is not None:
+        cache_handle.append(dt)
+    tok_df = dt.groupBy(F.col("__tok")).agg(F.count(F.lit(1)).alias("__df"))
+    a = dt.select(F.col("__doc"), F.col("__tok").alias("token_a"))
+    b = dt.select(F.col("__doc"), F.col("__tok").alias("token_b"))
+    pairs = (
+        a.join(b, "__doc")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    dfa = tok_df.select(F.col("__tok").alias("token_a"), F.col("__df").alias("__na"))
+    dfb = tok_df.select(F.col("__tok").alias("token_b"), F.col("__df").alias("__nb"))
+    out = (
+        pairs.join(dfa, "token_a")
+        .join(dfb, "token_b")
+        .select(
+            "token_a",
+            "token_b",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.lit(n_docs)).cast("double")
+                / (F.col("__na") * F.col("__nb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return out

@@ -2117,6 +2117,42 @@ def ta_dup_ngram_fraction(spark, sf_dir):
     return dup_ngram_fraction(d, "doc_id", "text", n=5)
 
 
+@register(
+    "ta_cooccurrence_lift",
+    f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    tdf AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+    pairs AS (
+        SELECT a.tok AS token_a, b.tok AS token_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+    )
+    SELECT token_a, token_b, n_ab,
+           CAST(n_ab * n_docs AS DOUBLE) / (fa.df * fb.df) AS lift
+    FROM pairs
+    JOIN tdf fa ON fa.tok = token_a
+    JOIN tdf fb ON fb.tok = token_b
+    CROSS JOIN n
+    """,
+)
+def ta_cooccurrence_lift(spark, sf_dir):
+    """Token co-occurrence lift (PMI's ratio, log-free so the int/int
+    double division hashes identically across engines) — the statistical
+    relation-strength scorer a KG applies to candidate entity pairs.
+    Distinct (doc, token) → per-doc self-join → pair counts vs
+    independence baseline from document frequencies."""
+    from cdrc_semantic_search_spark.operators.text_analysis import (
+        cooccurrence_lift,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return cooccurrence_lift(d, "doc_id", "text")
+
+
 @register("ta_winnowing", value_oracles.lazy("ta_winnowing"))
 def ta_winnowing(spark, sf_dir):
     """Winnowing fingerprint counts. xxhash64 isn't SQL-portable, so the

@@ -235,6 +235,37 @@ class KGPipeline:
         return self._nodes_from_counts(self.mention_counts(mentions))
 
     @staticmethod
+    def entity_cooccurrence(
+        mentions: DataFrame, min_pair_count: int = 2
+    ) -> DataFrame:
+        """Candidate ASSOCIATION edges from co-mention statistics:
+        entities mentioned in the same conversation more often than
+        independence predicts → (token_a, token_b, n_ab, lift) with
+        token_* = entity ids and lift = n_ab·N / (n_a·n_b) over
+        conversation sets (operators/text_analysis.cooccurrence_lift_items
+        — the log-free PMI, exact-oracled as ta_cooccurrence_lift).
+
+        Complements the extracted (subj, pred, obj) edges: extraction
+        finds stated relations; lift surfaces statistical ones with no
+        surface pattern. At 10^12 turns the per-conversation self-join
+        fans out quadratically in ENTITIES PER CONVERSATION (tens) — not
+        corpus size; ``min_pair_count`` prunes the long singleton tail
+        before the doc-frequency joins."""
+        from cdrc_semantic_search_spark.operators.text_analysis import (
+            cooccurrence_lift_items,
+        )
+
+        linked = mentions.filter(F.col("entity_id").isNotNull())
+        n_convs = linked.select("conv_id").distinct().count()
+        return cooccurrence_lift_items(
+            linked,
+            "conv_id",
+            "entity_id",
+            n_convs,
+            min_pair_count=min_pair_count,
+        )
+
+    @staticmethod
     def surface_forms(mentions: DataFrame) -> DataFrame:
         """Distinct normalized surface forms → (surface, entity_id) with
         the MIN linked entity per surface — the per-bucket SURFACE DELTA

@@ -129,3 +129,43 @@ def test_triple_scores_bounded(spark, fixture, spark_fixture):
         F.min("score").alias("lo"), F.max("score").alias("hi")
     ).collect()[0]
     assert 0.0 <= got["lo"] <= got["hi"] <= 1.0
+
+
+def test_entity_cooccurrence_matches_hand_math(spark, fixture, spark_fixture):
+    """entity_cooccurrence ≡ hand-computed lift over per-conversation
+    distinct entity sets derived from the same mentions frame."""
+    from collections import defaultdict
+
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+    from cdrc_semantic_search_spark.config import Settings
+
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    mentions = pipe.mentions(tdf)
+    rows = mentions.filter("entity_id IS NOT NULL").select(
+        "conv_id", "entity_id"
+    ).collect()
+    sets = defaultdict(set)
+    for r in rows:
+        sets[r.conv_id].add(r.entity_id)
+    n = len(sets)
+    df_count = defaultdict(int)
+    pair_count = defaultdict(int)
+    for ents in sets.values():
+        for e in ents:
+            df_count[e] += 1
+        es = sorted(ents)
+        for i in range(len(es)):
+            for j in range(i + 1, len(es)):
+                pair_count[(es[i], es[j])] += 1
+    want = {
+        (a, b): (c, c * n / (df_count[a] * df_count[b]))
+        for (a, b), c in pair_count.items()
+        if c >= 2
+    }
+    got = {
+        (r.token_a, r.token_b): (r.n_ab, r.lift)
+        for r in KGPipeline.entity_cooccurrence(mentions).collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -1237,3 +1237,39 @@ def test_topo_layers_hand_graph_and_cycles(spark):
 
     out = topo_layers(spark.createDataFrame([], "src long, dst long"))
     assert out.columns == ["id", "layer"] and out.count() == 0
+
+
+def test_cooccurrence_lift_hand_counts(spark):
+    """lift = n_ab·N/(n_a·n_b) on a hand corpus: 4 docs, pair (a,b) in
+    2 docs with df(a)=3, df(b)=2 → lift = 2·4/(3·2) = 4/3; pair (a,c)
+    co-occurring exactly as independence predicts → lift = 1.0."""
+    from cdrc_semantic_search_spark.operators.text_analysis import (
+        cooccurrence_lift,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "a b"),
+            (2, "a"),
+            (3, "c d"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.token_a, r.token_b): (r.n_ab, r.lift)
+        for r in cooccurrence_lift(docs, "doc_id", "text").collect()
+    }
+    assert got[("a", "b")] == (2, 2 * 4 / (3 * 2))
+    assert got[("a", "c")] == (1, 1 * 4 / (3 * 2))
+    assert got[("b", "c")] == (1, 1 * 4 / (2 * 2))
+    assert got[("c", "d")] == (1, 1 * 4 / (2 * 1))
+    assert ("a", "d") not in got  # never co-occur -> no row
+    # min_pair_count prunes singletons
+    pruned = {
+        (r.token_a, r.token_b)
+        for r in cooccurrence_lift(
+            docs, "doc_id", "text", min_pair_count=2
+        ).collect()
+    }
+    assert pruned == {("a", "b")}
