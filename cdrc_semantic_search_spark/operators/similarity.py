@@ -290,10 +290,11 @@ def cosine_pairs_lsh_delta(
     component labels already cover the OLD rows (their pairwise edges
     are folded into the labels), feeding these delta edges to
     ``incremental_components`` reproduces the full rebuild exactly —
-    pair-generation cost tracks the BATCH (new-side bucket membership),
-    not the corpus. Old-old pairs are pruned before the bucket
-    self-join's exchange: the old side of the join carries only buckets;
-    the new side is the small delta.
+    pair-generation cost tracks the BATCH, not the corpus. Every
+    qualifying pair has a new member, so the join's LEFT side is the
+    new rows alone: per-bucket fan-out is |new in bucket| × |bucket|,
+    never |bucket|² — old-old pairs are never generated, not generated-
+    then-filtered. Pairs are normalized least/greatest and deduped.
     """
     base = df.select(F.col(id_col), F.col(vec_col), F.col(new_col)).persist()
     tagged = lsh_assign(
@@ -301,17 +302,17 @@ def cosine_pairs_lsh_delta(
     ).persist()
     if cache_handle is not None:
         cache_handle.extend([base, tagged])
-    a = tagged.select(
-        "band", "bucket", F.col(id_col).alias("id_a"), F.col(new_col).alias("__na")
+    a = tagged.filter(F.col(new_col)).select(
+        "band", "bucket", F.col(id_col).alias("__id_n")
     )
-    b = tagged.select(
-        "band", "bucket", F.col(id_col).alias("id_b"), F.col(new_col).alias("__nb")
-    )
+    b = tagged.select("band", "bucket", F.col(id_col).alias("__id_o"))
     cand = (
         a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.col("__na") | F.col("__nb"))
-        .select("id_a", "id_b")
+        .filter(F.col("__id_n") != F.col("__id_o"))
+        .select(
+            F.least("__id_n", "__id_o").alias("id_a"),
+            F.greatest("__id_n", "__id_o").alias("id_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     return exact_recheck(base, cand, id_col, vec_col).filter(
