@@ -761,22 +761,23 @@ def strongly_connected_components(
 
     Exact oracle: DuckDB mutual-reachability classes (graph_scc).
     """
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # vertex universe from the UNFILTERED edges: a vertex whose only edge
+    # is a self-loop is still a (singleton) SCC — dropping it would lose
+    # exactly the provenance loop topo_layers routes here for diagnosis.
+    # The self-loop edge itself is irrelevant to the partition and is
+    # filtered; the vertex then has no edges and trim settles it.
     verts = (
-        e.select(F.col("a").alias("id"))
-        .unionByName(e.select(F.col("b").alias("id")))
+        raw.select(F.col("a").alias("id"))
+        .unionByName(raw.select(F.col("b").alias("id")))
         .distinct()
         .localCheckpoint()
     )
-    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    e = raw.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
     settled: DataFrame | None = None
     rounds = 0
-    cur_e, cur_rev, cur_v = e, rev.localCheckpoint(), verts
+    cur_e, cur_v = e, verts
+    cur_rev = e  # recomputed from cur_e before every flood
     for _ in range(max_outer):
         # TRIM: a vertex with no remaining in-edges or no remaining
         # out-edges cannot sit on a cycle — it is its own SCC. Peel such
@@ -831,7 +832,6 @@ def strongly_connected_components(
             .join(alive_b, "b", "left_semi")
             .localCheckpoint()
         )
-        cur_rev = cur_e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     else:
         raise RuntimeError(
             f"strongly_connected_components did not settle every vertex in "
@@ -877,10 +877,8 @@ def topo_layers(
     )
     cur_e = e.localCheckpoint()
     settled: DataFrame | None = None
-    layer = 0
+    n_layers = 0
     for layer in range(max_layers):
-        if cur_v.isEmpty():
-            break
         now = cur_v.join(
             cur_e.select(F.col("b").alias("id")), "id", "left_anti"
         ).select("id", F.lit(layer).cast("int").alias("layer"))
@@ -889,7 +887,13 @@ def topo_layers(
         settled = (
             now if settled is None else settled.unionByName(now)
         ).localCheckpoint()
+        n_layers = layer + 1
         cur_v = cur_v.join(now, "id", "left_anti").localCheckpoint()
+        # emptiness checked HERE, not at the top of the next iteration: a
+        # DAG needing exactly max_layers peel rounds must complete, not
+        # raise after its last round's work already succeeded
+        if cur_v.isEmpty():
+            break
         cur_e = cur_e.join(
             cur_v.select(F.col("id").alias("a")), "a", "left_semi"
         ).localCheckpoint()
@@ -901,6 +905,7 @@ def topo_layers(
         )
     cyclic = cur_v.select("id", F.lit(None).cast("int").alias("layer"))
     if stats is not None:
-        stats.update({"depth": layer})
+        # depth = number of settled layers (a 4-layer DAG reports 4)
+        stats.update({"depth": n_layers})
     out = cyclic if settled is None else settled.unionByName(cyclic)
     return out

@@ -119,12 +119,22 @@ class ParquetTableCatalog:
         ordering means a crash mid-retire leaves an invisible partition,
         never a double-counted one."""
         os.makedirs(self._retired_dir(name), exist_ok=True)
+        retired_at = time.time()
         for p in partitions:
             marker = self._marker_path(name, p)
             if os.path.exists(marker):
-                os.replace(
-                    marker, os.path.join(self._retired_dir(name), f"{p}.json")
-                )
+                # stamp WHEN retirement happened: time travel must
+                # distinguish snapshots that contained this partition
+                # (unreconstructable — bytes folded away) from snapshots
+                # taken after the compaction (fully live)
+                with open(marker) as f:
+                    rec = json.load(f)
+                rec["retired_at"] = retired_at
+                dst = os.path.join(self._retired_dir(name), f"{p}.json")
+                with open(dst + ".tmp", "w") as f:
+                    json.dump(rec, f)
+                os.replace(dst + ".tmp", dst)
+                os.remove(marker)
             # delete data even if the marker already moved (a crash between
             # the move and this delete must not orphan the bytes forever)
             shutil.rmtree(self._partition_path(name, p), ignore_errors=True)
@@ -227,7 +237,10 @@ class ParquetTableCatalog:
                 out.append(CommitRecord(**json.load(f)))
         return out
 
-    def _retired_records(self, name: str) -> list[CommitRecord]:
+    def _retired_records(self, name: str) -> list[tuple[CommitRecord, float | None]]:
+        """(record, retired_at) per retired partition; retired_at is None
+        for markers written before retirement stamping existed (treated
+        conservatively by snapshot_partitions)."""
         d = self._retired_dir(name)
         if not os.path.isdir(d):
             return []
@@ -235,7 +248,9 @@ class ParquetTableCatalog:
         for f in sorted(os.listdir(d)):
             if f.endswith(".json"):
                 with open(os.path.join(d, f)) as fh:
-                    out.append(CommitRecord(**json.load(fh)))
+                    rec = json.load(fh)
+                retired_at = rec.pop("retired_at", None)
+                out.append((CommitRecord(**rec), retired_at))
         return out
 
     def _history_records(self, name: str) -> list[CommitRecord]:
@@ -281,8 +296,15 @@ class ParquetTableCatalog:
                 cur is None or cur.committed_at > as_of
             ):
                 gone.append(f"{h.partition} (overwritten)")
-        for r in self._retired_records(name):
-            if r.committed_at <= as_of:
+        for r, retired_at in self._retired_records(name):
+            # unreconstructable only if the partition was VISIBLE at
+            # as_of: committed by then and not yet retired. Snapshots
+            # taken after the compaction never contained it and stay
+            # readable. Unstamped legacy markers (retired_at None) are
+            # treated conservatively: any as_of >= commit raises.
+            if r.committed_at <= as_of and (
+                retired_at is None or as_of < retired_at
+            ):
                 gone.append(f"{r.partition} (retired by compaction)")
         if gone:
             raise SnapshotUnavailableError(

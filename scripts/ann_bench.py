@@ -176,18 +176,11 @@ def main() -> None:
     with open(ANN_JSON, "w") as f:
         json.dump(out, f)
 
-    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    bench_md = os.path.join(repo_root, "BENCH.md")
-    if os.path.exists(bench_md):
-        text = open(bench_md).read()
-        # replace-by-heading, idempotent: drop EVERY prior ANN-scan
-        # section (the old exact-string marker missed the rendered
-        # heading and duplicated the section on each run)
-        marker = "## ANN scan at "
-        if marker in text:
-            text = text[: text.index(marker)].rstrip() + "\n"
-        with open(bench_md, "w") as f:
-            f.write(text.rstrip() + "\n\n" + render_section(out))
+    from bench_sections import replace_section
+
+    # shared splice: replaces ONLY this bench's section — the previous
+    # truncate-to-EOF here deleted every section after the ANN one
+    replace_section("## ANN scan at ", "\n" + render_section(out))
     spark.stop()
 
 

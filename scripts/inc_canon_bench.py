@@ -221,17 +221,9 @@ def main() -> None:
     print(json.dumps(results))
     with open(IC_JSON, "w") as f:
         json.dump(results, f)
-    bench_md = "/root/repo/BENCH.md"
-    if os.path.exists(bench_md):
-        text = open(bench_md).read()
-        if MARKER in text:
-            head = text[: text.index(MARKER)].rstrip()
-            rest = text[text.index(MARKER) :]
-            nxt = rest.find("\n## ", 1)
-            tail = rest[nxt + 1 :] if nxt != -1 else ""
-            text = head + "\n" + tail
-        with open(bench_md, "w") as f:
-            f.write(text.rstrip() + "\n" + render_section(results))
+    from bench_sections import replace_section
+
+    replace_section(MARKER, render_section(results))
     spark.stop()
 
 

@@ -215,83 +215,33 @@ results are parallelism-independent (asserted in tests/test_resume.py).
 """
         )
 
-    # re-append the CC-at-scale section (scripts/cc_bench.py) so a
-    # scaling re-run doesn't silently drop those measurements
+    # re-append every sibling bench's cached section so a scaling re-run
+    # doesn't silently drop those measurements; one loop instead of a
+    # copy-pasted stanza per bench (the duplication once let ann_bench's
+    # divergent splice delete its siblings' sections)
     import os
 
     scripts_dir = os.path.dirname(os.path.abspath(__file__))
-    cc_json = os.path.join(scripts_dir, ".cc_bench.json")
-    if os.path.exists(cc_json):
-        # resolve cc_bench by path: `python -m scripts.scaling_bench` does
-        # not put scripts/ on sys.path
+    for mod_name, json_name in [
+        ("cc_bench", ".cc_bench.json"),
+        ("bucketed_pagerank_bench", ".pr_bucket_bench.json"),
+        ("cc_skew_bench", ".cc_skew_bench.json"),
+        ("dedup_bucket_bench", ".dedup_bucket_bench.json"),
+        ("inc_canon_bench", ".inc_canon_bench.json"),
+        ("ann_bench", ".ann_bench.json"),
+    ]:
+        cached = os.path.join(scripts_dir, json_name)
+        if not os.path.exists(cached):
+            continue
+        # resolve by path: `python -m scripts.scaling_bench` does not put
+        # scripts/ on sys.path
         if scripts_dir not in sys.path:
             sys.path.insert(0, scripts_dir)
-        import cc_bench
-
-        with open(cc_json) as f:
-            cc_results = json.load(f)
+        mod = __import__(mod_name)
+        with open(cached) as f:
+            data = json.load(f)
         with open("/root/repo/BENCH.md", "a") as f:
-            f.write(cc_bench.render_section(cc_results))
-
-    # same for the bucketed-fanout section (scripts/bucketed_pagerank_bench.py)
-    pr_json = os.path.join(scripts_dir, ".pr_bucket_bench.json")
-    if os.path.exists(pr_json):
-        if scripts_dir not in sys.path:
-            sys.path.insert(0, scripts_dir)
-        import bucketed_pagerank_bench
-
-        with open(pr_json) as f:
-            pr_results = json.load(f)
-        with open("/root/repo/BENCH.md", "a") as f:
-            f.write("\n" + bucketed_pagerank_bench.render_section(pr_results))
-
-    # the hot-component skew section (scripts/cc_skew_bench.py)
-    skew_json = os.path.join(scripts_dir, ".cc_skew_bench.json")
-    if os.path.exists(skew_json):
-        if scripts_dir not in sys.path:
-            sys.path.insert(0, scripts_dir)
-        import cc_skew_bench
-
-        with open(skew_json) as f:
-            skew_results = json.load(f)
-        with open("/root/repo/BENCH.md", "a") as f:
-            f.write("\n" + cc_skew_bench.render_section(skew_results))
-
-    # the bucketed dedup re-check section (scripts/dedup_bucket_bench.py)
-    db_json = os.path.join(scripts_dir, ".dedup_bucket_bench.json")
-    if os.path.exists(db_json):
-        if scripts_dir not in sys.path:
-            sys.path.insert(0, scripts_dir)
-        import dedup_bucket_bench
-
-        with open(db_json) as f:
-            db_results = json.load(f)
-        with open("/root/repo/BENCH.md", "a") as f:
-            f.write("\n" + dedup_bucket_bench.render_section(db_results))
-
-    # the incremental canonicalization section (scripts/inc_canon_bench.py)
-    ic_json = os.path.join(scripts_dir, ".inc_canon_bench.json")
-    if os.path.exists(ic_json):
-        if scripts_dir not in sys.path:
-            sys.path.insert(0, scripts_dir)
-        import inc_canon_bench
-
-        with open(ic_json) as f:
-            ic_results = json.load(f)
-        with open("/root/repo/BENCH.md", "a") as f:
-            f.write("\n" + inc_canon_bench.render_section(ic_results))
-
-    # and the ANN scan section (scripts/ann_bench.py)
-    ann_json = os.path.join(scripts_dir, ".ann_bench.json")
-    if os.path.exists(ann_json):
-        if scripts_dir not in sys.path:
-            sys.path.insert(0, scripts_dir)
-        import ann_bench
-
-        with open(ann_json) as f:
-            ann_results = json.load(f)
-        with open("/root/repo/BENCH.md", "a") as f:
-            f.write("\n" + ann_bench.render_section(ann_results))
+            f.write("\n" + mod.render_section(data))
 
 
 if __name__ == "__main__":

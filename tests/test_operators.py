@@ -1196,8 +1196,11 @@ def test_strongly_connected_components(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     out = strongly_connected_components(empty)
     assert out.columns == ["id", "scc_id"] and out.count() == 0
+    # a self-loop-only vertex is a singleton SCC (and the most common
+    # provenance-loop shape topo_layers routes here) — it must surface
     selfonly = spark.createDataFrame([(3, 3)], "src long, dst long")
-    assert strongly_connected_components(selfonly).count() == 0
+    got = {r.id: r.scc_id for r in strongly_connected_components(selfonly).collect()}
+    assert got == {3: 3}
 
 
 def test_topo_layers_hand_graph_and_cycles(spark):
@@ -1237,6 +1240,14 @@ def test_topo_layers_hand_graph_and_cycles(spark):
 
     out = topo_layers(spark.createDataFrame([], "src long, dst long"))
     assert out.columns == ["id", "layer"] and out.count() == 0
+
+    # a DAG needing EXACTLY max_layers peel rounds completes (no false
+    # depth raise); one round fewer raises
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r.id: r.layer for r in topo_layers(chain, max_layers=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    with pytest.raises(RuntimeError, match="max_layers"):
+        topo_layers(chain, max_layers=2).collect()
 
 
 def test_cooccurrence_lift_hand_counts(spark):

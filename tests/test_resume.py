@@ -257,8 +257,13 @@ def test_time_travel_read_as_of(spark, tmp_path):
         cat.snapshot_partitions("t", t_mid)
     assert cat.read_as_of(spark, "t", _time.time()).count() == 28
 
-    # the REWRITTEN p0 is part of snapshots after its commit; retiring p1
-    # breaks every snapshot that contained it
+    # retiring p1 breaks every snapshot that CONTAINED it — but not
+    # snapshots taken after the compaction, which never did
+    t_before_retire = _time.time()
+    _time.sleep(0.01)
     cat.retire_partitions("t", ["p1"])
     with _pytest.raises(SnapshotUnavailableError, match="p1 .retired"):
-        cat.read_as_of(spark, "t", _time.time())
+        cat.read_as_of(spark, "t", t_before_retire)
+    # post-compaction snapshot: p0-rewritten (3) + p2 (5), fully live
+    assert cat.snapshot_partitions("t", _time.time()) == {"p0", "p2"}
+    assert cat.read_as_of(spark, "t", _time.time()).count() == 8
