@@ -19,17 +19,49 @@ contract (SURVEY §5.5).
 from __future__ import annotations
 
 import logging
+import threading
+import uuid
 import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from cdrc_semantic_search_spark.functions.text import word_shingles
 
 log = logging.getLogger(__name__)
+
+#: Default candidate-generation guard: groups (LSH buckets, shingle
+#: posting lists, blocking keys) larger than this are skipped before any
+#: self-join. 10k members bounds a single group's pair fan-out at
+#: ~5·10⁷ — survivable once, fatal when a degenerate key holds millions
+#: of rows. ``None`` is the explicit opt-out for exact small-corpus runs.
+DEFAULT_MAX_BUCKET = 10_000
+
+
+def _log_dropped_on_first_action(obs: Observation, who: str, cap: int, what: str) -> None:
+    """Log an Observation's drop count as soon as the caller's FIRST
+    action executes the observed plan — capping must never be silent,
+    but it must also never add an eager job at DataFrame-construction
+    time (ADVICE r4). ``Observation.get`` blocks until the plan runs, so
+    the wait lives on a daemon thread; if the plan is never executed the
+    thread parks harmlessly until process exit."""
+
+    def run() -> None:
+        try:
+            metrics = obs.get
+        except Exception:  # session torn down before any action
+            return
+        dropped = metrics.get("dropped", 0)
+        if dropped:
+            log.info(
+                "%s: dropped %d %s from candidate generation (cap %d)",
+                who, dropped, what, cap,
+            )
+
+    threading.Thread(target=run, daemon=True, name=f"capdrop-{who}").start()
 
 
 # --------------------------------------------------------------- exact dedup
@@ -65,7 +97,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     cache_handle: list | None = None,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with k-word-shingle Jaccard ≥ threshold.
 
@@ -85,9 +117,13 @@ def ngram_jaccard_pairs(
     discriminative signal anyway). The hot-shingle list is tiny by
     construction (only hashes with DF > cap) and is broadcast; the
     posting table never shuffles for the filter. The number of dropped
-    shingle hashes is logged. Default ``None`` = off (exact Jaccard over
-    the full universe; fine up to moderate corpora, required off for the
-    VALUES oracle).
+    shingle hashes rides the first action as an Observation and is
+    logged lazily — no eager job at construction (ADVICE r4). Default
+    ``DEFAULT_MAX_BUCKET`` (10k): a shingle shared by >10k documents is
+    boilerplate by any reasonable prior AND sits one equi-join away from
+    a 10⁸-row blowup; ``None`` is the explicit opt-out restoring exact
+    full-universe Jaccard. No test-scale shingle approaches the default,
+    so the small-n SQL oracle is unaffected.
     """
     shingled = df.select(
         F.col(id_col).alias("id"),
@@ -114,14 +150,15 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("shash")
         )
-        # one cheap count over the cached posting list — the honest price
-        # of reporting what the cap dropped (no silent truncation)
-        n_hot = hot.count()
-        if n_hot:
-            log.info(
-                "ngram_jaccard_pairs: dropping %d shingle hashes with "
-                "document frequency > %d", n_hot, max_shingle_df,
-            )
+        # drop count observed on the broadcast side (metrics propagate
+        # out of broadcast-exchange subplans — verified) and logged when
+        # the caller's first action runs; the agg branch reads the
+        # persisted posting cache, so no extra pass over the input
+        obs = Observation(f"ngram-capdrop-{uuid.uuid4().hex[:8]}")
+        hot = hot.observe(obs, F.count(F.lit(1)).alias("dropped"))
+        _log_dropped_on_first_action(
+            obs, "ngram_jaccard_pairs", max_shingle_df, "hot shingles"
+        )
         shingled = shingled.join(F.broadcast(hot), "shash", "left_anti")
 
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
@@ -155,27 +192,29 @@ def ngram_jaccard_pairs(
 def _cap_buckets(
     tagged: DataFrame, keys: list[str], cap: int | None, who: str
 ) -> DataFrame:
-    """Shared bucket-size guard for the banded self-joins: drop groups of
-    ``keys`` larger than ``cap`` before candidate generation. The
-    oversized-bucket list is tiny by construction and broadcast; the
-    tagged side never shuffles for the filter. Logs how many buckets
-    (and member rows) were skipped — capping must never be silent."""
+    """Shared bucket-size guard for the banded self-joins: drop rows whose
+    ``keys``-group exceeds ``cap`` members BEFORE candidate generation.
+
+    Group size comes from a count window over the SAME keys the
+    downstream self-join shuffles on, so the guard's exchange IS the
+    join's exchange — the plan gains a sort+count within partitions and
+    zero extra shuffles (verified: the SortMergeJoin reuses the window's
+    hashpartitioning). A degenerate bucket lands on one task for the
+    count, but counting is O(n) — exactly the linear pass the guard
+    exists to keep things at. The dropped-row count rides the caller's
+    first action as an Observation and is logged lazily (never an eager
+    job at construction time, never silent)."""
     if cap is None:
         return tagged
-    big = (
-        tagged.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > cap)
+    tagged = tagged.withColumn(
+        "_grp_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
     )
-    stats = big.agg(
-        F.count(F.lit(1)).alias("buckets"), F.sum("n").alias("rows")
-    ).collect()[0]
-    if stats["buckets"]:
-        log.info(
-            "%s: skipping %d buckets (> %d members, %d rows total) for "
-            "candidate generation", who, stats["buckets"], cap, stats["rows"],
-        )
-    return tagged.join(F.broadcast(big.select(*keys)), keys, "left_anti")
+    obs = Observation(f"{who}-capdrop-{uuid.uuid4().hex[:8]}")
+    tagged = tagged.observe(
+        obs, F.count_if(F.col("_grp_n") > cap).alias("dropped")
+    )
+    _log_dropped_on_first_action(obs, who, cap, "oversized-bucket member rows")
+    return tagged.filter(F.col("_grp_n") <= cap).drop("_grp_n")
 
 
 def _minhash_matrix(shingle_hashes: list[np.ndarray], n_perm: int, seed: int) -> np.ndarray:
@@ -241,7 +280,7 @@ def minhash_lsh_pairs(
     n_bands: int = 16,
     min_est_jaccard: float = 0.5,
     cache_handle: list | None = None,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate pairs from banded minhash buckets + estimated Jaccard.
 
@@ -251,14 +290,16 @@ def minhash_lsh_pairs(
 
     ``max_bucket_size``: the scale guard. A degenerate bucket (millions
     of near-empty docs sharing one signature band) explodes the
-    self-join quadratically. With a cap, (band, bucket) groups larger
-    than it are skipped for candidate generation — the skipped bucket
-    list is tiny (only the pathological ones), broadcast for the
-    anti-join, and its size is logged (no silent truncation). Members of
-    a skipped bucket can still pair through their other n_bands−1 bands;
-    true mass-duplicates should be collapsed by
-    :func:`exact_duplicate_groups` FIRST, which is both cheaper and
-    exact for that case. Default ``None`` = off (oracle-exact).
+    self-join quadratically. (band, bucket) groups larger than the cap
+    are skipped for candidate generation via a count window that reuses
+    the self-join's own exchange (zero extra shuffles); the dropped-row
+    count is observed on the first action and logged — never silent,
+    never an eager job. Members of a skipped bucket can still pair
+    through their other n_bands−1 bands; true mass-duplicates should be
+    collapsed by :func:`exact_duplicate_groups` FIRST, which is both
+    cheaper and exact for that case. Default ``DEFAULT_MAX_BUCKET``
+    (10k, ~5·10⁷ pairs bound per bucket); ``None`` is the explicit
+    opt-out for exact runs.
 
     An INTERNAL projection of the signature table is cached before the
     self-join (never the caller's frame — persisting an input is a
@@ -341,7 +382,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     cache_handle: list | None = None,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Pairs within hamming distance ≤ max_hamming via banded blocking.
 
@@ -350,12 +391,12 @@ def simhash_near_pairs(
     (bit_count of xor) filters. Choose n_bands > max_hamming for a
     completeness guarantee; no all-pairs join ever runs.
 
-    ``max_bucket_size``: same scale guard and logging contract as
-    :func:`minhash_lsh_pairs` — (band, chunk) groups larger than the cap
-    are skipped (a million empty docs share simhash 0 and would pair
-    quadratically; collapse those with :func:`exact_duplicate_groups`
-    first). Default ``None`` = off (oracle-exact, pigeonhole guarantee
-    intact).
+    ``max_bucket_size``: same scale guard, default, and lazy-logging
+    contract as :func:`minhash_lsh_pairs` — (band, chunk) groups larger
+    than the cap are skipped (a million empty docs share simhash 0 and
+    would pair quadratically; collapse those with
+    :func:`exact_duplicate_groups` first). ``None`` = explicit opt-out
+    (pigeonhole completeness guarantee fully intact).
 
     An internal projection of the signatures is cached before the
     self-join (same rationale and cache_handle contract as
@@ -389,6 +430,152 @@ def simhash_near_pairs(
         .withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------- blocked edit distance
+def levenshtein_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Pairs (id_a < id_b) within Levenshtein distance ≤ ``max_dist`` via
+    segment blocking — the dedup family's string-metric member at scale
+    (reference-semantics anchor: the fuzzy-grouping role of
+    /root/reference/src/model.py:20-23). Never runs an all-pairs join.
+
+    Candidate generation is PassJoin-style (Li, Deng, Feng: "PassJoin: a
+    partition-based method for similarity joins", PVLDB 2011 — public
+    literature) and COMPLETE, so the output is exactly the all-pairs
+    result:
+
+    * every string of length l ≥ d+1 is partitioned into m = d+1
+      contiguous segments (first l mod m segments one char longer). By
+      pigeonhole, ≤ d edits leave ≥ 1 segment of the INDEX string
+      untouched, and that segment appears verbatim in the other string
+      shifted by at most d positions (≤ d net insertions/deletions can
+      precede it).
+    * index side emits its m segments keyed (own length, segment idx,
+      segment text); probe side emits, for each candidate partner length
+      l' ∈ [l−d, l+d] (l' ≥ d+1), each segment slot, every substring of
+      the slot's length within ±d of the slot's start — ≈ (d+1)²(2d+1)
+      short probes per string (75 at d=2). An equi-join on the
+      three-part key yields candidates; ``F.levenshtein`` re-checks
+      exactly. The join key embeds the length, so the length filter
+      |l_a − l_b| ≤ d is free.
+    * strings of length ≤ d (can only match strings of length ≤ 2d — a
+      degenerate, normally-empty set) pair through a separate broadcast
+      nested-loop branch.
+
+    Shuffle payload is (key, id, text) where texts are the short strings
+    record linkage runs on (names, titles, SKUs — this operator is NOT
+    for documents; near-dup long text belongs to the minhash/simhash
+    family). ``max_bucket_size`` caps degenerate blocking keys (e.g. the
+    segment "aaa" in a corpus of repeated characters) with the shared
+    window guard + lazy drop logging; the window's exchange is the
+    join's exchange. Null texts are treated as empty strings.
+    """
+    d = max_dist
+    m = d + 1
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    ).withColumn("l", F.length("t"))
+    longs = base.filter(F.col("l") >= m)
+
+    # ---- index side: own segments at their true positions
+    idx = longs.select(
+        F.col("id").alias("id_i"),
+        F.col("t").alias("t_i"),
+        F.col("l").alias("kl"),
+        F.explode(F.sequence(F.lit(0), F.lit(d))).alias("ki"),
+    )
+    qi = F.floor(F.col("kl") / m)
+    ri = F.col("kl") % m
+    st_i = F.col("ki") * qi + F.least(F.col("ki"), ri)
+    ln_i = qi + F.when(F.col("ki") < ri, 1).otherwise(0)
+    idx = idx.select(
+        "id_i", "t_i", "kl", "ki", F.substring("t_i", st_i + 1, ln_i).alias("ks")
+    )
+
+    # ---- probe side: all substrings a partner's unedited segment could be
+    probe = (
+        longs.select(
+            F.col("id").alias("id_p"),
+            F.col("t").alias("t_p"),
+            F.col("l").alias("lp"),
+            F.explode(
+                F.sequence(F.col("l") - d, F.col("l") + d)
+            ).alias("kl"),
+        )
+        .filter(F.col("kl") >= m)
+        .select(
+            "id_p", "t_p", "lp", "kl",
+            F.explode(F.sequence(F.lit(0), F.lit(d))).alias("ki"),
+        )
+    )
+    qp = F.floor(F.col("kl") / m)
+    rp = F.col("kl") % m
+    st_p = F.col("ki") * qp + F.least(F.col("ki"), rp)
+    ln_p = qp + F.when(F.col("ki") < rp, 1).otherwise(0)
+    probe = (
+        probe.withColumn("ln", ln_p)
+        .withColumn("lo", F.greatest(F.lit(0), st_p - d))
+        .withColumn("hi", F.least(F.col("lp") - F.col("ln"), st_p + d))
+        .filter(F.col("hi") >= F.col("lo"))  # sequence(lo>hi) would DESCEND
+        .select(
+            "id_p", "t_p", "kl", "ki", "ln",
+            F.explode(F.sequence("lo", "hi")).alias("p"),
+        )
+        .select(
+            "id_p", "t_p", "kl", "ki",
+            F.substring("t_p", F.col("p") + 1, F.col("ln")).alias("ks"),
+        )
+    )
+
+    keys = ["kl", "ki", "ks"]
+    idx = _cap_buckets(idx, keys, max_bucket_size, "levenshtein_pairs_blocked")
+    probe = _cap_buckets(probe, keys, max_bucket_size, "levenshtein_pairs_blocked")
+
+    swap = F.col("id_i") < F.col("id_p")
+    main = (
+        idx.join(probe, keys)
+        .filter(F.col("id_i") != F.col("id_p"))
+        .select(
+            F.least("id_i", "id_p").alias("id_a"),
+            F.greatest("id_i", "id_p").alias("id_b"),
+            F.when(swap, F.col("t_i")).otherwise(F.col("t_p")).alias("t_a"),
+            F.when(swap, F.col("t_p")).otherwise(F.col("t_i")).alias("t_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # strings shorter than the segment count: ≤ d chars, partner ≤ 2d
+    shorts = base.filter(F.col("l") <= d).select(
+        F.col("id").alias("id_i"), F.col("t").alias("t_i")
+    )
+    near_short = base.filter(F.col("l") <= 2 * d).select(
+        F.col("id").alias("id_p"), F.col("t").alias("t_p")
+    )
+    short_pairs = (
+        F.broadcast(shorts)
+        .join(near_short, F.col("id_i") != F.col("id_p"))
+        .select(
+            F.least("id_i", "id_p").alias("id_a"),
+            F.greatest("id_i", "id_p").alias("id_b"),
+            F.when(swap, F.col("t_i")).otherwise(F.col("t_p")).alias("t_a"),
+            F.when(swap, F.col("t_p")).otherwise(F.col("t_i")).alias("t_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    return (
+        main.unionByName(short_pairs)
+        .withColumn("edit_dist", F.levenshtein("t_a", "t_b").cast("int"))
+        .filter(F.col("edit_dist") <= d)
+        .select("id_a", "id_b", "edit_dist")
     )
 
 

@@ -15,7 +15,9 @@ N never re-optimizes 1..N-1 (same discipline as connected_components).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import uuid
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -274,7 +276,7 @@ def link_prediction_scores(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_center_degree: int | None = None,
+    max_center_degree: int | None = 10_000,
     cache_handle: list | None = None,
 ) -> DataFrame:
     """Link-prediction feature scores for NON-adjacent vertex pairs that
@@ -297,8 +299,11 @@ def link_prediction_scores(
     ``max_center_degree``: drop centers above a cap before the self-join.
     A hub shared by everything contributes ≈0 Adamic-Adar weight
     (1/ln d → 0) and inflates every pair's common_cnt equally, so capping
-    changes rankings far less than it cuts cost; with the default None
-    the result is exact.
+    changes rankings far less than it cuts cost. Default 10k (bounds a
+    single center's wedge fan-out at ~5·10⁷ rows); ``None`` is the
+    explicit opt-out that makes the result exact. Dropped wedge-endpoint
+    rows are observed on the first action and logged lazily — the cap is
+    never silent and never adds an eager job.
 
     Persists two internal frames (normalized edges, degrees) that feed
     multiple plan branches; pass ``cache_handle`` (a list) to receive
@@ -328,6 +333,18 @@ def link_prediction_scores(
         deg.select(F.col("v").alias("c"), F.col("deg").alias("c_deg")), "c"
     )
     if max_center_degree is not None:
+        from cdrc_semantic_search_spark.operators.dedup import (
+            _log_dropped_on_first_action,
+        )
+
+        obs = Observation(f"linkpred-capdrop-{uuid.uuid4().hex[:8]}")
+        centers = centers.observe(
+            obs, F.count_if(F.col("c_deg") > max_center_degree).alias("dropped")
+        )
+        _log_dropped_on_first_action(
+            obs, "link_prediction_scores", max_center_degree,
+            "hub-center wedge rows",
+        )
         centers = centers.filter(F.col("c_deg") <= max_center_degree)
     s1 = centers.select("c", F.col("e").alias("v"), "c_deg")
     s2 = centers.select("c", F.col("e").alias("w"))

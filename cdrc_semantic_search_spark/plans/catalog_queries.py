@@ -1366,6 +1366,35 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(sigs, "doc_id", n_perm=64, n_bands=16, min_est_jaccard=0.9)
 
 
+@register("dedup_minhash_lsh_capped", value_oracles.lazy("dedup_minhash_lsh_capped"))
+def dedup_minhash_lsh_capped(spark, sf_dir):
+    """The scale guard's output, oracle-pinned: a 30-copy mass-duplicate
+    block (ids 20000..20029, all doc 0's text) makes every one of its
+    band buckets 32 members — over the max_bucket_size=10 cap — so the
+    guard skips them and doc 0 contributes no pairs, while clones 1..49
+    still pair through their own 2-member buckets. The VALUES twin
+    models the identical drop (value_oracles._minhash_lsh_twin cap=10),
+    so capped output is value-hash-checked, not just row-counted."""
+    from cdrc_semantic_search_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter("doc_id < 50").select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    mass = (
+        spark.range(30)
+        .select((F.col("id") + 20000).alias("doc_id"))
+        .crossJoin(F.broadcast(d.filter("doc_id = 0").select("text")))
+    )
+    uni = d.unionByName(dup).unionByName(mass)
+    sigs = minhash_signatures(uni, "doc_id", "text", k=3, n_perm=64)
+    return minhash_lsh_pairs(
+        sigs, "doc_id", n_perm=64, n_bands=16, min_est_jaccard=0.9,
+        max_bucket_size=10,
+    )
+
+
 @register("dedup_simhash", value_oracles.lazy("dedup_simhash"))
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs; VALUES oracle from the pure-Python twin
@@ -4423,6 +4452,37 @@ def dedup_levenshtein(spark, sf_dir):
         .filter(F.col("edit_dist") <= 2)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+@register(
+    "dedup_levenshtein_blocked",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 2000) a
+    JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 2000) b
+      ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def dedup_levenshtein_blocked(spark, sf_dir):
+    """The edit-distance SCALE path (closes r4 "What's wrong #3"): the
+    PassJoin-style segment-blocked operator whose candidate generation
+    is COMPLETE (operators/dedup.levenshtein_pairs_blocked docstring has
+    the pigeonhole argument), so its output is oracled against the plain
+    all-pairs DuckDB twin and hash-matches exactly. The templated
+    Customer#NNNNNNNNN names are the blocking-hostile case — shared
+    prefixes concentrate candidates into few buckets — which the exact
+    re-check absorbs at this bounded slice and the bucket cap guards at
+    scale."""
+    from cdrc_semantic_search_spark.operators.dedup import (
+        levenshtein_pairs_blocked,
+    )
+
+    c = load(spark, sf_dir, "customer").filter("c_custkey < 2000").select(
+        "c_custkey", "c_name"
+    )
+    return levenshtein_pairs_blocked(c, "c_custkey", "c_name", max_dist=2)
 
 
 @register(

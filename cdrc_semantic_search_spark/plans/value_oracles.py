@@ -220,12 +220,17 @@ def xxh64(data: bytes, seed: int = 42) -> int:
 # the twins
 # =====================================================================
 
-def _pairs_from_buckets(buckets: dict[tuple, list]) -> set[tuple]:
+def _pairs_from_buckets(
+    buckets: dict[tuple, list], cap: int | None = None
+) -> set[tuple]:
     """All (id_a < id_b) pairs sharing ≥1 bucket — pure bookkeeping
-    shared by the three banding twins (the bucket CONTENTS stay
-    twin-specific)."""
+    shared by the banding twins (the bucket CONTENTS stay
+    twin-specific). ``cap`` models the engine's ``max_bucket_size``
+    guard: buckets with more than ``cap`` members generate no pairs."""
     pairs: set[tuple] = set()
     for members in buckets.values():
+        if cap is not None and len(members) > cap:
+            continue
         members.sort()
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
@@ -242,13 +247,13 @@ def _docs_with_shift(id_bound: int, shift: int):
     return rows
 
 
-@_register("dedup_minhash_lsh")
-def _minhash_lsh_values() -> str:
-    """MinHash+LSH twin: signatures by the affine-permutation spec,
-    candidates by direct band-slice EQUALITY (no hashing, no join)."""
+def _minhash_lsh_twin(docs: list[tuple], cap: int | None = None) -> list[tuple]:
+    """Shared MinHash+LSH twin kernel: signatures by the
+    affine-permutation spec, candidates by direct band-slice EQUALITY
+    (no hashing, no join), optional bucket-size cap mirroring the
+    engine's ``max_bucket_size`` guard."""
     n_perm, n_bands, k = 64, 16, 3
     r = n_perm // n_bands
-    docs = _docs_with_shift(50, 10_000)
     P = np.uint64((1 << 61) - 1)
     rng = np.random.default_rng(42)
     a = rng.integers(1, P, size=n_perm, dtype=np.uint64)
@@ -269,12 +274,37 @@ def _minhash_lsh_values() -> str:
             buckets.setdefault(
                 (band, tuple(sig[band * r : (band + 1) * r])), []
             ).append(doc_id)
-    pairs = _pairs_from_buckets(buckets)
+    pairs = _pairs_from_buckets(buckets, cap)
     rows = []
     for ia, ib in sorted(pairs):
         est = float((sigs[ia] == sigs[ib]).sum()) / n_perm
         if est >= 0.9:
             rows.append((ia, ib, est))
+    return rows
+
+
+@_register("dedup_minhash_lsh")
+def _minhash_lsh_values() -> str:
+    """MinHash+LSH twin over documents + 50 shifted clones."""
+    rows = _minhash_lsh_twin(_docs_with_shift(50, 10_000))
+    return values_sql(
+        rows,
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("est_jaccard", "DOUBLE")],
+    )
+
+
+@_register("dedup_minhash_lsh_capped")
+def _minhash_lsh_capped_values() -> str:
+    """Capped-guard twin: same corpus plus a 30-copy mass-duplicate block
+    of doc 0's text (ids 20000..20029). With max_bucket_size=10 every
+    band bucket holding the mass block (32 members: the block, doc 0,
+    and doc 0's shifted clone) is skipped, so doc 0 contributes no
+    pairs, while clones 1..49 still surface through their own 2-member
+    buckets — the exact drop the engine's guard performs."""
+    docs = _docs_with_shift(50, 10_000)
+    text0 = next(tx for i, tx in docs if i == 0)
+    docs = docs + [(20_000 + i, text0) for i in range(30)]
+    rows = _minhash_lsh_twin(docs, cap=10)
     return values_sql(
         rows,
         [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("est_jaccard", "DOUBLE")],

@@ -286,6 +286,49 @@ def test_dedup_scale_caps(spark):
     assert not any(10 <= a < 15 and 10 <= b < 15 for a, b in spairs)
 
 
+def test_levenshtein_blocked_equals_all_pairs(spark):
+    """PassJoin-style segment blocking is COMPLETE: the blocked operator's
+    output equals brute-force all-pairs Levenshtein on a corpus that
+    exercises every branch — the short-string broadcast path (len ≤ d),
+    empty strings, nulls (→ empty), unicode, equal strings, and lengths
+    straddling the |l_a − l_b| ≤ d boundary."""
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = [
+        (1, "kitten"), (2, "sitting"), (3, "kitchen"), (4, "mitten"),
+        (5, ""), (6, "a"), (7, "ab"), (8, "abc"), (9, None),
+        (10, "café"), (11, "cafe"), (12, "caffé"),
+        (13, "kitten"),  # exact duplicate of 1
+        (14, "abcdefghij"), (15, "abcdefgh"),  # length gap exactly d
+        (16, "xyzxyzxyzxyz"),
+    ]
+    for d in (1, 2):
+        got = dedup.levenshtein_pairs_blocked(
+            spark.createDataFrame(rows, "id long, t string"),
+            "id", "t", max_dist=d,
+        ).toPandas()
+        got_pairs = {
+            (a, b): e for a, b, e in zip(got["id_a"], got["id_b"], got["edit_dist"])
+        }
+        want = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            e = lev(ta or "", tb or "")
+            if e <= d:
+                want[(ia, ib)] = e
+        missing = set(want) - set(got_pairs)
+        extra = set(got_pairs) - set(want)
+        assert got_pairs == want, f"d={d}: missing={missing} extra={extra}"
+
+
 # ------------------------------------------------------------- text analysis
 def test_quality_and_language(spark):
     rows = [
