@@ -349,14 +349,19 @@ def cooccurrence_lift_items(
     items: DataFrame,
     doc_col: str,
     item_col: str,
-    n_docs: int,
+    n_docs: int | None,
     min_pair_count: int = 1,
     cache_handle: list | None = None,
 ) -> DataFrame:
     """The item-level core of :func:`cooccurrence_lift`: ``items`` is any
     (doc, item) membership frame — tokens in documents, ENTITIES in
     conversations (KGPipeline.entity_cooccurrence), products in baskets.
-    ``n_docs`` is the caller's universe size (P(a) = df_a / n_docs).
+    ``n_docs`` is the caller's universe size (P(a) = df_a / n_docs);
+    pass ``None`` to use the number of docs WITH ≥1 item, counted over
+    the persisted (doc, item) cache — the count action populates the
+    cache, so an expensive upstream plan (e.g. the extraction UDF)
+    executes exactly once (ADVICE r4). Callers whose universe includes
+    item-less docs must count and pass n_docs themselves.
     Rows need not be distinct; multiplicity within a doc collapses."""
     dt = items.select(
         F.col(doc_col).alias("__doc"), F.col(item_col).alias("__tok")
@@ -364,6 +369,8 @@ def cooccurrence_lift_items(
     dt = dt.persist()
     if cache_handle is not None:
         cache_handle.append(dt)
+    if n_docs is None:
+        n_docs = dt.select("__doc").distinct().count()
     tok_df = dt.groupBy(F.col("__tok")).agg(F.count(F.lit(1)).alias("__df"))
     a = dt.select(F.col("__doc"), F.col("__tok").alias("token_a"))
     b = dt.select(F.col("__doc"), F.col("__tok").alias("token_b"))

@@ -19,6 +19,8 @@ Plan-shape invariants (the 100-TB contract):
 
 from __future__ import annotations
 
+import logging
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -34,6 +36,8 @@ from cdrc_semantic_search_spark.operators.linking import (
     link_surfaces,
 )
 from cdrc_semantic_search_spark.sources.catalog import ParquetTableCatalog
+
+log = logging.getLogger(__name__)
 
 
 class KGPipeline:
@@ -236,7 +240,9 @@ class KGPipeline:
 
     @staticmethod
     def entity_cooccurrence(
-        mentions: DataFrame, min_pair_count: int = 2
+        mentions: DataFrame,
+        min_pair_count: int = 2,
+        cache_handle: list | None = None,
     ) -> DataFrame:
         """Candidate ASSOCIATION edges from co-mention statistics:
         entities mentioned in the same conversation more often than
@@ -255,14 +261,21 @@ class KGPipeline:
             cooccurrence_lift_items,
         )
 
+        # n_docs=None: the conversation count is derived from the
+        # persisted (conv, entity) distinct cache inside
+        # cooccurrence_lift_items, so the extraction/linking UDF upstream
+        # of `mentions` executes ONCE (the count action populates the
+        # cache the lift plan then reads). Every linked row has an
+        # entity, so "docs with ≥1 item" IS the linked-conversation
+        # universe — the same count the old eager pass computed.
         linked = mentions.filter(F.col("entity_id").isNotNull())
-        n_convs = linked.select("conv_id").distinct().count()
         return cooccurrence_lift_items(
             linked,
             "conv_id",
             "entity_id",
-            n_convs,
+            None,
             min_pair_count=min_pair_count,
+            cache_handle=cache_handle,
         )
 
     @staticmethod
@@ -297,7 +310,8 @@ class KGPipeline:
         ps = self.settings.pipeline
         with_vec = distinct.withColumn("vec", encode(F.col("surface")))
         clusters = canonicalize_embedded(
-            with_vec, "surface", "vec", dim=enc.embed_dim, threshold=0.85,
+            with_vec, "surface", "vec", dim=enc.embed_dim,
+            threshold=self.CANON_THRESHOLD,
             seed=enc.seed, n_planes=ps.canon_n_planes, n_bands=ps.canon_n_bands,
         ).withColumnRenamed("id", "surface").withColumnRenamed(
             "canonical_id", "canonical_surface"
@@ -600,6 +614,9 @@ class KGPipeline:
 
     DELTA_TABLES = ("edge_deltas", "node_deltas", "surface_deltas")
     BASE_TABLES = ("kg_edges", "kg_nodes", "surface_clusters")
+    #: cosine threshold for surface canonicalization — part of the
+    #: clustering fingerprint, so full and incremental paths must share it
+    CANON_THRESHOLD = 0.85
 
     @staticmethod
     def _gen_marker_path(catalog: ParquetTableCatalog) -> str:
@@ -612,6 +629,29 @@ class KGPipeline:
         import os
 
         return os.path.join(catalog.root, "_compaction.json")
+
+    @staticmethod
+    def _canon_params_path(catalog: ParquetTableCatalog) -> str:
+        import os
+
+        return os.path.join(catalog.root, "_canon_params.json")
+
+    def _canon_fingerprint(self) -> dict:
+        """The parameters surface clustering is a deterministic function
+        of. The incremental patch path (``_cluster_surfaces_incremental``)
+        is exact ONLY when the base generation was clustered with the
+        same values — persisted alongside the base at compaction and
+        checked before going incremental (ADVICE r4)."""
+        enc = self.settings.encoder
+        ps = self.settings.pipeline
+        return {
+            "embed_dim": enc.embed_dim,
+            "seed": enc.seed,
+            "ngram": enc.ngram,
+            "threshold": self.CANON_THRESHOLD,
+            "n_planes": ps.canon_n_planes,
+            "n_bands": ps.canon_n_bands,
+        }
 
     def compact_graph(self, catalog: ParquetTableCatalog) -> dict[str, int]:
         """Generational compaction: fold the current delta generation
@@ -657,7 +697,14 @@ class KGPipeline:
             df.write.mode("overwrite").parquet(catalog.table_path(name) + ".staging")
         tmp = record_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"retire": folded}, f)
+            # the fingerprint travels IN the commit record: whoever rolls
+            # this compaction forward (possibly a different process with
+            # different settings) must stamp the base with the parameters
+            # that actually produced the staged frames
+            json.dump(
+                {"retire": folded, "canon_params": self._canon_fingerprint()},
+                f,
+            )
         os.replace(tmp, record_path)  # the compaction commit point
         self._finish_compaction(catalog, record_path)
         return {
@@ -677,7 +724,8 @@ class KGPipeline:
         import shutil
 
         with open(record_path) as f:
-            folded = json.load(f)["retire"]
+            record = json.load(f)
+        folded = record["retire"]
         for name in cls.BASE_TABLES:
             staging = catalog.table_path(name) + ".staging"
             if os.path.isdir(staging):
@@ -686,6 +734,12 @@ class KGPipeline:
                 os.rename(staging, final)
         for t, parts in folded.items():
             catalog.retire_partitions(t, parts)
+        params = record.get("canon_params")
+        if params is not None:
+            ptmp = cls._canon_params_path(catalog) + ".tmp"
+            with open(ptmp, "w") as f:
+                json.dump(params, f)
+            os.replace(ptmp, cls._canon_params_path(catalog))
         gen_path = cls._gen_marker_path(catalog)
         gen = 0
         if os.path.exists(gen_path):
@@ -746,6 +800,27 @@ class KGPipeline:
         )
         if base is None:
             return self._cluster_surfaces(distinct)
+        # incremental ≡ full rebuild ONLY under the base generation's
+        # clustering parameters; on mismatch (or a legacy base with no
+        # stamp) fall back to the full path — always exact, since
+        # `distinct` already unions the base's surfaces
+        import json
+        import os
+
+        stored = None
+        params_path = self._canon_params_path(catalog)
+        if os.path.exists(params_path):
+            with open(params_path) as f:
+                stored = json.load(f)
+        if stored != self._canon_fingerprint():
+            log.warning(
+                "surface_clusters base at %s was clustered with %s but "
+                "current settings are %s — falling back to a full "
+                "re-cluster of the union (exact, but not delta-"
+                "proportional)", catalog.root, stored,
+                self._canon_fingerprint(),
+            )
+            return self._cluster_surfaces(distinct)
         return self._cluster_surfaces_incremental(base, distinct)
 
     def _cluster_surfaces_incremental(
@@ -803,7 +878,7 @@ class KGPipeline:
             "surface",
             "vec",
             dim=enc.embed_dim,
-            threshold=0.85,
+            threshold=self.CANON_THRESHOLD,
             new_col="__is_new",
             seed=enc.seed,
             n_planes=ps.canon_n_planes,

@@ -130,7 +130,15 @@ class ParquetTableCatalog:
                 with open(marker) as f:
                     rec = json.load(f)
                 rec["retired_at"] = retired_at
-                dst = os.path.join(self._retired_dir(name), f"{p}.json")
+                # filename carries the record's commit stamp (same scheme
+                # as _history_dir): a retire → re-commit → retire sequence
+                # on the same partition name must keep EVERY retirement
+                # generation, or snapshot_partitions silently serves a
+                # snapshot missing a partition that was visible at as_of
+                dst = os.path.join(
+                    self._retired_dir(name),
+                    f"{p}.{rec['committed_at']:.6f}.json",
+                )
                 with open(dst + ".tmp", "w") as f:
                     json.dump(rec, f)
                 os.replace(dst + ".tmp", dst)
@@ -140,10 +148,11 @@ class ParquetTableCatalog:
             shutil.rmtree(self._partition_path(name, p), ignore_errors=True)
 
     def retired_partitions(self, name: str) -> set[str]:
-        d = self._retired_dir(name)
-        if not os.path.isdir(d):
-            return set()
-        return {f[:-5] for f in os.listdir(d) if f.endswith(".json")}
+        """Partition names with ≥1 retirement record. Read from record
+        CONTENTS, not filenames — stamped (``p.<ts>.json``) and legacy
+        (``p.json``) markers coexist and dots in partition names would
+        make filename parsing ambiguous."""
+        return {rec.partition for rec, _ in self._retired_records(name)}
 
     def overwrite_partition(
         self,

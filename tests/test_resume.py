@@ -267,3 +267,58 @@ def test_time_travel_read_as_of(spark, tmp_path):
     # post-compaction snapshot: p0-rewritten (3) + p2 (5), fully live
     assert cat.snapshot_partitions("t", _time.time()) == {"p0", "p2"}
     assert cat.read_as_of(spark, "t", _time.time()).count() == 8
+
+
+def test_retirement_generations_all_survive(spark, tmp_path):
+    """Retired-record filenames are stamped with the record's commit time,
+    so a retire → re-commit → retire sequence on the SAME partition name
+    keeps every retirement generation (ADVICE r4): the earlier record is
+    not overwritten, and every snapshot that contained either generation
+    raises instead of silently serving a partial table.
+    overwrite_partition refuses re-commit of retired names, so the
+    second generation is planted the way an external writer would — a
+    marker file in the ledger dir."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+
+    from cdrc_semantic_search_spark.sources.catalog import (
+        SnapshotUnavailableError,
+    )
+
+    cat = ParquetTableCatalog(str(tmp_path / "gen"))
+    cat.overwrite_partition(spark.range(5).selectExpr("id"), "t", "p0")
+    t_gen1 = _time.time()
+    _time.sleep(0.01)
+    cat.retire_partitions("t", ["p0"])
+
+    # external writer re-commits the same partition name
+    _time.sleep(0.01)
+    path = cat._partition_path("t", "p0")
+    spark.range(7).selectExpr("id").write.mode("overwrite").parquet(path)
+    marker = cat._marker_path("t", "p0")
+    _os.makedirs(_os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
+        _json.dump(
+            {
+                "table": "t", "partition": "p0", "source_snapshot": "ext",
+                "row_count": 7, "metrics": {}, "committed_at": _time.time(),
+                "status": "committed",
+            },
+            f,
+        )
+    t_gen2 = _time.time()
+    _time.sleep(0.01)
+    cat.retire_partitions("t", ["p0"])
+
+    # BOTH retirement generations survive as distinct records
+    recs = [r for r, _ in cat._retired_records("t") if r.partition == "p0"]
+    assert len(recs) == 2, "second retirement must not overwrite the first"
+    assert cat.retired_partitions("t") == {"p0"}
+    # both snapshots that contained a generation raise — neither is
+    # silently served without its partition
+    for ts in (t_gen1, t_gen2):
+        with _pytest.raises(SnapshotUnavailableError, match="p0 .retired"):
+            cat.snapshot_partitions("t", ts)

@@ -146,6 +146,62 @@ def test_streamed_generational_compaction(spark, fixture, spark_fixture, tmp_pat
     assert clusters == want_clusters
 
 
+def test_compaction_canon_param_mismatch_falls_back_to_full(
+    spark, fixture, spark_fixture, tmp_path
+):
+    """The incremental surface-clustering patch is exact only under the
+    base generation's clustering parameters (ADVICE r4): compaction
+    stamps a fingerprint next to the base, and a later reader with
+    DIFFERENT canon settings falls back to the full re-cluster — whose
+    output equals a from-scratch clustering under the new settings —
+    instead of silently diverging."""
+    import dataclasses
+    import json
+    import os
+
+    tdf, _ = spark_fixture
+    pipe = KGPipeline(spark, fixture.entities, Settings())
+    cat = ParquetTableCatalog(str(tmp_path / "fp_cat"))
+    src = str(tmp_path / "fp_src")
+    ckpt = str(tmp_path / "fp_ckpt")
+    tdf.repartition(4).write.mode("append").parquet(src)
+    incremental.stream_triples(spark, pipe, src, cat, ckpt, with_graph=True)
+    pipe.compact_graph(cat)
+
+    # the fingerprint landed and matches the compactor's settings
+    params_path = KGPipeline._canon_params_path(cat)
+    assert os.path.exists(params_path)
+    with open(params_path) as f:
+        assert json.load(f) == pipe._canon_fingerprint()
+
+    # a reader with different banding must NOT take the incremental path
+    s2 = Settings()
+    s2 = dataclasses.replace(
+        s2, pipeline=dataclasses.replace(s2.pipeline, canon_n_bands=8)
+    )
+    pipe2 = KGPipeline(spark, fixture.entities, s2)
+    assert pipe2._canon_fingerprint() != pipe._canon_fingerprint()
+    got = {
+        r.surface: (r.canonical_surface, r.entity_id)
+        for r in pipe2.compacted_surface_clusters(cat).collect()
+    }
+    want = {
+        r.surface: (r.canonical_surface, r.entity_id)
+        for r in pipe2.surface_clusters(pipe2.mentions(tdf)).collect()
+    }
+    assert got == want
+
+    # matching settings still take the incremental path unperturbed
+    same = {
+        r.surface: (r.canonical_surface, r.entity_id)
+        for r in pipe.compacted_surface_clusters(cat).collect()
+    }
+    assert same == {
+        r.surface: (r.canonical_surface, r.entity_id)
+        for r in pipe.surface_clusters(pipe.mentions(tdf)).collect()
+    }
+
+
 def test_stream_stream_join_bounded_state(spark, spark_fixture, transcript_dir, tmp_path):
     """Turns join their conversation's registration event within the lag
     bound; a registration far in the past joins nothing (the event-time
