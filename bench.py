@@ -72,16 +72,28 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         _ = n
 
-    # second, WARM pass: same queries with planning/scan caches hot. Cold
+    # WARM passes: same queries with planning/scan caches hot. Cold
     # numbers overstate steady-state cost ~3× for the planning-bound
     # entries (ta_language_id warm is ~0.34 s but bills ~1.2 s cold);
     # `value` stays the cold total so round-over-round comparisons hold.
-    timings_warm: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings_warm[name] = round(time.time() - t0, 3)
+    # MEDIAN of 3 full passes per query: a single warm pass carries no
+    # error bars, so ±25% host noise reads as a regression (round-4
+    # verdict); the full suite is re-run 3× (vs 3× back-to-back per
+    # query) so a transient host stall degrades one PASS, not every
+    # sample of one query.
+    warm_passes: list[dict[str, float]] = []
+    for _ in range(3):
+        pass_t: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = REGISTRY[name].fn
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            pass_t[name] = time.time() - t0
+        warm_passes.append(pass_t)
+    timings_warm = {
+        name: round(sorted(p[name] for p in warm_passes)[1], 3)
+        for name in HEADLINE
+    }
 
     # KG pipeline throughput: fixture scaled with SF (sf0.1 → ~30k turns)
     n_conv = max(200, int(2000 * (sf / 0.1)))
@@ -94,9 +106,12 @@ def main() -> None:
     n_triples = pipe.triples(tdf).count()
     kg_sec = time.time() - t0
     timings["kg_pipeline"] = round(kg_sec, 3)
-    t0 = time.time()
-    pipe.triples(tdf).count()
-    timings_warm["kg_pipeline"] = round(time.time() - t0, 3)
+    kg_warm = []
+    for _ in range(3):
+        t0 = time.time()
+        pipe.triples(tdf).count()
+        kg_warm.append(time.time() - t0)
+    timings_warm["kg_pipeline"] = round(sorted(kg_warm)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(

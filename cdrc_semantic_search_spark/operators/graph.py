@@ -231,6 +231,18 @@ def bfs_distances(
     ``sources`` is a one-column DataFrame of start vertex ids named
     ``id``.  Cross-checked by a DuckDB recursive-CTE oracle
     (graph_bfs_distances query).
+
+    DEPTH COST (shared by every peel/frontier operator here — see also
+    :func:`topo_layers`, :func:`strongly_connected_components`): the
+    loop is depth-SEQUENTIAL and re-materializes the accumulated visited
+    set each round via localCheckpoint, so total materialized bytes are
+    O(depth · |reached vertices|) and wall time is rounds × (join +
+    barrier). Fine for the small-world graphs KG/entity work produces
+    (diameter ≲ 20); a 10⁴-deep path graph would crawl and blow
+    ``max_depth`` long before. For deep chains use a pointer-doubling
+    formulation (connected_components' contraction for reachability,
+    :func:`tree_depth_doubling` for single-parent depth/layering) —
+    O(log depth) rounds at O(|V|·log depth) total join work.
     """
     if max_depth < 0:
         raise ValueError("max_depth must be >= 0")
@@ -776,6 +788,17 @@ def strongly_connected_components(
     scale with log(diameter) × SCC-condensation nesting depth, not
     graph size.
 
+    DEPTH COST: the TRIM loop inside each outer round is a sequential
+    peel — every trim round re-materializes the remaining edge set, so a
+    trim that peels a depth-D acyclic chain one layer at a time
+    materializes O(D · |E|) bytes total (same bound as
+    :func:`topo_layers`; see :func:`bfs_distances` for the family-wide
+    note). The floods themselves are pointer-jumped (O(log diameter)
+    rounds) and are NOT depth-bound. Deep acyclic provenance chains are
+    better handled by running :func:`tree_depth_doubling` /
+    connected-components reachability first and reserving SCC for the
+    (small) cyclic residue.
+
     Exact oracle: DuckDB mutual-reachability classes (graph_scc).
     """
     raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -884,6 +907,16 @@ def topo_layers(
     = longest-path depth — inherently depth-sequential, but each round
     is two joins with no aggregation or flood, and real derivation
     graphs are shallow (depth ≪ size). Self-loops count as cycles.
+
+    DEPTH COST: every peel round localCheckpoints the full REMAINING
+    edge set, so total materialized bytes are O(depth · |E|) and wall
+    time is depth × (two joins + barrier) — the family-wide bound
+    documented on :func:`bfs_distances`. ``max_layers`` is the guard:
+    size it to the expected derivation depth (default 200 ≫ any sane
+    pipeline DAG) and treat the raise as a data-quality signal, not a
+    knob to crank. For genuinely deep chain-shaped provenance (depth
+    10³+) with single-parent structure, :func:`tree_depth_doubling`
+    computes the same depth in O(log depth) rounds.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
     cur_v = (
@@ -926,3 +959,108 @@ def topo_layers(
         stats.update({"depth": n_layers})
     out = cyclic if settled is None else settled.unionByName(cyclic)
     return out
+
+
+def tree_depth_doubling(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_doublings: int = 40,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(child, parent) pointer edges of a FOREST → (id, depth, root):
+    depth = hops to the chain's root, root = the terminal ancestor — the
+    deep-provenance-chain answer :func:`topo_layers` computes by
+    sequential peel, produced in O(log depth) rounds by pointer doubling
+    (list ranking): each round every vertex's pointer jumps to its
+    pointer's pointer and accumulates that hop's distance, so the
+    longest pending chain HALVES per round.
+
+    Scope is the single-parent case (each child has exactly ONE parent —
+    `derived_from` lineage, file/dir trees, chat reply chains), where
+    depth-by-pointer-chasing is exact; a multi-parent child raises (its
+    longest-path depth needs :func:`topo_layers`). A cycle (a "root"
+    that is its own ancestor) never drains and raises at
+    ``max_doublings`` — with doubling, 40 rounds covers depth 2⁴⁰, so
+    the raise means cyclic data, not insufficient rounds.
+
+    100-TB shape: per round one self-equi-join of the state on the
+    pointer key + one localCheckpoint — O(|V|) rows exchanged per round,
+    O(|V| · log depth) total, vs the peel family's O(depth · |E|)
+    (docstring on :func:`bfs_distances`). Settled vertices (pointer
+    already at a root) keep riding the join as probe rows; at 10⁹+
+    vertices split them out per round to shrink the build side.
+
+    Self-pointer rows (r → r) are accepted as explicit root
+    declarations. NOTE: this operator is EAGER — the doubling loop (and
+    the single-parent validation) runs Spark jobs at call time and the
+    returned frame is materialized state, same contract as
+    connected_components.
+
+    Exact oracle: DuckDB recursive CTE walking parent pointers
+    (graph_tree_depth query).
+    """
+    raw = edges.select(
+        F.col(child).alias("id"), F.col(parent).alias("ptr")
+    ).distinct()
+    # self-pointer rows (r → r) are accepted as explicit root
+    # declarations (a common way to materialize roots in lineage tables)
+    ptr = raw.filter(F.col("id") != F.col("ptr"))
+    verts = (
+        raw.select("id")
+        .unionByName(raw.select(F.col("ptr").alias("id")))
+        .distinct()
+    )
+    # single-parent validation folded into the one aggregation that also
+    # builds the initial state — no separate validation pass
+    state = ptr.groupBy("id").agg(
+        F.count(F.lit(1)).alias("__np"), F.min("ptr").alias("ptr")
+    )
+    bad = state.filter(F.col("__np") > 1)
+    if not bad.isEmpty():
+        some = [r["id"] for r in bad.select("id").limit(5).collect()]
+        raise ValueError(
+            f"tree_depth_doubling requires single-parent structure; "
+            f"multi-parent children exist (e.g. {some}) — use topo_layers "
+            "for longest-path depth over general DAGs"
+        )
+    # roots = vertices with no (non-self) parent pointer: depth 0
+    roots = verts.join(ptr.select("id"), "id", "left_anti").select(
+        "id", F.col("id").alias("ptr"), F.lit(0).cast("long").alias("d")
+    )
+    state = (
+        state.select("id", "ptr", F.lit(1).cast("long").alias("d"))
+        .unionByName(roots)
+        .localCheckpoint()
+    )
+    for rnd in range(max_doublings):
+        hop = state.select(
+            F.col("id").alias("__jid"),
+            F.col("ptr").alias("__jptr"),
+            F.col("d").alias("__jd"),
+        )
+        obs = Observation(f"treedepth-{uuid.uuid4().hex[:8]}")
+        state = (
+            state.join(hop, state["ptr"] == hop["__jid"])
+            .select(
+                "id",
+                F.col("__jptr").alias("ptr"),
+                (F.col("d") + F.col("__jd")).alias("d"),
+                (F.col("__jd") > 0).cast("long").alias("__moved"),
+            )
+            .observe(obs, F.sum("__moved").alias("moved"))
+            .drop("__moved")
+            .localCheckpoint()
+        )
+        if stats is not None:
+            stats["rounds"] = rnd + 1
+        if (obs.get["moved"] or 0) == 0:
+            return state.select(
+                "id", F.col("d").cast("int").alias("depth"),
+                F.col("ptr").alias("root"),
+            )
+    raise RuntimeError(
+        f"tree_depth_doubling did not drain in {max_doublings} doublings "
+        f"(covers depth 2^{max_doublings}) — the pointer graph contains a "
+        "cycle; run strongly_connected_components to locate it"
+    )

@@ -2408,6 +2408,53 @@ def graph_topo_layers(spark, sf_dir):
 
 
 @register(
+    "graph_tree_depth",
+    """
+    WITH ids AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS id
+        FROM orders WHERE o_orderkey < 6000
+    ),
+    e AS (SELECT id AS c, id - 1 AS p FROM ids WHERE id % 1000 <> 0),
+    v AS (SELECT c AS id FROM e UNION SELECT p FROM e)
+    SELECT CAST(v.id AS BIGINT) AS id,
+           CAST(v.id % 1000 AS INT) AS depth,
+           CAST(v.id - v.id % 1000 AS BIGINT) AS root
+    FROM v
+    """,
+)
+def graph_tree_depth(spark, sf_dir):
+    """Pointer-doubling depth/root over ~1000-deep provenance chains
+    (operators/graph.tree_depth_doubling): dense ids 0..N-1 chained
+    parent = id−1 with a chain break every 1000 — the DEEP case where
+    the Kahn-peel family's O(depth·|E|) materialization bound bites and
+    doubling finishes in ⌈log₂ depth⌉ ≈ 10 rounds instead of ~1000. The
+    oracle exploits that depth/root are closed-form for this fixture
+    (depth = id mod 1000, root = id − depth) — the closed form IS the
+    chain semantics, so it pins the full (id, depth, root) triple; the
+    randomized-forest and error branches are pytest-pinned. The global
+    row_number is fixture construction, not operator shape."""
+    from cdrc_semantic_search_spark.operators.graph import tree_depth_doubling
+
+    ids = (
+        load(spark, sf_dir, "orders")
+        .filter("o_orderkey < 6000")
+        .select(
+            (
+                F.row_number().over(Window.orderBy("o_orderkey")) - 1
+            ).cast("bigint").alias("id")
+        )
+    )
+    edges = ids.filter(F.col("id") % 1000 != 0).select(
+        F.col("id").alias("child"), (F.col("id") - 1).alias("parent")
+    )
+    return tree_depth_doubling(edges).select(
+        F.col("id").cast("bigint").alias("id"),
+        "depth",
+        F.col("root").cast("bigint").alias("root"),
+    )
+
+
+@register(
     "graph_bfs_distances",
     """
     WITH RECURSIVE e AS (

@@ -423,6 +423,57 @@ def test_winnowing_overlap(spark):
     assert len(s1 & s2) / len(s1 | s2) > 0.5
 
 
+def test_tree_depth_doubling_random_forest_and_errors(spark):
+    """tree_depth_doubling ≡ pointer-chased depths on a randomized
+    forest; explicit (r, r) root rows tolerated; multi-parent input and
+    cycles raise (the two error branches the closed-form oracle can't
+    reach)."""
+    from cdrc_semantic_search_spark.operators.graph import tree_depth_doubling
+
+    rng = np.random.default_rng(7)
+    parent = {}
+    for v in range(1, 200):
+        parent[v] = int(rng.integers(0, v))  # forest over 0..199, root 0
+    # second tree rooted at 500 with an explicit self-pointer row
+    for v in range(501, 560):
+        parent[v] = int(rng.integers(500, v))
+    rows = [(c, p) for c, p in parent.items()] + [(500, 500)]
+    stats: dict = {}
+    got = {
+        r.id: (r.depth, r.root)
+        for r in tree_depth_doubling(
+            spark.createDataFrame(rows, "child long, parent long"),
+            stats=stats,
+        ).collect()
+    }
+
+    def chase(v):
+        d = 0
+        while v in parent:
+            v = parent[v]
+            d += 1
+        return d, v
+
+    want = {v: chase(v) for v in set(parent) | set(parent.values()) | {500}}
+    assert got == want
+    max_depth = max(d for d, _ in want.values())
+    assert stats["rounds"] <= int(np.ceil(np.log2(max(max_depth, 2)))) + 1
+
+    with pytest.raises(ValueError, match="multi-parent"):
+        tree_depth_doubling(
+            spark.createDataFrame(
+                [(1, 2), (1, 3)], "child long, parent long"
+            )
+        )
+    with pytest.raises(RuntimeError, match="cycle"):
+        tree_depth_doubling(
+            spark.createDataFrame(
+                [(1, 2), (2, 3), (3, 1)], "child long, parent long"
+            ),
+            max_doublings=8,
+        )
+
+
 # ------------------------------------------------------------ canonicalize
 def test_pagerank_fixed_symmetry_and_sink_gain(spark):
     """2-cycle A↔B: equal ranks by symmetry. A→C sink: C gains rank from A
