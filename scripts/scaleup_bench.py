@@ -1,0 +1,282 @@
+"""Measured scale-up evidence for the query harness (round-4 verdict #3).
+
+Generates a deterministic ~KX (default 10x) replica of the driver's sf0.1
+table set — same schemas, same per-copy distributions — and runs the
+bench.py HEADLINE suite at both scales on the same local[32] session,
+reporting the warm-median wall-time ratio per query. Near-linear ratios
+(<= ~K with fixed overheads amortized) turn the "plans survive 100x"
+argument from plan-reading into measurement; a superlinear query is a
+found bug.
+
+Replication scheme (copy i in 0..K-1; copy 0 is the original bytes):
+
+* region / nation — fixed-size dimensions, copied once (TPC-H semantics:
+  dims do not scale with SF).
+* customer / supplier / part / orders / lineitem / events — every key
+  column is offset by ``i * stride`` where stride = max(key)+1 from the
+  source, so FK joins stay consistent *within* a copy and copies are
+  disjoint; non-key attributes are byte-identical, so per-copy value
+  distributions (dates, flags, prices, segments) are exactly preserved.
+* documents — doc_id offset; every whitespace token gets a per-copy
+  suffix (``spark`` -> ``sparkx3``), so within-copy shingle/Jaccard/
+  MinHash/exact-dup structure is EXACTLY preserved (dedup pair counts
+  scale exactly Kx) while cross-copy similarity is zero — the "K
+  disjoint domains" shape. n_chars is recomputed from the new text.
+* embeddings — vec_id offset; each copy's vectors are multiplied by a
+  deterministic per-copy ±1 sign vector (copy 0 identity), preserving
+  norms and within-copy cosine structure while decorrelating copies
+  (no artificial exact-duplicate vectors that would distort top-k ties).
+
+Queries whose input is a fixed-size slice regardless of SF (e.g.
+cc_components filters l_orderkey < 300 — only copy 0 survives the
+pushed-down filter) are expected near ratio 1 and annotated as such.
+
+Usage: python scripts/scaleup_bench.py [K] [--regen]
+Writes the table set under .scaleup/sf1.0/ (gitignored) and splices the
+"Scale-up" section into BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_sections import replace_section  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# key columns to offset per table: {table: {column: stride_key}} where
+# stride_key names the table whose max(key)+1 defines the offset unit,
+# so FK columns share the stride of the PK they reference.
+KEYED = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "events_user"},
+}
+FIXED = ["region", "nation"]
+
+# queries whose input is a fixed-size slice independent of SF (pushed-down
+# constant-key filters — doc_id < 200 etc.); ratio ~1 expected (scan growth
+# only), excluded from the linearity gate
+FIXED_SLICE = {
+    "cc_components",       # l_orderkey < 300
+    "dedup_ngram_jaccard",  # doc_id < 200
+    "ta_quality_features",  # doc_id < 100
+    "v1_chunk_words",       # doc_id < 20
+    "w1_topk_per_group",    # o_custkey < 100
+    "v4_hybrid_blend",      # doc_id < 100
+}
+
+
+def _strides() -> dict[str, int]:
+    import duckdb
+
+    con = duckdb.connect()
+    s = {}
+    for t, col in [
+        ("customer", "c_custkey"),
+        ("supplier", "s_suppkey"),
+        ("part", "p_partkey"),
+        ("orders", "o_orderkey"),
+        ("events", "event_id"),
+    ]:
+        s[t] = con.sql(f"select max({col})+1 from '{SRC}/{t}.parquet'").fetchone()[0]
+    s["events_user"] = con.sql(
+        f"select max(user_id)+1 from '{SRC}/{t}.parquet'".replace(t, "events")
+    ).fetchone()[0]
+    con.close()
+    return s
+
+
+def _write(path: str, table: pa.Table) -> None:
+    # modest row groups so Spark gets splittable input at Kx size
+    pq.write_table(table, path, row_group_size=131072, compression="snappy")
+
+
+def generate(out_dir: str, k: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    strides = _strides()
+
+    for t in FIXED:
+        _write(f"{out_dir}/{t}.parquet", pq.read_table(f"{SRC}/{t}.parquet"))
+
+    for t, keycols in KEYED.items():
+        src = pq.read_table(f"{SRC}/{t}.parquet")
+        copies = []
+        for i in range(k):
+            cols = {}
+            for name in src.column_names:
+                col = src.column(name)
+                if name in keycols and i > 0:
+                    off = i * int(strides[keycols[name]])
+                    arr = pa.compute.add(col, pa.scalar(off, type=col.type))
+                    cols[name] = arr.cast(col.type)
+                else:
+                    cols[name] = col
+            copies.append(pa.table(cols))
+        _write(f"{out_dir}/{t}.parquet", pa.concat_tables(copies))
+
+    # documents: per-copy token suffix preserves within-copy dedup
+    # structure exactly; copies share zero shingles.
+    src = pq.read_table(f"{SRC}/documents.parquet")
+    doc_stride = int(pa.compute.max(src.column("doc_id")).as_py()) + 1
+    texts = src.column("text").to_pylist()
+    copies = []
+    for i in range(k):
+        if i == 0:
+            new_texts = texts
+        else:
+            suf = f"x{i}"
+            new_texts = [
+                None if t is None else " ".join(w + suf for w in t.split())
+                for t in texts
+            ]
+        copies.append(
+            pa.table(
+                {
+                    "doc_id": pa.compute.add(
+                        src.column("doc_id"), pa.scalar(i * doc_stride, type=pa.int64())
+                    ),
+                    "text": pa.array(new_texts, type=pa.string()),
+                    "lang": src.column("lang"),
+                    "source": src.column("source"),
+                    "n_chars": pa.array(
+                        [None if t is None else len(t) for t in new_texts],
+                        type=pa.int64(),
+                    ),
+                }
+            )
+        )
+    _write(f"{out_dir}/documents.parquet", pa.concat_tables(copies))
+
+    # embeddings: per-copy deterministic ±1 sign flip (copy 0 identity)
+    src = pq.read_table(f"{SRC}/embeddings.parquet")
+    vec_stride = int(pa.compute.max(src.column("vec_id")).as_py()) + 1
+    embs = src.column("embedding").to_pylist()
+    dim = len(next(e for e in embs if e is not None))
+    mat = np.array(
+        [e if e is not None else [np.nan] * dim for e in embs], dtype=np.float32
+    )
+    copies = []
+    for i in range(k):
+        if i == 0:
+            flipped = embs
+        else:
+            signs = (
+                np.random.default_rng(1000 + i).integers(0, 2, size=dim) * 2 - 1
+            ).astype(np.float32)
+            m = mat * signs
+            flipped = [
+                None if e is None else row.tolist() for e, row in zip(embs, m)
+            ]
+        copies.append(
+            pa.table(
+                {
+                    "vec_id": pa.compute.add(
+                        src.column("vec_id"), pa.scalar(i * vec_stride, type=pa.int64())
+                    ),
+                    "embedding": pa.array(flipped, type=pa.list_(pa.float32())),
+                    "label": src.column("label"),
+                }
+            )
+        )
+    _write(f"{out_dir}/embeddings.parquet", pa.concat_tables(copies))
+
+
+def run_suite(spark, sf_dir: str, headline: list[str], registry) -> dict[str, float]:
+    """Cold discard pass + 3 interleaved warm passes -> per-query median."""
+    for name in headline:
+        registry[name].fn(spark, sf_dir).count()
+    passes = []
+    for _ in range(3):
+        p = {}
+        for name in headline:
+            t0 = time.time()
+            registry[name].fn(spark, sf_dir).count()
+            p[name] = time.time() - t0
+        passes.append(p)
+    return {n: sorted(p[n] for p in passes)[1] for n in headline}
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
+    out_dir = os.path.join(REPO_ROOT, ".scaleup", "sf1.0")
+    if "--regen" in sys.argv or not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        t0 = time.time()
+        generate(out_dir, k)
+        print(f"generated {k}x set in {time.time() - t0:.1f}s -> {out_dir}")
+
+    from bench import HEADLINE  # noqa: E402
+
+    from cdrc_semantic_search_spark.plans.catalog_queries import REGISTRY
+    from cdrc_semantic_search_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="cdrc-scaleup-bench", parallelism=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for t in ("lineitem", "embeddings", "documents"):
+        spark.read.parquet(f"{out_dir}/{t}.parquet").count()
+
+    base = run_suite(spark, SRC, HEADLINE, REGISTRY)
+    big = run_suite(spark, out_dir, HEADLINE, REGISTRY)
+
+    rows, worst = [], 0.0
+    for name in HEADLINE:
+        r = big[name] / base[name] if base[name] > 0 else float("inf")
+        note = "fixed-size slice (pushdown)" if name in FIXED_SLICE else ""
+        if name not in FIXED_SLICE:
+            worst = max(worst, r)
+        rows.append((name, base[name], big[name], r, note))
+
+    lines = [
+        "## Scale-up: sf0.1 -> 10x (measured, not plan-read)",
+        "",
+        f"Deterministic {k}x replica of the driver's sf0.1 set (key-offset "
+        "copies; per-copy token-suffixed documents so dedup pair counts "
+        f"scale exactly {k}x; sign-decorrelated embeddings — see "
+        "scripts/scaleup_bench.py). Same local[32] session, warm medians "
+        "of 3 interleaved passes at each scale. `ratio` = 10x-warm / "
+        f"sf0.1-warm; linear scaling at fixed cores => ratio <= {k}; "
+        "fixed per-query overheads (planning, small dims) pull it below.",
+        "",
+        "| query | sf0.1 warm s | 10x warm s | ratio | note |",
+        "|---|---|---|---|---|",
+    ]
+    for name, b, g, r, note in rows:
+        lines.append(f"| {name} | {b:.3f} | {g:.3f} | {r:.2f} | {note} |")
+    tot_b = sum(base.values())
+    tot_g = sum(big.values())
+    lines += [
+        f"| **total** | **{tot_b:.3f}** | **{tot_g:.3f}** | "
+        f"**{tot_g / tot_b:.2f}** | |",
+        "",
+        f"Worst scaling-eligible ratio: **{worst:.2f}** (<= {k} = at-or-"
+        "below-linear). cc_components reads a constant-key slice "
+        "(l_orderkey < 300) that partition/row-group pruning keeps "
+        "fixed-size, so its ratio reflects scan growth only.",
+    ]
+    replace_section("## Scale-up", "\n".join(lines) + "\n")
+    print(json.dumps({"worst_ratio": round(worst, 2), "total_ratio": round(tot_g / tot_b, 2)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
