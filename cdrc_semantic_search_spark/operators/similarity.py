@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdrc_semantic_search_spark.functions import vector as V
+from cdrc_semantic_search_spark.functions.names import internal_col
 
 
 def topk_cosine_exact(
@@ -41,20 +42,44 @@ def topk_cosine_exact(
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
 ) -> DataFrame:
-    """Exact brute-force top-k: broadcast(queries) ⨯ corpus → window filter.
+    """Exact brute-force top-k: broadcast(queries) ⨯ corpus → two-stage
+    window top-k (per-scan-partition rank, then global rank per query).
 
     The QUERY side broadcasts (it is the small side by construction); the
     corpus scan stays pruned to (id, vec). Returns
     (q_id, c_id, score, rank) with rank 1..k by (score desc, c_id asc).
     """
-    q = queries.select(F.col(q_id), F.col(q_vec))
-    c = corpus.select(F.col(c_id), F.col(c_vec))
+    # Norms are per-ROW quantities: hoist them out of the cross join so
+    # each is folded once per input row, not once per (q, c) pair —
+    # V.cosine inline would re-run the aggregate() fold for |q|·|c| pairs,
+    # 3× the higher-order-function work (dot + both norms) of this form.
+    # score = dot/(norm_q·norm_c) is the same double-precision expression
+    # tree either way, so oracle value-hashes are unchanged.
+    taken = {q_id, c_id, q_vec, c_vec, "score", "rank"}
+    nq = internal_col(taken, "__qnorm")
+    nc = internal_col(taken | {nq}, "__cnorm")
+    q = queries.select(F.col(q_id), F.col(q_vec)).withColumn(nq, V.norm(F.col(q_vec)))
+    c = corpus.select(F.col(c_id), F.col(c_vec)).withColumn(nc, V.norm(F.col(c_vec)))
     scored = F.broadcast(q).crossJoin(c).select(
-        q_id, c_id, V.cosine(F.col(q_vec), F.col(c_vec)).alias("score")
+        q_id,
+        c_id,
+        (V.dot(F.col(q_vec), F.col(c_vec)) / (F.col(nq) * F.col(nc))).alias("score"),
+    )
+    # Two-stage top-k: a per-scan-partition rank first, so the global
+    # (q_id)-window — whose parallelism is only |queries| — sorts at most
+    # n_partitions·k rows per query instead of the whole corpus.
+    part = internal_col(taken | {nq, nc}, "__part")
+    pw = Window.partitionBy(q_id, part).orderBy(F.desc("score"), F.asc(c_id))
+    prank = internal_col(taken | {nq, nc, part}, "__prank")
+    partial = (
+        scored.withColumn(part, F.spark_partition_id())
+        .withColumn(prank, F.row_number().over(pw))
+        .filter(F.col(prank) <= k)
+        .drop(part, prank)
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

@@ -73,15 +73,15 @@ KEYED = {
 FIXED = ["region", "nation"]
 
 # queries whose input is a fixed-size slice independent of SF (pushed-down
-# constant-key filters — doc_id < 200 etc.); ratio ~1 expected (scan growth
-# only), excluded from the linearity gate
+# constant-key filters); ratio ~1 expected (scan growth only), excluded
+# from the linearity gate. Value = the bounding filter, shown in the table.
 FIXED_SLICE = {
-    "cc_components",       # l_orderkey < 300
-    "dedup_ngram_jaccard",  # doc_id < 200
-    "ta_quality_features",  # doc_id < 100
-    "v1_chunk_words",       # doc_id < 20
-    "w1_topk_per_group",    # o_custkey < 100
-    "v4_hybrid_blend",      # doc_id < 100
+    "cc_components": "l_orderkey < 300",
+    "dedup_ngram_jaccard": "doc_id < 200",
+    "ta_quality_features": "doc_id < 100",
+    "v1_chunk_words": "doc_id < 20",
+    "w1_topk_per_group": "o_custkey < 100",
+    "v4_hybrid_blend": "doc_id < 100",
 }
 
 
@@ -215,6 +215,59 @@ def run_suite(spark, sf_dir: str, headline: list[str], registry) -> dict[str, fl
     return {n: sorted(p[n] for p in passes)[1] for n in headline}
 
 
+def kg_main() -> None:
+    """Flagship-pipeline scale-up: triples() wall at 1x vs 10x transcript
+    volume (same session, warm medians of 3), reported as turns/s at both
+    sizes. Complements scripts/scaling_bench.py (which fixes the input and
+    varies cluster size); this fixes the cluster and varies the input."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+    from cdrc_semantic_search_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="cdrc-kg-scaleup", parallelism=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    for n_conv in (2000, 20000):
+        fx = fixtures.generate(seed=42, n_conversations=n_conv, n_entities=500)
+        tdf, _ = fixtures.to_spark(spark, fx)
+        tdf = tdf.repartition(cpus * 2).localCheckpoint()
+        n_turns = tdf.count()
+        pipe = KGPipeline(spark, fx.entities, Settings())
+        pipe.triples(tdf).count()  # warm
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            pipe.triples(tdf).count()
+            ts.append(time.time() - t0)
+        sec = sorted(ts)[1]
+        rows.append((n_conv, n_turns, sec, n_turns / sec))
+    (c1, t1, s1, r1), (c2, t2, s2, r2) = rows
+    lines = [
+        "## KG pipeline scale-up: 1x -> 10x turns (fixed cluster)",
+        "",
+        "Same local[32] session, transcript fixture at two volumes, warm "
+        "median of 3 `triples()` runs. Complements the N->4N cluster-size "
+        "bench (which fixes the input): here the input grows 10x on fixed "
+        "cores, so constant turns/s = linear scaling.",
+        "",
+        "| n_conversations | turns | wall s | turns/s |",
+        "|---|---|---|---|",
+        f"| {c1:,} | {t1:,} | {s1:.3f} | {r1:,.0f} |",
+        f"| {c2:,} | {t2:,} | {s2:.3f} | {r2:,.0f} |",
+        "",
+        f"Throughput ratio 10x/1x: **{r2 / r1:.2f}** (>1 = the bigger run "
+        "is MORE efficient per turn — fixed per-job costs amortize; "
+        "the wall ratio for 10x turns is "
+        f"**{s2 / s1:.2f}x**).",
+    ]
+    replace_section("## KG pipeline scale-up", "\n".join(lines) + "\n")
+    print(json.dumps({"turns_per_sec_1x": round(r1), "turns_per_sec_10x": round(r2), "wall_ratio": round(s2 / s1, 2)}))
+    spark.stop()
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
     out_dir = os.path.join(REPO_ROOT, ".scaleup", "sf1.0")
@@ -241,7 +294,7 @@ def main() -> None:
     rows, worst = [], 0.0
     for name in HEADLINE:
         r = big[name] / base[name] if base[name] > 0 else float("inf")
-        note = "fixed-size slice (pushdown)" if name in FIXED_SLICE else ""
+        note = f"fixed slice ({FIXED_SLICE[name]})" if name in FIXED_SLICE else ""
         if name not in FIXED_SLICE:
             worst = max(worst, r)
         rows.append((name, base[name], big[name], r, note))
@@ -269,9 +322,11 @@ def main() -> None:
         f"**{tot_g / tot_b:.2f}** | |",
         "",
         f"Worst scaling-eligible ratio: **{worst:.2f}** (<= {k} = at-or-"
-        "below-linear). cc_components reads a constant-key slice "
-        "(l_orderkey < 300) that partition/row-group pruning keeps "
-        "fixed-size, so its ratio reflects scan growth only.",
+        "below-linear; eligible = the full-table queries). The `fixed "
+        "slice` queries read a constant-key slice that parquet row-group "
+        "pruning keeps fixed-size regardless of SF, so their ~1.0 ratios "
+        "measure scan/pruning growth only — annotated, not counted as "
+        "scaling evidence. Nothing superlinear.",
     ]
     replace_section("## Scale-up", "\n".join(lines) + "\n")
     print(json.dumps({"worst_ratio": round(worst, 2), "total_ratio": round(tot_g / tot_b, 2)}))
@@ -279,4 +334,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--kg" in sys.argv:
+        kg_main()
+    else:
+        main()
