@@ -18,20 +18,19 @@ contract (SURVEY §5.5).
 
 from __future__ import annotations
 
-import logging
-import threading
-import uuid
 import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdrc_semantic_search_spark.functions.observe import (
+    drop_observation,
+    log_dropped_on_first_action,
+)
 from cdrc_semantic_search_spark.functions.text import word_shingles
-
-log = logging.getLogger(__name__)
 
 #: Default candidate-generation guard: groups (LSH buckets, shingle
 #: posting lists, blocking keys) larger than this are skipped before any
@@ -39,29 +38,6 @@ log = logging.getLogger(__name__)
 #: ~5·10⁷ — survivable once, fatal when a degenerate key holds millions
 #: of rows. ``None`` is the explicit opt-out for exact small-corpus runs.
 DEFAULT_MAX_BUCKET = 10_000
-
-
-def _log_dropped_on_first_action(obs: Observation, who: str, cap: int, what: str) -> None:
-    """Log an Observation's drop count as soon as the caller's FIRST
-    action executes the observed plan — capping must never be silent,
-    but it must also never add an eager job at DataFrame-construction
-    time (ADVICE r4). ``Observation.get`` blocks until the plan runs, so
-    the wait lives on a daemon thread; if the plan is never executed the
-    thread parks harmlessly until process exit."""
-
-    def run() -> None:
-        try:
-            metrics = obs.get
-        except Exception:  # session torn down before any action
-            return
-        dropped = metrics.get("dropped", 0)
-        if dropped:
-            log.info(
-                "%s: dropped %d %s from candidate generation (cap %d)",
-                who, dropped, what, cap,
-            )
-
-    threading.Thread(target=run, daemon=True, name=f"capdrop-{who}").start()
 
 
 # --------------------------------------------------------------- exact dedup
@@ -154,9 +130,9 @@ def ngram_jaccard_pairs(
         # out of broadcast-exchange subplans — verified) and logged when
         # the caller's first action runs; the agg branch reads the
         # persisted posting cache, so no extra pass over the input
-        obs = Observation(f"ngram-capdrop-{uuid.uuid4().hex[:8]}")
+        obs = drop_observation("ngram_jaccard_pairs")
         hot = hot.observe(obs, F.count(F.lit(1)).alias("dropped"))
-        _log_dropped_on_first_action(
+        log_dropped_on_first_action(
             obs, "ngram_jaccard_pairs", max_shingle_df, "hot shingles"
         )
         shingled = shingled.join(F.broadcast(hot), "shash", "left_anti")
@@ -209,11 +185,11 @@ def _cap_buckets(
     tagged = tagged.withColumn(
         "_grp_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
     )
-    obs = Observation(f"{who}-capdrop-{uuid.uuid4().hex[:8]}")
+    obs = drop_observation(who)
     tagged = tagged.observe(
         obs, F.count_if(F.col("_grp_n") > cap).alias("dropped")
     )
-    _log_dropped_on_first_action(obs, who, cap, "oversized-bucket member rows")
+    log_dropped_on_first_action(obs, who, cap, "oversized-bucket member rows")
     return tagged.filter(F.col("_grp_n") <= cap).drop("_grp_n")
 
 
@@ -467,7 +443,12 @@ def levenshtein_pairs_blocked(
       |l_a − l_b| ≤ d is free.
     * strings of length ≤ d (can only match strings of length ≤ 2d — a
       degenerate, normally-empty set) pair through a separate broadcast
-      nested-loop branch.
+      nested-loop branch. That branch is inherently all-pairs (almost
+      every short-short pair is within d edits), so BOTH its sides are
+      capped as a single degenerate bucket under ``max_bucket_size`` —
+      a corpus of a million empty normalized texts drops the branch
+      (logged) instead of running a 10¹²-row nested loop; ``None``
+      opts out.
 
     Shuffle payload is (key, id, text) where texts are the short strings
     record linkage runs on (names, titles, SKUs — this operator is NOT
@@ -552,13 +533,25 @@ def levenshtein_pairs_blocked(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # strings shorter than the segment count: ≤ d chars, partner ≤ 2d
+    # strings shorter than the segment count: ≤ d chars, partner ≤ 2d.
+    # This branch is a quadratic nested-loop by nature (almost every
+    # short-short pair is within distance d), so the whole short set is
+    # one degenerate "bucket" and gets the same cap as the blocked keys:
+    # a corpus with a million empty/near-empty normalized texts must not
+    # broadcast-join itself. Dropped mass is logged lazily like every
+    # other capped path.
     shorts = base.filter(F.col("l") <= d).select(
-        F.col("id").alias("id_i"), F.col("t").alias("t_i")
+        F.col("id").alias("id_i"), F.col("t").alias("t_i"), F.lit(0).alias("kc")
     )
     near_short = base.filter(F.col("l") <= 2 * d).select(
-        F.col("id").alias("id_p"), F.col("t").alias("t_p")
+        F.col("id").alias("id_p"), F.col("t").alias("t_p"), F.lit(0).alias("kc")
     )
+    shorts = _cap_buckets(
+        shorts, ["kc"], max_bucket_size, "levenshtein_pairs_blocked"
+    ).drop("kc")
+    near_short = _cap_buckets(
+        near_short, ["kc"], max_bucket_size, "levenshtein_pairs_blocked"
+    ).drop("kc")
     short_pairs = (
         F.broadcast(shorts)
         .join(near_short, F.col("id_i") != F.col("id_p"))

@@ -345,15 +345,16 @@ def link_prediction_scores(
         deg.select(F.col("v").alias("c"), F.col("deg").alias("c_deg")), "c"
     )
     if max_center_degree is not None:
-        from cdrc_semantic_search_spark.operators.dedup import (
-            _log_dropped_on_first_action,
+        from cdrc_semantic_search_spark.functions.observe import (
+            drop_observation,
+            log_dropped_on_first_action,
         )
 
-        obs = Observation(f"linkpred-capdrop-{uuid.uuid4().hex[:8]}")
+        obs = drop_observation("link_prediction_scores")
         centers = centers.observe(
             obs, F.count_if(F.col("c_deg") > max_center_degree).alias("dropped")
         )
-        _log_dropped_on_first_action(
+        log_dropped_on_first_action(
             obs, "link_prediction_scores", max_center_degree,
             "hub-center wedge rows",
         )
@@ -1000,36 +1001,48 @@ def tree_depth_doubling(
     Exact oracle: DuckDB recursive CTE walking parent pointers
     (graph_tree_depth query).
     """
+    # checkpoint the distinct edge set once: the validation job and the
+    # initial-state job below both read it, and without the checkpoint
+    # each would re-scan the (possibly huge) input and re-run the
+    # distinct shuffle — the eager-operator contract already bills one
+    # materialization here, so make it the only one
     raw = edges.select(
         F.col(child).alias("id"), F.col(parent).alias("ptr")
-    ).distinct()
-    # self-pointer rows (r → r) are accepted as explicit root
-    # declarations (a common way to materialize roots in lineage tables)
-    ptr = raw.filter(F.col("id") != F.col("ptr"))
+    ).distinct().localCheckpoint()
+    # single-parent validation folded into the one aggregation that also
+    # builds the initial state — no separate aggregation pass. Self-
+    # pointer rows (r → r) are accepted as explicit root declarations (a
+    # common way to materialize roots in lineage tables), but a vertex
+    # declared BOTH a root and a child is contradictory input, not a
+    # root — counting self and non-self pointers separately catches it.
+    state0 = raw.groupBy("id").agg(
+        F.count_if(F.col("ptr") != F.col("id")).alias("__np"),
+        F.max((F.col("ptr") == F.col("id")).cast("int")).alias("__self"),
+        F.min(F.when(F.col("ptr") != F.col("id"), F.col("ptr"))).alias("ptr"),
+    ).localCheckpoint()
+    bad = state0.filter(
+        (F.col("__np") > 1) | ((F.col("__self") == 1) & (F.col("__np") >= 1))
+    )
+    if not bad.isEmpty():
+        some = [r["id"] for r in bad.select("id").limit(5).collect()]
+        raise ValueError(
+            f"tree_depth_doubling requires single-parent structure; "
+            f"multi-parent children, or children also declared roots "
+            f"via (r, r) rows, exist (e.g. {some}) — use topo_layers "
+            "for longest-path depth over general DAGs"
+        )
     verts = (
         raw.select("id")
         .unionByName(raw.select(F.col("ptr").alias("id")))
         .distinct()
     )
-    # single-parent validation folded into the one aggregation that also
-    # builds the initial state — no separate validation pass
-    state = ptr.groupBy("id").agg(
-        F.count(F.lit(1)).alias("__np"), F.min("ptr").alias("ptr")
-    )
-    bad = state.filter(F.col("__np") > 1)
-    if not bad.isEmpty():
-        some = [r["id"] for r in bad.select("id").limit(5).collect()]
-        raise ValueError(
-            f"tree_depth_doubling requires single-parent structure; "
-            f"multi-parent children exist (e.g. {some}) — use topo_layers "
-            "for longest-path depth over general DAGs"
-        )
+    children = state0.filter(F.col("__np") >= 1)
     # roots = vertices with no (non-self) parent pointer: depth 0
-    roots = verts.join(ptr.select("id"), "id", "left_anti").select(
+    roots = verts.join(children.select("id"), "id", "left_anti").select(
         "id", F.col("id").alias("ptr"), F.lit(0).cast("long").alias("d")
     )
     state = (
-        state.select("id", "ptr", F.lit(1).cast("long").alias("d"))
+        children.select("id", "ptr", F.lit(1).cast("long").alias("d"))
         .unionByName(roots)
         .localCheckpoint()
     )

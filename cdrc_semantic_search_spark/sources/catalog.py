@@ -50,6 +50,12 @@ class ParquetTableCatalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # retirement markers are immutable once written, so parsed records
+        # are cached per table keyed by the filename set; only files not
+        # yet seen are opened (retired_partitions sits on the per-commit
+        # hot path — without this, G generations × P partitions means G·P
+        # file opens + JSON parses on EVERY overwrite_partition call)
+        self._retired_cache: dict[str, dict[str, tuple]] = {}
 
     # ---- paths -----------------------------------------------------------
     def table_path(self, name: str) -> str:
@@ -253,14 +259,17 @@ class ParquetTableCatalog:
         d = self._retired_dir(name)
         if not os.path.isdir(d):
             return []
-        out = []
-        for f in sorted(os.listdir(d)):
-            if f.endswith(".json"):
+        files = [f for f in os.listdir(d) if f.endswith(".json")]
+        cache = self._retired_cache.setdefault(name, {})
+        for f in files:
+            if f not in cache:
                 with open(os.path.join(d, f)) as fh:
                     rec = json.load(fh)
                 retired_at = rec.pop("retired_at", None)
-                out.append((CommitRecord(**rec), retired_at))
-        return out
+                cache[f] = (CommitRecord(**rec), retired_at)
+        # a marker file never mutates or disappears under normal operation,
+        # but honor external deletion anyway: serve only files present now
+        return [cache[f] for f in sorted(files)]
 
     def _history_records(self, name: str) -> list[CommitRecord]:
         d = self._history_dir(name)

@@ -32,7 +32,7 @@ cc_components filters l_orderkey < 300 — only copy 0 survives the
 pushed-down filter) are expected near ratio 1 and annotated as such.
 
 Usage: python scripts/scaleup_bench.py [K] [--regen]
-Writes the table set under .scaleup/sf1.0/ (gitignored) and splices the
+Writes the table set under .scaleup/x{K}/ (gitignored) and splices the
 "Scale-up" section into BENCH.md.
 """
 
@@ -99,7 +99,7 @@ def _strides() -> dict[str, int]:
     ]:
         s[t] = con.sql(f"select max({col})+1 from '{SRC}/{t}.parquet'").fetchone()[0]
     s["events_user"] = con.sql(
-        f"select max(user_id)+1 from '{SRC}/{t}.parquet'".replace(t, "events")
+        f"select max(user_id)+1 from '{SRC}/events.parquet'"
     ).fetchone()[0]
     con.close()
     return s
@@ -270,7 +270,9 @@ def kg_main() -> None:
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
-    out_dir = os.path.join(REPO_ROOT, ".scaleup", "sf1.0")
+    # dir keyed on K so a cached set generated at a different scale can
+    # never be benchmarked (and gated) under the wrong label
+    out_dir = os.path.join(REPO_ROOT, ".scaleup", f"x{k}")
     if "--regen" in sys.argv or not os.path.exists(f"{out_dir}/lineitem.parquet"):
         t0 = time.time()
         generate(out_dir, k)

@@ -329,6 +329,24 @@ def test_levenshtein_blocked_equals_all_pairs(spark):
         assert got_pairs == want, f"d={d}: missing={missing} extra={extra}"
 
 
+def test_levenshtein_blocked_caps_degenerate_short_mass(spark):
+    """The short-string branch is all-pairs by nature, so a degenerate
+    mass of empty/near-empty texts must be dropped by max_bucket_size
+    (both sides capped as one bucket), not broadcast-nested-loop-joined;
+    opt-out with None restores the pairs."""
+    rows = [(i, "") for i in range(50)] + [(100, "kitten"), (101, "sitten")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    capped = dedup.levenshtein_pairs_blocked(
+        df, "id", "t", max_dist=2, max_bucket_size=10
+    ).toPandas()
+    # the 50-empty mass (50*49/2 pairs) is gone; the long-string pair stays
+    assert set(zip(capped["id_a"], capped["id_b"])) == {(100, 101)}
+    uncapped = dedup.levenshtein_pairs_blocked(
+        df, "id", "t", max_dist=2, max_bucket_size=None
+    ).toPandas()
+    assert len(uncapped) == 50 * 49 // 2 + 1
+
+
 # ------------------------------------------------------------- text analysis
 def test_quality_and_language(spark):
     rows = [
@@ -463,6 +481,14 @@ def test_tree_depth_doubling_random_forest_and_errors(spark):
         tree_depth_doubling(
             spark.createDataFrame(
                 [(1, 2), (1, 3)], "child long, parent long"
+            )
+        )
+    # a vertex declared BOTH an explicit root (r, r) and a child is
+    # contradictory input, not a root — must raise, not silently pick
+    with pytest.raises(ValueError, match="declared roots"):
+        tree_depth_doubling(
+            spark.createDataFrame(
+                [(5, 5), (5, 2)], "child long, parent long"
             )
         )
     with pytest.raises(RuntimeError, match="cycle"):
