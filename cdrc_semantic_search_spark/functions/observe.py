@@ -36,16 +36,56 @@ _parked = 0
 _saturation_warned = False
 
 
+def unique_observation(who: str) -> Observation:
+    """A uniquely-named Observation (Spark requires distinct names per
+    session; loops and repeated operator calls need a fresh one each
+    time). Shared by the capdrop loggers and the graph operators'
+    convergence probes."""
+    return Observation(f"{who}-{uuid.uuid4().hex[:8]}")
+
+
 def drop_observation(who: str) -> Observation:
     """A uniquely-named Observation for a capped operator's drop count."""
-    return Observation(f"{who}-capdrop-{uuid.uuid4().hex[:8]}")
+    return unique_observation(f"{who}-capdrop")
+
+
+def _dropped_metric(obs: Observation) -> int | None:
+    """The single ``dropped`` metric of ``obs``; ``None`` when AQE lost it.
+
+    Two plan-shape hazards, both hit by the capped operators (measured,
+    r5): (1) ``Observation.get`` round-trips the metrics row through
+    ``PythonSQLUtils.toPyRow``, which asserts the row carries a schema —
+    rows merged out of adaptive subplans can arrive schema-less, so
+    ``obs.get`` raises ``Py4JJavaError``. Every capdrop observation
+    declares exactly ONE metric, so fall back to reading the JVM row
+    positionally, bypassing ``toPyRow`` (the blocking wait already
+    happened inside the failed ``obs.get``, so the fallback ``getRow()``
+    returns the cached row immediately). (2) When the query stage
+    containing the observed node finishes with ZERO output rows — i.e.
+    the cap dropped everything, the most interesting case — AQE's
+    empty-relation propagation replaces the whole subtree, the
+    CollectMetrics node included, and the metrics row arrives EMPTY.
+    The count is genuinely unrecoverable then; return ``None`` so the
+    caller logs an explicit unavailable notice instead of silence.
+    """
+    try:
+        metrics = obs.get
+    except Exception:
+        jrow = obs._jo.getRow()  # cached after the failed obs.get
+        if jrow.size() == 0:
+            return None
+        return int(jrow.get(0) or 0)
+    if "dropped" not in metrics:
+        return None
+    return int(metrics["dropped"] or 0)
 
 
 def log_dropped_on_first_action(
     obs: Observation, who: str, cap: int, what: str
-) -> None:
+) -> "threading.Thread | None":
     """Log ``obs``'s ``dropped`` metric as soon as the observed plan first
-    executes; spawn nothing when the parked-thread registry is full."""
+    executes; spawn nothing when the parked-thread registry is full.
+    Returns the logger thread (tests join it); ``None`` when saturated."""
     global _parked, _saturation_warned
     with _lock:
         if _parked >= MAX_PARKED_LOGGERS:
@@ -58,24 +98,35 @@ def log_dropped_on_first_action(
                     MAX_PARKED_LOGGERS,
                 )
                 _saturation_warned = True
-            return
+            return None
         _parked += 1
 
     def run() -> None:
         global _parked, _saturation_warned
         try:
-            metrics = obs.get
-        except Exception:  # session torn down before any action
+            dropped = _dropped_metric(obs)
+        except Exception:
+            # session torn down before any action ran this plan
+            log.debug("capdrop observation for %s unavailable", who, exc_info=True)
             return
         finally:
             with _lock:
                 _parked -= 1
                 _saturation_warned = False
-        dropped = metrics.get("dropped", 0)
-        if dropped:
+        if dropped is None:
+            log.info(
+                "%s: %s drop count unavailable — the capped branch finished "
+                "empty and AQE pruned the observed node (cap %d applied; an "
+                "empty capped branch usually means the cap dropped "
+                "everything it saw)",
+                who, what, cap,
+            )
+        elif dropped:
             log.info(
                 "%s: dropped %d %s from candidate generation (cap %d)",
                 who, dropped, what, cap,
             )
 
-    threading.Thread(target=run, daemon=True, name=f"capdrop-{who}").start()
+    t = threading.Thread(target=run, daemon=True, name=f"capdrop-{who}")
+    t.start()
+    return t

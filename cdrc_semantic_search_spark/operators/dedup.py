@@ -93,7 +93,7 @@ def ngram_jaccard_pairs(
     discriminative signal anyway). The hot-shingle list is tiny by
     construction (only hashes with DF > cap) and is broadcast; the
     posting table never shuffles for the filter. The number of dropped
-    shingle hashes rides the first action as an Observation and is
+    posting rows rides the first action as an Observation and is
     logged lazily — no eager job at construction (ADVICE r4). Default
     ``DEFAULT_MAX_BUCKET`` (10k): a shingle shared by >10k documents is
     boilerplate by any reasonable prior AND sits one equi-join away from
@@ -126,16 +126,27 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("shash")
         )
-        # drop count observed on the broadcast side (metrics propagate
-        # out of broadcast-exchange subplans — verified) and logged when
-        # the caller's first action runs; the agg branch reads the
-        # persisted posting cache, so no extra pass over the input
+        # Mark-join instead of anti-join so the drop count can be
+        # observed on the JOIN OUTPUT — a main-lineage node. Observing
+        # the broadcast build side is unreliable: when the observed
+        # query stage finishes empty, AQE's empty-relation propagation
+        # prunes the CollectMetrics node and the count is lost
+        # (measured, r5 — see functions/observe._dropped_metric). The
+        # mark column costs nothing extra: same broadcast, same probe,
+        # and the metric (posting rows belonging to hot shingles) is
+        # the more useful number anyway.
         obs = drop_observation("ngram_jaccard_pairs")
-        hot = hot.observe(obs, F.count(F.lit(1)).alias("dropped"))
-        log_dropped_on_first_action(
-            obs, "ngram_jaccard_pairs", max_shingle_df, "hot shingles"
+        marked = shingled.join(
+            F.broadcast(hot.withColumn("_hot", F.lit(True))), "shash", "left"
         )
-        shingled = shingled.join(F.broadcast(hot), "shash", "left_anti")
+        marked = marked.observe(
+            obs, F.count_if(F.col("_hot")).alias("dropped")
+        )
+        log_dropped_on_first_action(
+            obs, "ngram_jaccard_pairs", max_shingle_df,
+            "posting rows in hot shingles",
+        )
+        shingled = marked.filter(F.col("_hot").isNull()).drop("_hot")
 
     sizes = shingled.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
 
@@ -444,11 +455,11 @@ def levenshtein_pairs_blocked(
     * strings of length ≤ d (can only match strings of length ≤ 2d — a
       degenerate, normally-empty set) pair through a separate broadcast
       nested-loop branch. That branch is inherently all-pairs (almost
-      every short-short pair is within d edits), so BOTH its sides are
-      capped as a single degenerate bucket under ``max_bucket_size`` —
-      a corpus of a million empty normalized texts drops the branch
-      (logged) instead of running a 10¹²-row nested loop; ``None``
-      opts out.
+      every short-short pair is within d edits), so its loop PRODUCT is
+      capped at ``max_bucket_size²``: a hundred 1-char codes against
+      20k 3-char codes (a 2M-row loop) survives intact, while a corpus
+      of a million empty normalized texts drops the branch (logged)
+      instead of running a 10¹²-row nested loop; ``None`` opts out.
 
     Shuffle payload is (key, id, text) where texts are the short strings
     record linkage runs on (names, titles, SKUs — this operator is NOT
@@ -534,24 +545,48 @@ def levenshtein_pairs_blocked(
     )
 
     # strings shorter than the segment count: ≤ d chars, partner ≤ 2d.
-    # This branch is a quadratic nested-loop by nature (almost every
-    # short-short pair is within distance d), so the whole short set is
-    # one degenerate "bucket" and gets the same cap as the blocked keys:
-    # a corpus with a million empty/near-empty normalized texts must not
-    # broadcast-join itself. Dropped mass is logged lazily like every
-    # other capped path.
+    # This branch is a nested loop by nature (almost every short-short
+    # pair is within distance d). Cap the loop's PRODUCT, not each side:
+    # a hundred 1-char SKUs against 20k 3-char SKUs is a trivial 2M-row
+    # loop and must survive, but a million empty normalized texts
+    # squaring themselves must not. Both side counts arrive as 1-row
+    # aggregates cross-joined broadcast onto the rows — fully lazy, no
+    # eager job at construction. When n_shorts·n_near exceeds
+    # ``max_bucket_size²`` the WHOLE branch drops (every member pairs
+    # with every other, so there is no principled subset to keep), with
+    # the dropped short-side rows observed/logged like every capped
+    # path. The ``F.broadcast(shorts)`` hint below stays safe under the
+    # product cap alone: shorts ⊆ near_short (l≤d ⇒ l≤2d), so
+    # n_s² ≤ n_s·n_n ≤ cap² ⇒ the surviving broadcast side holds at
+    # most ``max_bucket_size`` strings of ≤ d chars.
     shorts = base.filter(F.col("l") <= d).select(
-        F.col("id").alias("id_i"), F.col("t").alias("t_i"), F.lit(0).alias("kc")
+        F.col("id").alias("id_i"), F.col("t").alias("t_i")
     )
     near_short = base.filter(F.col("l") <= 2 * d).select(
-        F.col("id").alias("id_p"), F.col("t").alias("t_p"), F.lit(0).alias("kc")
+        F.col("id").alias("id_p"), F.col("t").alias("t_p")
     )
-    shorts = _cap_buckets(
-        shorts, ["kc"], max_bucket_size, "levenshtein_pairs_blocked"
-    ).drop("kc")
-    near_short = _cap_buckets(
-        near_short, ["kc"], max_bucket_size, "levenshtein_pairs_blocked"
-    ).drop("kc")
+    if max_bucket_size is not None:
+        product_cap = max_bucket_size * max_bucket_size
+        counts = F.broadcast(
+            shorts.agg(F.count(F.lit(1)).alias("_n_s")).crossJoin(
+                near_short.agg(F.count(F.lit(1)).alias("_n_n"))
+            )
+        )
+        over = (F.col("_n_s") * F.col("_n_n")) > F.lit(product_cap)
+        obs = drop_observation("levenshtein_pairs_blocked")
+        shorts = (
+            shorts.crossJoin(counts)
+            .observe(obs, F.count_if(over).alias("dropped"))
+            .filter(~over)
+            .drop("_n_s", "_n_n")
+        )
+        log_dropped_on_first_action(
+            obs, "levenshtein_pairs_blocked", product_cap,
+            "short-string rows in an over-product nested loop",
+        )
+        near_short = (
+            near_short.crossJoin(counts).filter(~over).drop("_n_s", "_n_n")
+        )
     short_pairs = (
         F.broadcast(shorts)
         .join(near_short, F.col("id_i") != F.col("id_p"))

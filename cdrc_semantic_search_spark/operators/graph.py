@@ -15,10 +15,10 @@ N never re-optimizes 1..N-1 (same discipline as connected_components).
 
 from __future__ import annotations
 
-import uuid
-
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from cdrc_semantic_search_spark.functions.observe import unique_observation
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
@@ -717,10 +717,6 @@ def _propagate_min(
     id, so ancestors-of-m(v) are ancestors of v — the jump is valid and
     cuts rounds to O(log diameter)). Observation rides the checkpoint:
     zero extra convergence jobs."""
-    import uuid
-
-    from pyspark.sql import Observation
-
     lab = verts.select("id", F.col("id").alias("m")).localCheckpoint()
     for _ in range(max_iter):
         la = lab.select(F.col("id").alias("a"), F.col("m").alias("ma"))
@@ -743,7 +739,7 @@ def _propagate_min(
                 ).alias("m"),
             )
         )
-        obs = Observation(f"__scc_{uuid.uuid4().hex}")
+        obs = unique_observation("scc-flood")
         nxt = (
             upd.select(
                 "id", "m", (F.col("m") != F.col("old")).cast("int").alias("__chg")
@@ -1052,7 +1048,7 @@ def tree_depth_doubling(
             F.col("ptr").alias("__jptr"),
             F.col("d").alias("__jd"),
         )
-        obs = Observation(f"treedepth-{uuid.uuid4().hex[:8]}")
+        obs = unique_observation("treedepth")
         state = (
             state.join(hop, state["ptr"] == hop["__jid"])
             .select(

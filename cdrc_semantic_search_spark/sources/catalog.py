@@ -24,10 +24,13 @@ import json
 import os
 import shutil
 import time
-from dataclasses import dataclass
+import logging
+from dataclasses import dataclass, fields
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger("cdrc_semantic_search_spark")
 
 
 @dataclass
@@ -44,6 +47,27 @@ class CommitRecord:
 class SnapshotUnavailableError(RuntimeError):
     """A time-travel read asked for a snapshot whose bytes were reclaimed
     (partition overwritten or retired since ``as_of``)."""
+
+
+_RECORD_FIELDS = {f.name for f in fields(CommitRecord)}
+
+
+def _record_from_json(rec: dict) -> CommitRecord:
+    """Schema-tolerant CommitRecord parse: a marker written by another
+    (newer/older) writer version may carry extra fields or omit optional
+    ones; only the identity fields are hard requirements. Raises KeyError
+    on a marker missing those — callers decide whether that blocks
+    (reading a specific ledger) or degrades (scanning retirement markers
+    on the commit hot path)."""
+    return CommitRecord(
+        table=rec["table"],
+        partition=rec["partition"],
+        source_snapshot=rec.get("source_snapshot", ""),
+        row_count=rec.get("row_count", -1),
+        metrics=rec.get("metrics") or {},
+        committed_at=rec.get("committed_at", 0.0),
+        status=rec.get("status", "committed"),
+    )
 
 
 class ParquetTableCatalog:
@@ -141,9 +165,12 @@ class ParquetTableCatalog:
                 # on the same partition name must keep EVERY retirement
                 # generation, or snapshot_partitions silently serves a
                 # snapshot missing a partition that was visible at as_of
+                # external writers may omit committed_at; stamp with the
+                # retirement time then (uniqueness is what the filename
+                # needs, and retired_at is unique per retire call)
                 dst = os.path.join(
                     self._retired_dir(name),
-                    f"{p}.{rec['committed_at']:.6f}.json",
+                    f"{p}.{rec.get('committed_at', retired_at):.6f}.json",
                 )
                 with open(dst + ".tmp", "w") as f:
                     json.dump(rec, f)
@@ -249,7 +276,7 @@ class ParquetTableCatalog:
         out = []
         for p in sorted(self.committed_partitions(name)):
             with open(self._marker_path(name, p)) as f:
-                out.append(CommitRecord(**json.load(f)))
+                out.append(_record_from_json(json.load(f)))
         return out
 
     def _retired_records(self, name: str) -> list[tuple[CommitRecord, float | None]]:
@@ -263,13 +290,25 @@ class ParquetTableCatalog:
         cache = self._retired_cache.setdefault(name, {})
         for f in files:
             if f not in cache:
-                with open(os.path.join(d, f)) as fh:
-                    rec = json.load(fh)
-                retired_at = rec.pop("retired_at", None)
-                cache[f] = (CommitRecord(**rec), retired_at)
+                # tolerant parse: this runs on EVERY overwrite_partition
+                # (the retired-check), so one malformed or
+                # schema-divergent marker — e.g. left by another writer
+                # version — must degrade to a warning, not permanently
+                # block all ingestion for the table
+                try:
+                    with open(os.path.join(d, f)) as fh:
+                        rec = json.load(fh)
+                    retired_at = rec.pop("retired_at", None)
+                    cache[f] = (_record_from_json(rec), retired_at)
+                except (OSError, ValueError, KeyError, TypeError):
+                    log.warning(
+                        "skipping unreadable retirement marker %s/%s",
+                        d, f, exc_info=True,
+                    )
+                    cache[f] = None
         # a marker file never mutates or disappears under normal operation,
         # but honor external deletion anyway: serve only files present now
-        return [cache[f] for f in sorted(files)]
+        return [cache[f] for f in sorted(files) if cache[f] is not None]
 
     def _history_records(self, name: str) -> list[CommitRecord]:
         d = self._history_dir(name)
@@ -279,7 +318,7 @@ class ParquetTableCatalog:
         for f in sorted(os.listdir(d)):
             if f.endswith(".json"):
                 with open(os.path.join(d, f)) as fh:
-                    out.append(CommitRecord(**json.load(fh)))
+                    out.append(_record_from_json(json.load(fh)))
         return out
 
     def snapshot_partitions(self, name: str, as_of: float) -> set[str]:

@@ -302,17 +302,17 @@ def main() -> None:
         rows.append((name, base[name], big[name], r, note))
 
     lines = [
-        "## Scale-up: sf0.1 -> 10x (measured, not plan-read)",
+        f"## Scale-up: sf0.1 -> {k}x (measured, not plan-read)",
         "",
         f"Deterministic {k}x replica of the driver's sf0.1 set (key-offset "
         "copies; per-copy token-suffixed documents so dedup pair counts "
         f"scale exactly {k}x; sign-decorrelated embeddings — see "
         "scripts/scaleup_bench.py). Same local[32] session, warm medians "
-        "of 3 interleaved passes at each scale. `ratio` = 10x-warm / "
+        f"of 3 interleaved passes at each scale. `ratio` = {k}x-warm / "
         f"sf0.1-warm; linear scaling at fixed cores => ratio <= {k}; "
         "fixed per-query overheads (planning, small dims) pull it below.",
         "",
-        "| query | sf0.1 warm s | 10x warm s | ratio | note |",
+        f"| query | sf0.1 warm s | {k}x warm s | ratio | note |",
         "|---|---|---|---|---|",
     ]
     for name, b, g, r, note in rows:

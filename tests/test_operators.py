@@ -331,20 +331,121 @@ def test_levenshtein_blocked_equals_all_pairs(spark):
 
 def test_levenshtein_blocked_caps_degenerate_short_mass(spark):
     """The short-string branch is all-pairs by nature, so a degenerate
-    mass of empty/near-empty texts must be dropped by max_bucket_size
-    (both sides capped as one bucket), not broadcast-nested-loop-joined;
-    opt-out with None restores the pairs."""
+    mass of empty/near-empty texts must be dropped when the nested
+    loop's PRODUCT exceeds max_bucket_size², not broadcast-nested-loop-
+    joined; opt-out with None restores the pairs."""
     rows = [(i, "") for i in range(50)] + [(100, "kitten"), (101, "sitten")]
     df = spark.createDataFrame(rows, "id long, t string")
     capped = dedup.levenshtein_pairs_blocked(
         df, "id", "t", max_dist=2, max_bucket_size=10
     ).toPandas()
-    # the 50-empty mass (50*49/2 pairs) is gone; the long-string pair stays
+    # the 50-empty mass (50·52 > 10² product) is gone; the long pair stays
     assert set(zip(capped["id_a"], capped["id_b"])) == {(100, 101)}
     uncapped = dedup.levenshtein_pairs_blocked(
         df, "id", "t", max_dist=2, max_bucket_size=None
     ).toPandas()
     assert len(uncapped) == 50 * 49 // 2 + 1
+
+
+def test_levenshtein_blocked_short_branch_small_product_survives(spark):
+    """A lopsided-but-small short branch must NOT be wiped: 3 one-char
+    codes against 20 three-char codes is a 3x23 = 69-row loop — under
+    the 10² product cap even though the near-short side alone (23 rows)
+    exceeds a naive per-side cap of 10. Pairs within distance d that
+    involve a short string must survive."""
+    rows = [(i, "a" * (i % 2 + 1)) for i in range(3)]          # len 1-2
+    rows += [(10 + i, f"a{i:02d}") for i in range(20)]          # len 3
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = dedup.levenshtein_pairs_blocked(
+        df, "id", "t", max_dist=2, max_bucket_size=10
+    ).toPandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    # brute-force twin
+    import itertools as it
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (ia, ib)
+        for (ia, ta), (ib, tb) in it.combinations(rows, 2)
+        if lev(ta, tb) <= 2
+    }
+    # EVERY short-involving pair survives (the old per-side cap wiped
+    # them all: the near-short side alone is 23 > 10). The main-branch
+    # len-3 pairs are a separate concern — all 20 strings share the
+    # first-char segment "a", a >10-member blocking bucket the segment
+    # guard legitimately caps — so assert containment, not equality.
+    want_short = {(a, b) for a, b in want if a < 3}
+    assert want_short and want_short <= got_pairs
+    assert got_pairs <= want  # never an extra / wrong pair
+
+
+def _wait_for_log(caplog, substr: str, timeout: float = 30.0) -> bool:
+    """The capdrop logger runs on a daemon thread riding the first
+    action; poll the captured records until it lands."""
+    import time as _time
+
+    deadline = _time.time() + timeout
+    while _time.time() < deadline:
+        if any(substr in r.getMessage() for r in caplog.records):
+            return True
+        _time.sleep(0.1)
+    return False
+
+
+def test_ngram_cap_drop_count_is_logged(spark, caplog):
+    """Default-on capping must not be silent: the hot-shingle drop count
+    rides the caller's first action and lands in the package log. The
+    observed node is the mark-join OUTPUT (main lineage) — observing the
+    broadcast build side loses the metric when AQE prunes an empty
+    stage, which is why this test pins the end-to-end log, not just the
+    filter."""
+    import logging
+
+    caplog.set_level(logging.INFO, logger="cdrc_semantic_search_spark")
+    # hot boilerplate shared by all 20 docs (dropped by the cap) + a
+    # pair-private bigram per (2i, 2i+1) couple so pairs SURVIVE the cap
+    # — an all-empty final result would let AQE prune every metric copy
+    # (that path is pinned by the pruned-empty test below)
+    rows = [
+        (str(i), f"common shared boilerplate prefix pair{i // 2}sig mark{i // 2}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", k=2, threshold=0.0, max_shingle_df=5
+    )
+    assert out.count() == 10  # the couples survive the capped universe
+    assert _wait_for_log(
+        caplog, "ngram_jaccard_pairs: dropped"
+    ), "hot-shingle drop count never logged"
+
+
+def test_capped_branch_pruned_empty_is_never_silent(spark, caplog):
+    """When a capped branch ends EMPTY (everything dropped), AQE's
+    empty-relation propagation can prune the observed node and the
+    exact count is unrecoverable — the logger must then emit an explicit
+    unavailable notice (or the exact count, if the metric survived);
+    silence is the one unacceptable outcome."""
+    import logging
+
+    caplog.set_level(logging.INFO, logger="cdrc_semantic_search_spark")
+    rows = [(i, "") for i in range(50)] + [(100, "kitten"), (101, "sitten")]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = dedup.levenshtein_pairs_blocked(
+        df, "id", "t", max_dist=2, max_bucket_size=10
+    ).toPandas()
+    assert set(zip(got["id_a"], got["id_b"])) == {(100, 101)}
+    assert _wait_for_log(
+        caplog, "levenshtein_pairs_blocked:"
+    ), "short-branch drop neither counted nor flagged unavailable"
 
 
 # ------------------------------------------------------------- text analysis

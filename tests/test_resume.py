@@ -322,3 +322,33 @@ def test_retirement_generations_all_survive(spark, tmp_path):
     for ts in (t_gen1, t_gen2):
         with _pytest.raises(SnapshotUnavailableError, match="p0 .retired"):
             cat.snapshot_partitions("t", ts)
+
+
+def test_malformed_retirement_marker_degrades_not_blocks(spark, tmp_path):
+    """Retirement markers are parsed on EVERY overwrite_partition (the
+    retired-check) — a single schema-divergent or corrupt marker left by
+    another writer version must degrade to a warning, not permanently
+    block all ingestion for the table; markers with extra/missing
+    optional fields still parse."""
+    import json as _json
+    import os as _os
+
+    cat = ParquetTableCatalog(str(tmp_path / "tol"))
+    cat.overwrite_partition(spark.range(3).selectExpr("id"), "t", "p0")
+    cat.retire_partitions("t", ["p0"])
+    rd = cat._retired_dir("t")
+    # a marker from a NEWER writer: extra field, missing optional ones
+    with open(_os.path.join(rd, "p1.123.json"), "w") as f:
+        _json.dump(
+            {"table": "t", "partition": "p1", "committed_at": 1.0,
+             "future_field": {"x": 1}},
+            f,
+        )
+    # an outright corrupt marker
+    with open(_os.path.join(rd, "p2.456.json"), "w") as f:
+        f.write("{not json")
+    # the divergent-but-identifiable marker counts; the corrupt one is
+    # skipped with a warning; commits to OTHER partitions still work
+    assert cat.retired_partitions("t") == {"p0", "p1"}
+    rec = cat.overwrite_partition(spark.range(2).selectExpr("id"), "t", "p9")
+    assert rec.row_count == 2
