@@ -155,6 +155,47 @@ def winnowing_fingerprints(text_col: Column, k: int = 5, window: int = 4) -> Col
     return F.array_sort(F.array_distinct(mins))
 
 
+#: (label, pattern, replacement) applied IN ORDER — URL before email so a
+#: userinfo URL ("https://user@host/...") redacts as one URL, not a URL
+#: fragment plus an email; IP before phone so dotted quads never leave a
+#: digit run for the looser phone pattern. Patterns deliberately use only
+#: constructs with identical semantics in Java regex (Spark), RE2
+#: (DuckDB) and Python re — the oracle twin runs the same list.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d() -]{6,}\d\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str = "text_redacted"
+) -> DataFrame:
+    """Replace e-mail addresses, URLs, IPv4 addresses and phone-like
+    digit runs with typed placeholder tokens, plus per-category match
+    counts — the standard PII scrub a training-data release runs over
+    every text column (regex tier; NER-tier redaction is a model
+    problem, out of scope like the encoder swap point).
+
+    Adds ``out_col`` (the redacted text) and one ``n_<category>`` count
+    column per :data:`PII_PATTERNS` entry. Counts are measured on the
+    text AS SEEN BY that pattern's pass (after earlier replacements), so
+    the categories never double-count one span and
+    ``sum(n_*)`` = number of placeholders inserted.
+
+    Scale: a chain of ``regexp_replace``/``regexp_count`` expressions —
+    pure map work inside whole-stage codegen, no shuffle, no Python. At
+    100 TB this is scan-bound, exactly like the F2 normalize chain.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for label, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{label}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select("*", *counts, cur.alias(out_col))
+
+
 def bigram_repetition(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Gopher-style repetition signal: the share of a document's bigrams
     taken by its single most frequent bigram.

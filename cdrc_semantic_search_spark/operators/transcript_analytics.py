@@ -1,0 +1,101 @@
+"""Transcript-level analytics over the (conv_id, turn_idx, role, text,
+tool, ts) table — the operational statistics an agent-transcript pipeline
+runs alongside KG construction (tool-usage mining, latency profiling,
+role balance). Reference-semantics anchor: the per-resource metadata
+rollups of /root/reference/src/cdrc_logs.py:12-35, re-aimed at turns.
+
+Scale shape shared by all three operators: ONE shuffle on ``conv_id``
+(the same stable (conv_id, turn_idx) window ordering the assembly
+operator pins — operators/assembly.py), then a map-side-combinable
+aggregation whose key space is tiny (tool names, roles) or
+conversation-sized. No UDFs; all Catalyst. Hot conversations land one
+window partition each — a 600-turn conversation is microseconds of lag
+work, so conv-level skew is a non-issue here (contrast extraction, where
+salted_repartition exists for per-row heavy work).
+
+Outputs are integer-exact (counts, integer-second gap sums/maxes) so the
+DuckDB/VALUES oracle hashes match bit-for-bit — no float summation-order
+hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tool_transition_counts(turns: DataFrame) -> DataFrame:
+    """(prev_tool, tool, n) — corpus-wide counts of consecutive tool
+    invocations within a conversation (non-tool turns between two tool
+    calls are skipped: the sequence is the conversation's tool CALL
+    sequence, not its turn sequence). First tool call of a conversation
+    pairs with prev_tool = '<start>'.
+
+    Plan: filter to tool turns (pushed to the scan), lag window over
+    (conv_id, turn_idx), then a groupBy whose key space is
+    |tools|² + |tools| — broadcast-small regardless of corpus size; the
+    count is map-side combined so the second exchange carries one row
+    per (prev_tool, tool) per task.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = (
+        turns.filter(F.col("tool") != "")
+        .select("conv_id", "turn_idx", "tool")
+        .withColumn("prev_tool", F.lag("tool").over(w))
+    )
+    return (
+        seq.select(
+            F.coalesce("prev_tool", F.lit("<start>")).alias("prev_tool"), "tool"
+        )
+        .groupBy("prev_tool", "tool")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def turn_latency_stats(turns: DataFrame) -> DataFrame:
+    """(role, n_gaps, sum_gap_s, max_gap_s) — per responding role, the
+    integer-second gap between a turn and the PREVIOUS turn of its
+    conversation (any role; the first turn of a conversation has no gap
+    and is excluded). sum/max instead of avg: integer-exact, so the
+    result is independent of aggregation order (avg = sum/n is one IEEE
+    division away for any consumer that wants it).
+
+    Plan: one conv_id window (lag over ts), then a 2-3 row groupBy with
+    map-side partials — the output is O(|roles|) however many turns
+    flow in.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    gaps = (
+        turns.select("conv_id", "turn_idx", "role", "ts")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "role",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+            ).alias("gap_s"),
+        )
+    )
+    return gaps.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("sum_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+def role_balance(turns: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, n_user, n_assistant, n_tool) — per-conversation
+    role mix, the first-line health metric of a transcript corpus
+    (conversations with zero assistant turns, tool-only bursts, etc.).
+
+    Plan: single groupBy(conv_id) with conditional counts — one exchange
+    on the table's natural key, fully map-side combined; output is one
+    row per conversation (the 10¹²-turn table collapses ~100× before
+    the shuffle at typical turns/conversation).
+    """
+    return turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count_if(F.col("role") == "user").alias("n_user"),
+        F.count_if(F.col("role") == "assistant").alias("n_assistant"),
+        F.count_if(F.col("role") == "tool").alias("n_tool"),
+    )

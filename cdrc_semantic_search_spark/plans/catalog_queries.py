@@ -4692,3 +4692,130 @@ def curation_filter(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return quality_gate(d, "text").select("doc_id", "n_chars")
+
+
+# =====================================================================
+# transcript analytics (payload-native ops over (conv_id, turn_idx,
+# role, text, tool, ts) — operators/transcript_analytics.py)
+# =====================================================================
+
+def _fixture_turns(spark):
+    """The deterministic transcript fixture as a Spark frame — the same
+    (seed=42, 40 convs, 100 entities) instance the kg_* queries pin, so
+    the VALUES twins in value_oracles.py derive from identical rows."""
+    from cdrc_semantic_search_spark import fixtures
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    return tdf
+
+
+@register("tr_tool_transitions", value_oracles.lazy("tr_tool_transitions"))
+def tr_tool_transitions(spark, sf_dir):
+    """Tool-call sequence mining: counts of consecutive tool invocations
+    within a conversation (lag window over the stable (conv_id,
+    turn_idx) order — the W5 ordering contract). Oracle: pure-Python
+    twin over the same fixture rows."""
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        tool_transition_counts,
+    )
+
+    return tool_transition_counts(_fixture_turns(spark))
+
+
+@register("tr_turn_latency", value_oracles.lazy("tr_turn_latency"))
+def tr_turn_latency(spark, sf_dir):
+    """Per-role response-latency rollup: integer-second gap to the
+    previous turn of the conversation, summed/maxed per responding role
+    (integer-exact — no float summation-order hazard in the hash)."""
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        turn_latency_stats,
+    )
+
+    return turn_latency_stats(_fixture_turns(spark))
+
+
+@register("tr_role_balance", value_oracles.lazy("tr_role_balance"))
+def tr_role_balance(spark, sf_dir):
+    """Per-conversation role mix (user/assistant/tool turn counts) — the
+    first-line corpus health metric; one map-side-combined groupBy on
+    the table's natural key."""
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        role_balance,
+    )
+
+    return role_balance(_fixture_turns(spark))
+
+
+# =====================================================================
+# PII redaction (operators/text_analysis.redact_pii)
+# =====================================================================
+
+# the documents fixture carries no PII, so the query plants a
+# deterministic contact line derived from doc_id — identically in the
+# Spark plan and the DuckDB oracle — and redacts it. || of the SAME
+# expressions keeps both sides byte-identical pre-redaction.
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via "
+    "https://ex.org/d/' || CAST(doc_id AS VARCHAR) || ' or +1 415 555 '"
+    " || CAST(doc_id AS VARCHAR) || ' host 10.0.' || "
+    "CAST(doc_id % 200 AS VARCHAR) || '.7'"
+)
+
+
+@register(
+    "ta_redact_pii",
+    f"""
+    WITH d AS (
+        SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t0
+        FROM documents WHERE doc_id < 200
+    ),
+    s1 AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t0, 'https?://[^\\s]+')) AS INTEGER) AS n_url,
+               regexp_replace(t0, 'https?://[^\\s]+', '<URL>', 'g') AS t1
+        FROM d
+    ),
+    s2 AS (
+        SELECT doc_id, n_url,
+               CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INTEGER) AS n_email,
+               regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t2
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, n_url, n_email,
+               CAST(len(regexp_extract_all(t2, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS INTEGER) AS n_ipv4,
+               regexp_replace(t2, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS t3
+        FROM s2
+    )
+    SELECT doc_id, n_url, n_email, n_ipv4,
+           CAST(len(regexp_extract_all(t3, '\\+?\\d[\\d() -]{{6,}}\\d\\b')) AS INTEGER) AS n_phone,
+           regexp_replace(t3, '\\+?\\d[\\d() -]{{6,}}\\d\\b', '<PHONE>', 'g') AS text_redacted
+    FROM s3
+    """,
+)
+def ta_redact_pii(spark, sf_dir):
+    """PII scrub over text: URL → e-mail → IPv4 → phone placeholder
+    substitution with per-category counts (operators/text_analysis.
+    redact_pii). The oracle applies the IDENTICAL pattern sequence via
+    DuckDB's RE2 — an independent regex engine agreeing on every byte of
+    the redacted text is the cross-check."""
+    from cdrc_semantic_search_spark.operators.text_analysis import redact_pii
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    decorated = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://ex.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" or +1 415 555 "), F.col("doc_id").cast("string"),
+            F.lit(" host 10.0."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    out = redact_pii(decorated, "text")
+    return out.select(
+        "doc_id", "n_url", "n_email", "n_ipv4", "n_phone", "text_redacted"
+    )

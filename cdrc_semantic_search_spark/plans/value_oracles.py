@@ -908,3 +908,95 @@ def _ann_ivfpq_residual_values() -> str:
         rows,
         [("q_id", "BIGINT"), ("c_id", "BIGINT"), ("score", "DOUBLE"), ("rank", "INTEGER")],
     )
+
+
+# ----------------------------------------------------- transcript analytics
+def _fixture_transcripts_pdf():
+    from cdrc_semantic_search_spark import fixtures
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    return fx.transcripts
+
+
+@_register("tr_tool_transitions")
+def _tr_tool_transitions_values() -> str:
+    """Twin of operators/transcript_analytics.tool_transition_counts:
+    per conversation, the tool names of tool turns in turn order; count
+    (prev, cur) over consecutive calls with '<start>' openers — derived
+    with dicts and sorts, never a window function."""
+    pdf = _fixture_transcripts_pdf()
+    counts: dict[tuple[str, str], int] = {}
+    for conv_id, grp in pdf.groupby("conv_id"):
+        seq = [
+            str(r.tool)
+            for r in grp.sort_values("turn_idx").itertuples()
+            if str(r.tool) != ""
+        ]
+        prev = "<start>"
+        for t in seq:
+            counts[(prev, t)] = counts.get((prev, t), 0) + 1
+            prev = t
+    rows = [(p, t, n) for (p, t), n in sorted(counts.items())]
+    return values_sql(
+        rows,
+        [("prev_tool", "VARCHAR"), ("tool", "VARCHAR"), ("n", "BIGINT")],
+    )
+
+
+@_register("tr_turn_latency")
+def _tr_turn_latency_values() -> str:
+    """Twin of turn_latency_stats: integer-second gap to the previous
+    turn of the conversation (any role), rolled up per responding role.
+    Integer sums — exact regardless of accumulation order."""
+    pdf = _fixture_transcripts_pdf()
+    agg: dict[str, list[int]] = {}
+    for conv_id, grp in pdf.groupby("conv_id"):
+        g = grp.sort_values("turn_idx")
+        prev_ts = None
+        for r in g.itertuples():
+            if prev_ts is not None:
+                gap = int((r.ts - prev_ts).total_seconds())
+                agg.setdefault(str(r.role), []).append(gap)
+            prev_ts = r.ts
+    rows = [
+        (role, len(gaps), sum(gaps), max(gaps))
+        for role, gaps in sorted(agg.items())
+    ]
+    return values_sql(
+        rows,
+        [
+            ("role", "VARCHAR"),
+            ("n_gaps", "BIGINT"),
+            ("sum_gap_s", "BIGINT"),
+            ("max_gap_s", "BIGINT"),
+        ],
+    )
+
+
+@_register("tr_role_balance")
+def _tr_role_balance_values() -> str:
+    """Twin of role_balance: per-conversation role counts by plain
+    tallying."""
+    pdf = _fixture_transcripts_pdf()
+    rows = []
+    for conv_id, grp in pdf.groupby("conv_id"):
+        roles = [str(r) for r in grp["role"]]
+        rows.append(
+            (
+                str(conv_id),
+                len(roles),
+                sum(1 for r in roles if r == "user"),
+                sum(1 for r in roles if r == "assistant"),
+                sum(1 for r in roles if r == "tool"),
+            )
+        )
+    return values_sql(
+        sorted(rows),
+        [
+            ("conv_id", "VARCHAR"),
+            ("n_turns", "BIGINT"),
+            ("n_user", "BIGINT"),
+            ("n_assistant", "BIGINT"),
+            ("n_tool", "BIGINT"),
+        ],
+    )

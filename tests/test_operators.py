@@ -1505,3 +1505,80 @@ def test_cooccurrence_lift_hand_counts(spark):
         ).collect()
     }
     assert pruned == {("a", "b")}
+
+
+# ------------------------------------------------------ transcript analytics
+def test_tool_transition_counts(spark):
+    from datetime import datetime
+
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        tool_transition_counts,
+    )
+
+    ts = datetime(2026, 1, 1)
+    rows = [
+        # conv a: search -> (assistant turn skipped) -> search -> calc
+        ("a", 0, "tool", "q", "search", ts),
+        ("a", 1, "assistant", "x", "", ts),
+        ("a", 2, "tool", "q", "search", ts),
+        ("a", 3, "tool", "q", "calc", ts),
+        # conv b: calc only
+        ("b", 0, "tool", "q", "calc", ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {
+        (r.prev_tool, r.tool): r.n for r in tool_transition_counts(df).collect()
+    }
+    assert got == {
+        ("<start>", "search"): 1,
+        ("search", "search"): 1,
+        ("search", "calc"): 1,
+        ("<start>", "calc"): 1,
+    }
+
+
+def test_turn_latency_and_role_balance(spark):
+    from datetime import datetime, timedelta
+
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        role_balance,
+        turn_latency_stats,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        ("a", 0, "user", "x", "", t0),
+        ("a", 1, "assistant", "x", "", t0 + timedelta(seconds=7)),
+        ("a", 2, "user", "x", "", t0 + timedelta(seconds=10)),
+        ("b", 0, "user", "x", "", t0),  # first turn: no gap
+        ("b", 1, "assistant", "x", "", t0 + timedelta(seconds=5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    lat = {r.role: (r.n_gaps, r.sum_gap_s, r.max_gap_s) for r in turn_latency_stats(df).collect()}
+    assert lat == {"assistant": (2, 12, 7), "user": (1, 3, 3)}
+    bal = {r.conv_id: (r.n_turns, r.n_user, r.n_assistant, r.n_tool) for r in role_balance(df).collect()}
+    assert bal == {"a": (3, 2, 1, 0), "b": (2, 1, 1, 0)}
+
+
+def test_redact_pii_order_and_counts(spark):
+    from cdrc_semantic_search_spark.operators.text_analysis import redact_pii
+
+    rows = [
+        # userinfo URL must redact as ONE url, not url-fragment + email
+        (1, "see https://bob@files.example.org/x and mail bob@ex.co now"),
+        # dotted quad is IP, not phone; bare digit run is phone
+        (2, "host 192.168.0.1 call +1 (415) 555-0199 end"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in redact_pii(df, "text").collect()}
+    assert got[1].text_redacted == "see <URL> and mail <EMAIL> now"
+    assert (got[1].n_url, got[1].n_email) == (1, 1)
+    assert got[2].text_redacted == "host <IP> call <PHONE> end"
+    assert (got[2].n_ipv4, got[2].n_phone) == (1, 1)
+    assert got[3].text_redacted == "no pii here at all"
+    assert (got[3].n_url, got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 0, 0)
