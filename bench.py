@@ -43,6 +43,15 @@ HEADLINE = [
 ]
 
 
+def _cpu_ticks() -> list[int] | None:
+    """(user..steal) ticks from /proc/stat line 1; None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:9]]
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -56,6 +65,7 @@ def main() -> None:
 
     spark = get_spark(app_name="cdrc-kg-bench", parallelism=cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    ticks0 = _cpu_ticks()
 
     # untimed warmup: JVM/parquet-reader/codegen init shouldn't be billed
     # to the first headline query
@@ -114,22 +124,30 @@ def main() -> None:
     timings_warm["kg_pipeline"] = round(sorted(kg_warm)[1], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": timings_warm,
-                "warm_total_sec": round(sum(timings_warm.values()), 3),
-                "sf": sf,
-                "kg_turns": n_turns,
-                "kg_triples": n_triples,
-                "kg_turns_per_sec": round(n_turns / kg_sec, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": timings_warm,
+        "warm_total_sec": round(sum(timings_warm.values()), 3),
+        "sf": sf,
+        "kg_turns": n_turns,
+        "kg_triples": n_triples,
+        "kg_turns_per_sec": round(n_turns / kg_sec, 1),
+        "kg_turns_per_sec_warm": round(n_turns / sorted(kg_warm)[1], 1),
+    }
+    # Hypervisor steal over the bench interval: on this host class,
+    # steal is ~0 at idle but spikes to >10% under load (measured 13.9%
+    # burning 32 cores while the idle preflight read 0.13 busy cores),
+    # so an idle-host preflight can't see it — sample it across the run
+    # itself so wall-time comparisons across rounds are interpretable.
+    ticks1 = _cpu_ticks()
+    if ticks0 and ticks1:
+        d = [b - a for a, b in zip(ticks0, ticks1)]
+        if sum(d) > 0:
+            out["host_steal_pct"] = round(100 * d[7] / sum(d), 1)
+    print(json.dumps(out))
     spark.stop()
 
 

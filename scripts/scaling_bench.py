@@ -64,6 +64,45 @@ def host_busy_cores(sample_sec: float = QUIET_SAMPLE_SEC) -> float:
     return ncpu * (1.0 - idle / total) if total else 0.0
 
 
+STEAL_PCT_MAX = 5.0
+
+
+def steal_under_load(burn_sec: float = 2.0) -> float:
+    """Hypervisor steal %% while all cores are busy.
+
+    Steal on this host class is ~0 at idle but >10%% under load (a
+    co-tenant competing for the same physical cores only shows up when
+    we actually use them), so the idle busy-cores preflight alone can
+    pass a window that then contaminates every wall measurement.
+    Burns all cores for ``burn_sec`` and reads the steal-tick share.
+    """
+    import multiprocessing as mp
+    import os
+
+    def _burn(stop_t: float) -> None:
+        x = 0
+        while time.time() < stop_t:
+            x += 1
+
+    def snap():
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:9]]
+
+    stop_t = time.time() + burn_sec
+    procs = [
+        mp.Process(target=_burn, args=(stop_t,))
+        for _ in range(os.cpu_count() or 32)
+    ]
+    s0 = snap()
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    s1 = snap()
+    d = [b - a for a, b in zip(s0, s1)]
+    return 100.0 * d[7] / sum(d) if sum(d) else 0.0
+
+
 def spawn(pin: str, cores: int) -> subprocess.Popen:
     return subprocess.Popen(
         [
@@ -87,7 +126,19 @@ def main() -> None:
                 "co-tenant noise would contaminate the measurement. "
                 "Re-run when idle, or pass --force."
             )
-        print(f"preflight: host quiet ({busy:.1f} cores busy)", file=sys.stderr)
+        steal = steal_under_load()
+        if steal > STEAL_PCT_MAX:
+            sys.exit(
+                f"host not quiet: {steal:.1f}% hypervisor steal under "
+                f"full load (threshold {STEAL_PCT_MAX}%); idle-looking "
+                "host is sharing physical cores with a co-tenant. "
+                "Re-run later, or pass --force."
+            )
+        print(
+            f"preflight: host quiet ({busy:.1f} cores busy, "
+            f"{steal:.1f}% steal under load)",
+            file=sys.stderr,
+        )
 
     # materialize the shared fixture once (any worker run creates it)
     subprocess.run(
