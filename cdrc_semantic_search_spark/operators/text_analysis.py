@@ -38,14 +38,6 @@ def stopword_ratio(text_col: Column, lang: str = "en") -> Column:
     return stopword_ratio_from_tokens(tokens(text_col), lang)
 
 
-#: token → bitmask of languages whose stopword list contains it (shared
-#: tokens like "la"/"un" carry multiple bits); computed once at import
-_SW_MASK: dict[str, int] = {}
-for _i, _words in enumerate(_STOPWORDS.values()):
-    for _w in _words:
-        _SW_MASK[_w] = _SW_MASK.get(_w, 0) | (1 << _i)
-
-
 def detect_language_from_tokens(toks: Column) -> Column:
     """argmax over per-language stopword ratios; 'und' when all zero.
 
@@ -55,42 +47,8 @@ def detect_language_from_tokens(toks: Column) -> Column:
     per language. A real attribute keeps one split per row (the projection
     boundary survives CollapseProject because the alias is non-cheap and
     multiply referenced).
-
-    Single-pass scoring: each token is one hash lookup in a literal
-    token→language-bitmask map, and one ``aggregate`` accumulates the
-    four hit counters in a struct — versus the naive per-language
-    ``filter(array_contains)`` shape, which costs |langs|·|stopwords|
-    string comparisons per token plus four filtered-array allocations
-    (measured 2.1× end-to-end on the 10× corpus; the counts, ratios and
-    tie-break are bit-identical, so the oracle is unchanged).
     """
-    mask_map = F.create_map(
-        *[x for w in sorted(_SW_MASK) for x in (F.lit(w), F.lit(_SW_MASK[w]))]
-    )
-    masks = F.transform(
-        toks, lambda t: F.coalesce(F.try_element_at(mask_map, t), F.lit(0))
-    )
-    langs = list(_STOPWORDS)
-    counts = F.aggregate(
-        masks,
-        F.struct(*[F.lit(0).alias(f"c{i}") for i in range(len(langs))]),
-        lambda acc, m: F.struct(
-            *[
-                (acc[f"c{i}"] + F.shiftright(m, i).bitwiseAND(F.lit(1))).alias(
-                    f"c{i}"
-                )
-                for i in range(len(langs))
-            ]
-        ),
-    )
-    n = F.size(toks)
-    pairs = [
-        (
-            lang,
-            F.when(n > 0, counts[f"c{i}"].cast("double") / n).otherwise(F.lit(0.0)),
-        )
-        for i, lang in enumerate(langs)
-    ]
+    pairs = [(lang, stopword_ratio_from_tokens(toks, lang)) for lang in _STOPWORDS]
     best_score = F.greatest(*[p[1] for p in pairs])
     out = F.lit("und")
     for lang, score in reversed(pairs):  # earlier langs win ties
