@@ -644,3 +644,103 @@ def cross_split_contamination(
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+# ----------------------------------------------------- semantic dedup
+def _semantic_keep_mask(u: np.ndarray, threshold: float) -> np.ndarray:
+    """Greedy leader scan over unit rows ``u`` (n, d) float64, already in
+    processing order: keep row i iff its cosine to every previously-KEPT
+    row stays below ``threshold``.
+
+    This function IS the operator's specification (shared by the Spark
+    grouped-map path and the VALUES oracle twin, like the PQ LUT
+    kernel): the kept-set matvec at step i has identical shape and
+    dtype on both sides, so the float64 results are bit-equal and the
+    keep decisions cannot diverge across engines.
+    """
+    n = len(u)
+    keep = np.zeros(n, dtype=bool)
+    kept_rows: list[int] = []
+    for i in range(n):
+        if kept_rows:
+            sims = u[kept_rows] @ u[i]
+            if float(sims.max()) >= threshold:
+                continue
+        keep[i] = True
+        kept_rows.append(i)
+    return keep
+
+
+def semantic_dedup_keep(
+    spark,
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    threshold: float = 0.8,
+    max_cluster_size: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (k-means + within-cluster
+    greedy cosine pruning; Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication").
+
+    Every vector is assigned to its nearest centroid (map-only broadcast
+    matmul — :func:`similarity.ivf_assign`); within each cluster,
+    members are scanned in ascending id order and an item is KEPT only
+    when its cosine to every already-kept member stays below
+    ``threshold``. The cluster is the parallel unit: at 100 TB you size
+    k ~ sqrt(n) so clusters stay bounded, and the greedy scan's
+    O(|cluster|·|kept|) cost never crosses clusters. Clusters larger
+    than ``max_cluster_size`` (default ON, per the scale-guard policy)
+    are deterministically sub-sharded by crc32(id) % ceil(n/cap) before
+    the scan — no pair is compared across sub-shards (bounded recall
+    loss instead of an unbounded quadratic task; ``None`` opts out).
+    The shard split is a pure function of the ids, so results stay
+    partition-invariant.
+
+    Returns (id, cluster, kept) — every input id appears exactly once.
+    Reference-semantics anchor: this generalizes the reference's
+    "embed then keep the most relevant" retrieval core
+    (/root/reference/src/model.py:20-23) from query-time ranking to
+    corpus-time pruning.
+    """
+    from cdrc_semantic_search_spark.operators.similarity import (
+        _unit_rows,
+        ivf_assign,
+    )
+
+    tagged = ivf_assign(spark, df, id_col, vec_col, centroids)
+    if max_cluster_size is not None:
+        # per-cluster sizes: ≤ |centroids| rows by construction → the
+        # join back is broadcast-sized whatever the corpus scale
+        sizes = tagged.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("_cl_n")
+        )
+        tagged = tagged.join(F.broadcast(sizes), "bucket")
+        n_shards = F.ceil(F.col("_cl_n") / F.lit(max_cluster_size))
+        tagged = tagged.withColumn(
+            "shard",
+            (F.crc32(F.col(id_col).cast("string")) % n_shards).cast("int"),
+        ).drop("_cl_n")
+    else:
+        tagged = tagged.withColumn("shard", F.lit(0))
+
+    id_type = dict(df.dtypes)[id_col]
+    thr = float(threshold)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        v = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+        u = _unit_rows(v).astype(np.float64)
+        keep = _semantic_keep_mask(u, thr)
+        return pd.DataFrame(
+            {
+                "id": pdf[id_col],
+                "cluster": pdf["bucket"].astype("int32"),
+                "kept": keep,
+            }
+        )
+
+    return tagged.groupBy("bucket", "shard").applyInPandas(
+        scan, schema=f"id {id_type}, cluster int, kept boolean"
+    )

@@ -3634,6 +3634,26 @@ def ann_ivf_topk(spark, sf_dir):
     return out.select("q_id", "c_id", F.round("score", 6).alias("score"), "rank")
 
 
+@register("dedup_semantic_keep", value_oracles.lazy("dedup_semantic_keep"))
+def dedup_semantic_keep(spark, sf_dir):
+    """SemDeDup-style semantic dedup: k-means clusters + within-cluster
+    greedy cosine pruning (operators/dedup.semantic_dedup_keep). Fully
+    deterministic (seeded centroids on the shared _ann_fixture sample,
+    ascending-id greedy order, shared float64 keep kernel), so the
+    oracle is the pure-NumPy twin's VALUES literal. The 0.35 threshold
+    is fixture-calibrated — the synthetic embeddings are near-orthogonal
+    (max off-diagonal cosine ≈ 0.51); real encoder output uses ~0.95."""
+    from cdrc_semantic_search_spark.operators.dedup import semantic_dedup_keep
+    from cdrc_semantic_search_spark.operators.similarity import train_centroids
+
+    sample, _q, _c = _ann_fixture(spark, sf_dir)
+    cent = train_centroids(sample, n_centroids=16, seed=42)
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup_keep(
+        spark, e, "vec_id", "embedding", cent, threshold=0.35
+    )
+
+
 @register(
     "q13_customer_distribution",
     """

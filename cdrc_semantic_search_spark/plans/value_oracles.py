@@ -1000,3 +1000,53 @@ def _tr_role_balance_values() -> str:
             ("n_tool", "BIGINT"),
         ],
     )
+
+
+# ----------------------------------------------------- semantic dedup
+@_register("dedup_semantic_keep")
+def _semantic_keep_values() -> str:
+    """Twin of dedup_semantic_keep: same driver-side centroids (an INPUT
+    to the distributed op), float64-argmax assignment mirroring
+    ivf_assign, crc32 sub-sharding, then the SHARED greedy kernel
+    (_semantic_keep_mask IS the specification — identical matvec shapes
+    on both sides make the float64 keep decisions bit-equal). The
+    bucket membership itself is re-derived with plain dict grouping,
+    never the distributed join."""
+    import zlib as _z
+
+    from cdrc_semantic_search_spark.operators.dedup import _semantic_keep_mask
+    from cdrc_semantic_search_spark.operators.similarity import (
+        _unit_rows,
+        train_centroids,
+    )
+
+    t = _read("embeddings", ["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()]
+    order = np.argsort(np.array(ids))
+    sample = np.stack([vecs[i] for i in order if ids[i] < 256])
+    cent = train_centroids(sample, n_centroids=16, seed=42)
+
+    corpus = _unit_rows(np.stack(vecs).astype(np.float32))
+    assign = (corpus.astype(np.float64) @ cent.astype(np.float64).T).argmax(axis=1)
+    cap = 4096
+    members: dict[tuple[int, int], list[int]] = {}
+    csize: dict[int, int] = {}
+    for b in assign:
+        csize[int(b)] = csize.get(int(b), 0) + 1
+    for idx, b in enumerate(assign):
+        n_shards = -(-csize[int(b)] // cap)
+        shard = _z.crc32(str(ids[idx]).encode()) % n_shards
+        members.setdefault((int(b), shard), []).append(idx)
+    rows = []
+    for (b, _shard), idxs in members.items():
+        idxs.sort(key=lambda i: ids[i])
+        u = _unit_rows(
+            np.stack([vecs[i] for i in idxs]).astype(np.float32)
+        ).astype(np.float64)
+        keep = _semantic_keep_mask(u, 0.35)
+        rows.extend((ids[i], b, bool(k)) for i, k in zip(idxs, keep))
+    return values_sql(
+        sorted(rows),
+        [("id", "BIGINT"), ("cluster", "INTEGER"), ("kept", "BOOLEAN")],
+    )

@@ -1582,3 +1582,72 @@ def test_redact_pii_order_and_counts(spark):
     assert (got[2].n_ipv4, got[2].n_phone) == (1, 1)
     assert got[3].text_redacted == "no pii here at all"
     assert (got[3].n_url, got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 0, 0)
+
+
+def test_semantic_dedup_keep_subshard_and_invariance(spark):
+    """Sub-shard guard: a cap smaller than the biggest cluster splits the
+    greedy scan without losing ids, stays partition-invariant, and every
+    drop is justified by a >=threshold cosine to a kept member of the
+    SAME (cluster, shard)."""
+    import numpy as np
+
+    from cdrc_semantic_search_spark.operators.dedup import (
+        _semantic_keep_mask,
+        semantic_dedup_keep,
+    )
+    from cdrc_semantic_search_spark.operators.similarity import train_centroids
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 8)).astype(np.float32)
+    rows = []
+    for i in range(80):
+        v = base[i % 4] + rng.normal(scale=0.05, size=8).astype(np.float32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = train_centroids(base, n_centroids=2, seed=42)
+
+    out = {
+        parts: sorted(
+            semantic_dedup_keep(
+                spark,
+                df.repartition(parts),
+                "vec_id",
+                "embedding",
+                cent,
+                threshold=0.9,
+                max_cluster_size=10,
+            ).collect()
+        )
+        for parts in (1, 7)
+    }
+    assert out[1] == out[7], "sub-sharded result depends on partitioning"
+    got = out[1]
+    assert [r["id"] for r in got] == list(range(80)), "ids lost or duplicated"
+    kept = sum(1 for r in got if r["kept"])
+    # tight clusters of 4 prototypes: far fewer than 80 survive, but at
+    # least one per (cluster, shard) always does (the first scanned)
+    assert 8 <= kept < 80
+
+    # uncapped twin: greedy over each whole cluster must match the
+    # shared kernel run directly
+    full = sorted(
+        semantic_dedup_keep(
+            spark, df, "vec_id", "embedding", cent,
+            threshold=0.9, max_cluster_size=None,
+        ).collect()
+    )
+    from cdrc_semantic_search_spark.operators.similarity import _unit_rows
+
+    by_cluster: dict[int, list[int]] = {}
+    for r in full:
+        by_cluster.setdefault(r["cluster"], []).append(r["id"])
+    vecs = dict(rows)
+    expect: dict[int, bool] = {}
+    for cl, ids in by_cluster.items():
+        ids.sort()
+        u = _unit_rows(
+            np.stack([np.asarray(vecs[i], dtype=np.float32) for i in ids])
+        ).astype(np.float64)
+        for i, k in zip(ids, _semantic_keep_mask(u, 0.9)):
+            expect[i] = bool(k)
+    assert {r["id"]: r["kept"] for r in full} == expect
