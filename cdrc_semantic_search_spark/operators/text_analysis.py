@@ -438,3 +438,80 @@ def cooccurrence_lift_items(
         )
     )
     return out
+
+
+# -------------------------------------------------- n-gram LM scoring
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per adjacent token pair; docs with fewer
+    than two tokens contribute nothing. One regexp split per row (the
+    token array is a projected attribute, see detect_language)."""
+    t = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return t.select(id_col, F.explode(bg).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
+def bigram_cross_entropy(
+    df: DataFrame, ref: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document cross-entropy under an add-one-smoothed bigram LM
+    trained on ``ref`` — the CCNet-style perplexity quality filter
+    (Wenzek et al. 2020): docs whose text looks nothing like the
+    reference corpus score high and get filtered before training.
+
+    LM: P(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), with c(w1·) the bigram
+    CONTEXT count and V the reference's distinct-token vocabulary.
+    Returns (id, n_bigrams, ce) with ce = −mean log P, ROUND 6.
+
+    Scale shape: the reference corpus is a bounded sample by
+    construction (CCNet trains its LM on a fixed curated corpus, not on
+    the 100-TB input), so both count tables and the vocabulary scalar
+    are broadcast — the full-corpus bigram stream is scored map-side
+    and the only shuffle is the final per-doc aggregation on ``id``.
+
+    Cross-engine exactness: each per-bigram log-prob is rounded to 7
+    decimals and summed as DECIMAL(18,7) (order-independent, exact);
+    the probability itself is a division of identical integers so both
+    engines take ln() of the same double. ln may differ by 1 ulp
+    between libms — the round-7 guard makes a flip need a ~1e-16
+    coincidence, the ROUND(6) tolerance class the registry already
+    accepts (catalog_queries.py module doc).
+    """
+    doc_bi = _bigrams(df, id_col, text_col)
+    ref_bi = _bigrams(ref, id_col, text_col)
+    cb = ref_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = ref_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = (
+        ref.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    scored = (
+        doc_bi.join(F.broadcast(cb), ["w1", "w2"], "left")
+        .join(F.broadcast(cu), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                    / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
+                ),
+                7,
+            )
+            .cast("decimal(18,7)")
+            .alias("term"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            -F.sum("term").cast("double") / F.count(F.lit(1)), 6
+        ).alias("ce"),
+    )

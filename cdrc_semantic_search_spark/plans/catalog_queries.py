@@ -1954,6 +1954,53 @@ def pack_token_bins(spark, sf_dir):
 
 
 @register(
+    "ta_lm_cross_entropy",
+    f"""
+    WITH t AS (
+        SELECT doc_id, toks FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+        WHERE len(toks) >= 2
+    ),
+    bi AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+              FROM t)
+    ),
+    ref AS (SELECT * FROM bi WHERE doc_id < 250),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM ref GROUP BY w1, w2),
+    cu AS (SELECT w1, COUNT(*) AS cu FROM ref GROUP BY w1),
+    v AS (
+        SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest(toks) AS tok FROM t WHERE doc_id < 250
+        )
+    ),
+    scored AS (
+        SELECT bi.doc_id,
+               CAST(ROUND(ln((COALESCE(cb.cb, 0) + 1.0) / (COALESCE(cu.cu, 0) + v.v)), 7)
+                    AS DECIMAL(18,7)) AS term
+        FROM bi LEFT JOIN cb USING (w1, w2) LEFT JOIN cu USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS ce
+    FROM scored GROUP BY doc_id
+    """,
+)
+def ta_lm_cross_entropy(spark, sf_dir):
+    """CCNet-style perplexity quality filter: per-doc cross-entropy under
+    an add-one bigram LM trained on the doc_id<250 reference slice
+    (bounded by construction at ANY scale factor → both count tables
+    broadcast; the corpus bigram stream scores map-side and shuffles
+    only on doc_id). operators/text_analysis.bigram_cross_entropy."""
+    from cdrc_semantic_search_spark.operators.text_analysis import (
+        bigram_cross_entropy,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return bigram_cross_entropy(d, d.filter("doc_id < 250"), "doc_id", "text")
+
+
+@register(
     "emb_label_centroids",
     """
     WITH ex AS (

@@ -1651,3 +1651,23 @@ def test_semantic_dedup_keep_subshard_and_invariance(spark):
         for i, k in zip(ids, _semantic_keep_mask(u, 0.9)):
             expect[i] = bool(k)
     assert {r["id"]: r["kept"] for r in full} == expect
+
+
+def test_bigram_cross_entropy_hand_values(spark):
+    """Add-one bigram LM on ref 'a b a b': cb(a,b)=2, cb(b,a)=1,
+    cu(a)=2, cu(b)=1, V=2. Doc 'a b c' -> terms ln(3/4), ln(1/3);
+    ce = -(ln .75 + ln 1/3)/2 = 0.693147. Single-token docs excluded."""
+    from cdrc_semantic_search_spark.operators.text_analysis import (
+        bigram_cross_entropy,
+    )
+
+    ref = spark.createDataFrame([(100, "a b a b")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "x")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_cross_entropy(
+        docs, ref, "doc_id", "text"
+    ).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_bigrams"] == 2
+    assert abs(out[1]["ce"] - 0.693147) < 1e-9
