@@ -660,14 +660,21 @@ def _semantic_keep_mask(u: np.ndarray, threshold: float) -> np.ndarray:
     """
     n = len(u)
     keep = np.zeros(n, dtype=bool)
-    kept_rows: list[int] = []
+    # preallocated kept-row buffer: buf[:k] is a contiguous view with the
+    # same shape/dtype/values a fancy-indexed copy would have, so the
+    # dgemv result is unchanged — but each kept row is copied ONCE
+    # (O(n·d)) instead of re-materializing the whole kept set per step
+    # (O(n²·d) allocations on a full 4096-member cluster)
+    buf = np.empty_like(u)
+    k = 0
     for i in range(n):
-        if kept_rows:
-            sims = u[kept_rows] @ u[i]
+        if k:
+            sims = buf[:k] @ u[i]
             if float(sims.max()) >= threshold:
                 continue
         keep[i] = True
-        kept_rows.append(i)
+        buf[k] = u[i]
+        k += 1
     return keep
 
 
@@ -698,7 +705,10 @@ def semantic_dedup_keep(
     The shard split is a pure function of the ids, so results stay
     partition-invariant.
 
-    Returns (id, cluster, kept) — every input id appears exactly once.
+    Returns (id, cluster, kept) — every input id with a non-null vector
+    appears exactly once (null-vector rows are excluded before
+    assignment, the same guard every quantized path applies; callers
+    who must account for them anti-join the output against the input).
     Reference-semantics anchor: this generalizes the reference's
     "embed then keep the most relevant" retrieval core
     (/root/reference/src/model.py:20-23) from query-time ranking to

@@ -155,17 +155,25 @@ def winnowing_fingerprints(text_col: Column, k: int = 5, window: int = 4) -> Col
     return F.array_sort(F.array_distinct(mins))
 
 
+#: explicit whitespace class — the shorthand classes are NOT engine-
+#: identical (Java \s includes \x0B, RE2's does not; Python \d/\s are
+#: Unicode-aware), so the patterns spell every class out and only \b
+#: remains shorthand (ASCII word boundary, same [A-Za-z0-9_] word set
+#: in Java-default and RE2)
+_RX_WS = r" \t\n\x0B\f\r"
+
 #: (label, pattern, replacement) applied IN ORDER — URL before email so a
 #: userinfo URL ("https://user@host/...") redacts as one URL, not a URL
 #: fragment plus an email; IP before phone so dotted quads never leave a
-#: digit run for the looser phone pattern. Patterns deliberately use only
-#: constructs with identical semantics in Java regex (Spark), RE2
-#: (DuckDB) and Python re — the oracle twin runs the same list.
+#: digit run for the looser phone pattern. Patterns use only explicit
+#: character classes (see _RX_WS) so Java regex (Spark), RE2 (DuckDB)
+#: and Python re agree byte-for-byte; the oracle SQL is GENERATED from
+#: this list (catalog_queries._pii_oracle_sql) — one source of truth.
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("url", r"https?://[^\s]+", "<URL>"),
+    ("url", rf"https?://[^{_RX_WS}]+", "<URL>"),
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d[\d() -]{6,}\d\b", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() -]{6,}[0-9]\b", "<PHONE>"),
 ]
 
 

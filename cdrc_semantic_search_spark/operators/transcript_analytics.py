@@ -56,7 +56,11 @@ def turn_latency_stats(turns: DataFrame) -> DataFrame:
     """(role, n_gaps, sum_gap_s, max_gap_s) — per responding role, the
     integer-second gap between a turn and the PREVIOUS turn of its
     conversation (any role; the first turn of a conversation has no gap
-    and is excluded). sum/max instead of avg: integer-exact, so the
+    and is excluded). The gap is the difference of per-timestamp second
+    FLOORS (unix_timestamp semantics) — on sub-second timestamps that
+    differs from flooring the float difference (09.7→10.2 is 1, not 0),
+    and the VALUES twin mirrors exactly this. sum/max instead of avg:
+    integer-exact, so the
     result is independent of aggregation order (avg = sum/n is one IEEE
     division away for any consumer that wants it).
 

@@ -1971,8 +1971,10 @@ def pack_token_bins(spark, sf_dir):
     cb AS (SELECT w1, w2, COUNT(*) AS cb FROM ref GROUP BY w1, w2),
     cu AS (SELECT w1, COUNT(*) AS cu FROM ref GROUP BY w1),
     v AS (
+        -- vocabulary over ALL reference docs (t filters len>=2, which
+        -- would silently shrink V when a ref doc has a single token)
         SELECT COUNT(DISTINCT tok) AS v FROM (
-            SELECT unnest(toks) AS tok FROM t WHERE doc_id < 250
+            SELECT unnest({_SQL_TOKS}) AS tok FROM documents WHERE doc_id < 250
         )
     ),
     scored AS (
@@ -4830,37 +4832,40 @@ _PII_SUFFIX_SQL = (
 )
 
 
-@register(
-    "ta_redact_pii",
-    f"""
-    WITH d AS (
-        SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t0
-        FROM documents WHERE doc_id < 200
-    ),
-    s1 AS (
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(t0, 'https?://[^\\s]+')) AS INTEGER) AS n_url,
-               regexp_replace(t0, 'https?://[^\\s]+', '<URL>', 'g') AS t1
-        FROM d
-    ),
-    s2 AS (
-        SELECT doc_id, n_url,
-               CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INTEGER) AS n_email,
-               regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g') AS t2
-        FROM s1
-    ),
-    s3 AS (
-        SELECT doc_id, n_url, n_email,
-               CAST(len(regexp_extract_all(t2, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS INTEGER) AS n_ipv4,
-               regexp_replace(t2, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g') AS t3
-        FROM s2
+def _pii_oracle_sql() -> str:
+    """Generate the ta_redact_pii oracle from PII_PATTERNS itself — one
+    source of truth, so editing/reordering the policy list can never
+    leave the oracle silently testing a different policy. DuckDB's
+    standard single-quote strings pass backslashes through literally,
+    so the raw patterns land in RE2 unchanged (only quotes escape)."""
+    from cdrc_semantic_search_spark.operators.text_analysis import PII_PATTERNS
+
+    sql = (
+        "WITH d AS (\n"
+        f"    SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t0\n"
+        "    FROM documents WHERE doc_id < 200\n)"
     )
-    SELECT doc_id, n_url, n_email, n_ipv4,
-           CAST(len(regexp_extract_all(t3, '\\+?\\d[\\d() -]{{6,}}\\d\\b')) AS INTEGER) AS n_phone,
-           regexp_replace(t3, '\\+?\\d[\\d() -]{{6,}}\\d\\b', '<PHONE>', 'g') AS text_redacted
-    FROM s3
-    """,
-)
+    cols: list[str] = []
+    for i, (label, pat, repl) in enumerate(PII_PATTERNS, start=1):
+        p = pat.replace("'", "''")
+        carried = ", ".join(["doc_id"] + cols)
+        src = "d" if i == 1 else f"s{i - 1}"
+        sql += (
+            f",\ns{i} AS (\n"
+            f"    SELECT {carried},\n"
+            f"        CAST(len(regexp_extract_all(t{i - 1}, '{p}')) AS INTEGER) AS n_{label},\n"
+            f"        regexp_replace(t{i - 1}, '{p}', '{repl}', 'g') AS t{i}\n"
+            f"    FROM {src}\n)"
+        )
+        cols.append(f"n_{label}")
+    sql += (
+        f"\nSELECT doc_id, {', '.join(cols)}, t{len(PII_PATTERNS)} AS text_redacted"
+        f"\nFROM s{len(PII_PATTERNS)}"
+    )
+    return sql
+
+
+@register("ta_redact_pii", _pii_oracle_sql)
 def ta_redact_pii(spark, sf_dir):
     """PII scrub over text: URL → e-mail → IPv4 → phone placeholder
     substitution with per-category counts (operators/text_analysis.

@@ -947,15 +947,26 @@ def _tr_tool_transitions_values() -> str:
 def _tr_turn_latency_values() -> str:
     """Twin of turn_latency_stats: integer-second gap to the previous
     turn of the conversation (any role), rolled up per responding role.
-    Integer sums — exact regardless of accumulation order."""
+    Integer sums — exact regardless of accumulation order.
+
+    The gap is the difference of PER-TIMESTAMP second floors (mirroring
+    Spark's unix_timestamp(ts) − unix_timestamp(prev)), not the floor of
+    the float difference — on sub-second timestamps the two disagree
+    (09.7→10.2 is 1 the first way, 0 the second)."""
+    import math
+
     pdf = _fixture_transcripts_pdf()
+
+    def _floor_s(ts) -> int:
+        return math.floor(ts.timestamp())
+
     agg: dict[str, list[int]] = {}
     for conv_id, grp in pdf.groupby("conv_id"):
         g = grp.sort_values("turn_idx")
         prev_ts = None
         for r in g.itertuples():
             if prev_ts is not None:
-                gap = int((r.ts - prev_ts).total_seconds())
+                gap = _floor_s(r.ts) - _floor_s(prev_ts)
                 agg.setdefault(str(r.role), []).append(gap)
             prev_ts = r.ts
     rows = [

@@ -1573,9 +1573,13 @@ def test_redact_pii_order_and_counts(spark):
         # dotted quad is IP, not phone; bare digit run is phone
         (2, "host 192.168.0.1 call +1 (415) 555-0199 end"),
         (3, "no pii here at all"),
+        # vertical tab terminates the URL in EVERY engine (the explicit
+        # [^ \t\n\x0B\f\r] class — Java \s and RE2 \s disagree on \x0B)
+        (4, "go https://a.com\x0Bxyz end"),
     ]
     df = spark.createDataFrame(rows, "id long, text string")
     got = {r.id: r for r in redact_pii(df, "text").collect()}
+    assert got[4].text_redacted == "go <URL>\x0Bxyz end"
     assert got[1].text_redacted == "see <URL> and mail <EMAIL> now"
     assert (got[1].n_url, got[1].n_email) == (1, 1)
     assert got[2].text_redacted == "host <IP> call <PHONE> end"
@@ -1671,3 +1675,13 @@ def test_bigram_cross_entropy_hand_values(spark):
     assert set(out) == {1}
     assert out[1]["n_bigrams"] == 2
     assert abs(out[1]["ce"] - 0.693147) < 1e-9
+
+    # a single-token ref doc contributes NO bigrams but DOES extend the
+    # vocabulary (V=3): terms ln(3/5), ln(1/4) -> ce = 0.948560
+    ref2 = spark.createDataFrame(
+        [(100, "a b a b"), (101, "z")], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r for r in bigram_cross_entropy(
+        docs, ref2, "doc_id", "text"
+    ).collect()}
+    assert abs(out2[1]["ce"] - 0.948560) < 1e-9
