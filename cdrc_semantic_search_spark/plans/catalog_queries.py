@@ -4250,6 +4250,212 @@ def q12_priority_by_returnflag(spark, sf_dir):
 
 
 @register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution — the OUTER
+    join + two-level aggregation idiom (customers with zero qualifying
+    orders must survive as c_count = 0). The testdata has no o_comment,
+    so the "not like %special%requests%" exclusion is stood in by an
+    o_orderpriority predicate — same plan shape: the filter lives in the
+    JOIN condition, not a WHERE (a WHERE would silently turn the outer
+    join inner and drop zero-order customers).
+
+    Scale: the left join shuffles both sides on the customer key (both
+    SF-proportional — no broadcast hint, AQE decides); the first
+    aggregation rides the same partitioning (no extra exchange), and the
+    second groups on c_count, whose key space is tiny (map-side combine
+    collapses each task to ~dozens of rows)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"])
+        & (o["o_orderpriority"] != "4-NOT SPECIFIED"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("long").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT ROUND(
+        100.0 * CAST(ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l_discount AS DECIMAL(8,4))
+                     ELSE CAST(0 AS DECIMAL(15,4)) * CAST(0 AS DECIMAL(8,4)) END), 4) AS DOUBLE)
+        / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE),
+        6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-03-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promotion revenue share — conditional aggregation over
+    a fact-dim join, reduced to ONE output row. Both sums are exact
+    decimal products (factor-wise casts, module doc), rounded to 4
+    before the double division; the ratio itself is one IEEE division of
+    two identical doubles, so both engines agree bit-for-bit.
+
+    Scale: the l_shipdate range filter is pushed to the lineitem scan;
+    part carries only (p_partkey, p_type) through the join (column
+    pruning) and is dimension-sized relative to lineitem — AQE
+    broadcast-decides (no forced hint; part grows with SF). The CASE
+    sums partial-aggregate map-side to a single row per task."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-03-01")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    price_d = F.col("l_extendedprice").cast("decimal(15,4)")
+    disc_d = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    zero_d = F.lit(0).cast("decimal(15,4)") * F.lit(0).cast("decimal(8,4)")
+    promo = F.when(F.col("p_type").startswith("PROMO"), price_d * disc_d).otherwise(
+        zero_d
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.round(F.sum(promo), 4).cast("double")
+                / F.round(F.sum(price_d * disc_d), 4).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_name, c.c_custkey, o.o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    )
+    GROUP BY c_name, c.c_custkey, o.o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18: large-volume customers — the HAVING-subquery-as-
+    semi-join idiom. The inner aggregation groups lineitem on its OWN
+    key (one exchange, map-side partials), keeps only order keys whose
+    quantity sum exceeds the threshold (a tiny survivor set), and that
+    set semi-joins orders before the re-join with lineitem for the
+    final rollup. Quantity sums are exact decimal (integral doubles in
+    the data, but the cast removes any float-accumulation hazard).
+
+    Scale: the survivor set is threshold-selective (46 of 30k orders at
+    sf0.01) — AQE broadcast-decides the semi and subsequent joins at
+    runtime; no forced hints since every table here is SF-proportional.
+    lineitem is scanned twice by design (TPC-H's own shape); the second
+    scan only reads (l_orderkey, l_quantity) after pruning."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty_d = F.col("l_quantity").cast("decimal(18,4)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_d).alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    o = load(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(qty_d).cast("double").alias("sum_qty"))
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH pos AS (
+        SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS s, COUNT(*) AS cnt
+        FROM customer WHERE c_acctbal > 0.0
+    ),
+    urgent AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(c_acctbal AS DECIMAL(18,4)) * pos.cnt > pos.s
+      AND NOT EXISTS (SELECT 1 FROM urgent u WHERE u.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey % 5
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no matching
+    order, grouped by country code — the scalar-subquery-threshold +
+    NOT-EXISTS anti-join idiom. Adaptations for this testdata (no
+    c_phone; every customer has ≥1 order, so the classic "never ordered"
+    predicate is empty): cntrycode = c_nationkey % 5, and the anti-join
+    excludes customers with an URGENT order instead of any order.
+
+    Exactness: "above average" compares c_acctbal·cnt > Σ(acctbal) in
+    EXACT decimal — a decimal-integer cross-multiplication instead of
+    dividing (decimal division scale rules differ between engines, and
+    a double average is accumulation-order-dependent; the product form
+    is order-independent and bit-exact in both).
+
+    Scale: the (sum, count) scalar is a 1-row broadcast cross join (the
+    allowed hint class — scalar aggregates, never SF-proportional
+    tables); the anti side is a DISTINCT projection of orders, shuffled
+    on its own key; customer is scanned once."""
+    c = load(spark, sf_dir, "customer")
+    bal_d = F.col("c_acctbal").cast("decimal(18,4)")
+    pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.sum(bal_d).alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    kept = (
+        c.crossJoin(F.broadcast(pos))
+        .filter(bal_d * F.col("cnt") > F.col("s"))
+        .join(urgent, c["c_custkey"] == urgent["o_custkey"], "left_anti")
+    )
+    return kept.groupBy(
+        (F.col("c_nationkey") % 5).cast("int").alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.sum(bal_d).cast("double").alias("totacctbal"),
+    )
+
+
+@register(
     "i2_sliding_windows",
     """
     WITH w AS (
