@@ -272,3 +272,84 @@ def incremental_components(
         F.coalesce("merged", "id").alias("component"),
     )
     return patched.unionByName(new_labels)
+
+
+def clustering_pair_quality(
+    df: DataFrame,
+    item_col: str = "surface",
+    cluster_col: str = "canonical_surface",
+    label_col: str = "entity_id",
+) -> DataFrame:
+    """Pair-counting quality of a clustering against gold labels — the
+    canonicalization-evaluation operator behind the north rule's
+    "P/R ≥ 0.95 vs reference" framing: given (item, predicted cluster,
+    gold label) rows, score how well the clusters reproduce the gold
+    partition over the item PAIRS.
+
+        tp_pairs   = pairs sharing BOTH cluster and gold label
+        pred_pairs = pairs sharing a cluster
+        gold_pairs = pairs sharing a gold label
+        precision  = tp/pred, recall = tp/gold (Rand-style pair P/R)
+
+    One row out: (n_items, tp_pairs, pred_pairs, gold_pairs, precision,
+    recall). Counts are INTEGER-exact (sums of C(n,2) terms — no float
+    accumulation in the hashable core); precision/recall are a single
+    IEEE division of those integers, identical on every engine.
+
+    Contract: one row per item (the shape :meth:`KGPipeline.
+    surface_clusters` emits); rows with a NULL gold label (unlinked
+    surfaces — no gold class) are excluded from the universe.
+
+    100-TB shape: one exchange on (cluster, label) with map-side
+    combine; cluster/label marginals re-aggregate the contingency
+    counts (already collapsed to the number of DISTINCT (cluster,
+    label) cells, ≪ items); the three 1-row totals meet in broadcast
+    cross joins. Nothing is ever quadratic in items — C(n,2) is
+    arithmetic on counts, never a pair join.
+
+    Reference anchor: the reference evaluates retrieval quality by
+    comparing grouped chunk parents against expected groupings
+    (/root/reference/src/evaluation.py:29-38); this is that check as a
+    distributed operator.
+    """
+    base = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(item_col).alias("item"),
+        F.col(cluster_col).alias("cluster"),
+        F.col(label_col).alias("label"),
+    )
+    cg = base.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cg")
+    )
+
+    def _pairs(n):
+        return (n * (n - F.lit(1))) / F.lit(2)
+
+    tp = cg.agg(
+        F.sum(_pairs(F.col("n_cg"))).cast("long").alias("tp_pairs"),
+        F.sum("n_cg").cast("long").alias("n_items"),
+    )
+    pred = (
+        cg.groupBy("cluster")
+        .agg(F.sum("n_cg").alias("n_c"))
+        .agg(F.sum(_pairs(F.col("n_c"))).cast("long").alias("pred_pairs"))
+    )
+    gold = (
+        cg.groupBy("label")
+        .agg(F.sum("n_cg").alias("n_g"))
+        .agg(F.sum(_pairs(F.col("n_g"))).cast("long").alias("gold_pairs"))
+    )
+    out = tp.crossJoin(F.broadcast(pred)).crossJoin(F.broadcast(gold))
+    return out.select(
+        "n_items",
+        "tp_pairs",
+        "pred_pairs",
+        "gold_pairs",
+        F.when(
+            F.col("pred_pairs") > 0,
+            F.round(F.col("tp_pairs") / F.col("pred_pairs"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("gold_pairs") > 0,
+            F.round(F.col("tp_pairs") / F.col("gold_pairs"), 6),
+        ).alias("recall"),
+    )

@@ -3499,6 +3499,30 @@ def kg_negative_samples(spark, sf_dir):
     )
 
 
+@register("kg_canon_quality", value_oracles.lazy("kg_canon_quality"))
+def kg_canon_quality(spark, sf_dir):
+    """Pair-counting precision/recall of the pipeline's surface
+    canonicalization against the gold entity labels riding on the
+    surface_clusters frame (operators/canonicalize.
+    clustering_pair_quality) — the distributed form of the north rule's
+    P/R gate, runnable as a data-quality probe on every compaction.
+    Oracle: a pure-Python twin that re-derives the clusters from the
+    shared specification kernels (encode_texts + lsh_planes/
+    lsh_bucket_matrix + fold-cosine + union-find) and counts pairs with
+    exact integers."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.operators.canonicalize import (
+        clustering_pair_quality,
+    )
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities, Settings())
+    return clustering_pair_quality(pipe.surface_clusters(pipe.mentions(tdf)))
+
+
 # =====================================================================
 # §2.10 incremental / event-time
 # =====================================================================

@@ -1061,3 +1061,116 @@ def _semantic_keep_values() -> str:
         sorted(rows),
         [("id", "BIGINT"), ("cluster", "INTEGER"), ("kept", "BOOLEAN")],
     )
+
+
+@_register("kg_canon_quality")
+def _kg_canon_quality_values() -> str:
+    """Twin of kg_canon_quality: re-derives the surface clusters OUTSIDE
+    Spark from the shared specification kernels — extract_turn/_link for
+    the distinct (surface → min gold entity) universe (the same chain
+    _kg_nodes_values pins), encode_texts for vectors, lsh_planes/
+    lsh_bucket_matrix + bucket intersection for candidates, the exact
+    left-fold cosine for the ≥ τ re-check, and union-find with
+    min-string canonical for components (connected_components'
+    specification). Pair counts are exact integers; precision/recall are
+    one IEEE division, Spark-ROUND-half-up to 6."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.encoder import encode_texts, normalize_surface
+    from cdrc_semantic_search_spark.operators.extraction_core import (
+        AliasMatcher,
+        extract_turn,
+    )
+    from cdrc_semantic_search_spark.operators.linking import build_entity_index
+    from cdrc_semantic_search_spark.operators.similarity import (
+        lsh_bucket_matrix,
+        lsh_planes,
+    )
+    from cdrc_semantic_search_spark.oracle import _link
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    settings = Settings()
+    matcher = AliasMatcher(
+        [
+            (r.entity_id, [r.canonical_name, *list(r.aliases)])
+            for r in fx.entities.itertuples()
+        ]
+    )
+    index = build_entity_index(fx.entities, settings)
+    link_cache: dict[str, str | None] = {}
+    golds: dict[str, set] = {}
+    for r in fx.transcripts.itertuples():
+        mentions, _ = extract_turn(r.text or "", matcher)
+        for m in mentions:
+            if m.surface not in link_cache:
+                link_cache[m.surface] = _link(m.surface, index, settings)[0]
+            eid = link_cache[m.surface]
+            s = normalize_surface(m.surface)
+            bucket = golds.setdefault(s, set())
+            if eid is not None:
+                bucket.add(eid)
+    # surface_forms: min(entity_id) skips NULLs; all-null surfaces -> None
+    gold = {s: (min(v) if v else None) for s, v in golds.items()}
+
+    surfaces = sorted(gold)
+    enc, ps = settings.encoder, settings.pipeline
+    mat = encode_texts(surfaces, dim=enc.embed_dim, seed=enc.seed, ngram=enc.ngram)
+    planes = lsh_planes(enc.embed_dim, ps.canon_n_planes, enc.seed)
+    buckets_m = lsh_bucket_matrix(mat, planes, ps.canon_n_bands)
+    buckets: dict[tuple, list[str]] = {}
+    for s, brow in zip(surfaces, buckets_m):
+        for band, bucket_id in enumerate(brow):
+            buckets.setdefault((band, int(bucket_id)), []).append(s)
+    vec = dict(zip(surfaces, mat))
+
+    parent: dict[str, str] = {s: s for s in surfaces}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _pairs_from_buckets(buckets):
+        if _fold_cosine(vec[a], vec[b]) >= KGPipeline.CANON_THRESHOLD:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min keeps the root the component minimum
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+    cg: dict[tuple[str, str], int] = {}
+    for s in surfaces:
+        if gold[s] is None:
+            continue
+        key = (find(s), gold[s])
+        cg[key] = cg.get(key, 0) + 1
+    n_items = sum(cg.values())
+    tp = sum(n * (n - 1) // 2 for n in cg.values())
+    pred_sizes: dict[str, int] = {}
+    gold_sizes: dict[str, int] = {}
+    for (c, g), n in cg.items():
+        pred_sizes[c] = pred_sizes.get(c, 0) + n
+        gold_sizes[g] = gold_sizes.get(g, 0) + n
+    pred = sum(n * (n - 1) // 2 for n in pred_sizes.values())
+    gold_pairs = sum(n * (n - 1) // 2 for n in gold_sizes.values())
+    row = (
+        n_items,
+        tp,
+        pred,
+        gold_pairs,
+        _round_half_up(tp / pred, 6) if pred else None,
+        _round_half_up(tp / gold_pairs, 6) if gold_pairs else None,
+    )
+    return values_sql(
+        [row],
+        [
+            ("n_items", "BIGINT"),
+            ("tp_pairs", "BIGINT"),
+            ("pred_pairs", "BIGINT"),
+            ("gold_pairs", "BIGINT"),
+            ("precision", "DOUBLE"),
+            ("recall", "DOUBLE"),
+        ],
+    )

@@ -1685,3 +1685,38 @@ def test_bigram_cross_entropy_hand_values(spark):
         docs, ref2, "doc_id", "text"
     ).collect()}
     assert abs(out2[1]["ce"] - 0.948560) < 1e-9
+
+
+def test_clustering_pair_quality_hand_values(spark):
+    from cdrc_semantic_search_spark.operators.canonicalize import (
+        clustering_pair_quality,
+    )
+
+    # clusters: {a,b,c} + {d,e}; gold: {a,b} {c,d} {e}
+    # tp: (a,b) from cluster1 -> 1; pred: C(3,2)+C(2,2)=3+1=4; gold: 1+1+0=2
+    rows = [
+        ("a", "k1", "g1"),
+        ("b", "k1", "g1"),
+        ("c", "k1", "g2"),
+        ("d", "k2", "g2"),
+        ("e", "k2", "g3"),
+        ("f", "k3", None),  # unlinked: excluded from the universe
+    ]
+    df = spark.createDataFrame(
+        rows, "surface string, canonical_surface string, entity_id string"
+    )
+    out = clustering_pair_quality(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_items, r.tp_pairs, r.pred_pairs, r.gold_pairs) == (5, 1, 4, 2)
+    assert abs(r.precision - 0.25) < 1e-12
+    assert abs(r.recall - 0.5) < 1e-12
+
+    # perfect clustering -> P = R = 1
+    perfect = spark.createDataFrame(
+        [("a", "k1", "g1"), ("b", "k1", "g1"), ("c", "k2", "g2"), ("d", "k2", "g2")],
+        "surface string, canonical_surface string, entity_id string",
+    )
+    p = clustering_pair_quality(perfect).collect()[0]
+    assert (p.tp_pairs, p.pred_pairs, p.gold_pairs) == (2, 2, 2)
+    assert p.precision == 1.0 and p.recall == 1.0
