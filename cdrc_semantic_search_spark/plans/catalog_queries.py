@@ -3499,6 +3499,37 @@ def kg_negative_samples(spark, sf_dir):
     )
 
 
+@register("kg_type_constraints", value_oracles.lazy("kg_type_constraints"))
+def kg_type_constraints(spark, sf_dir):
+    """Predicate domain/range validation over the fixture KG
+    (plans/kg_pipeline.edge_type_profile): every observed (pred,
+    subj_type, obj_type) combination counted and flagged against the
+    DEFAULT_EDGE_SCHEMA ontology ('*' wildcards; broadcast — the one
+    genuinely bounded dim). Violations are real: the fixture ontology
+    excludes tool→tool uses_tool and non-data derived_from endpoints.
+    Oracle: pandas twin over the pure-Python triple twin + the SAME
+    schema constant."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.plans.kg_pipeline import (
+        DEFAULT_EDGE_SCHEMA,
+        KGPipeline,
+        edge_type_profile,
+    )
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities, Settings())
+    edges = pipe.kg_edges(pipe.triples(tdf))
+    nodes = spark.createDataFrame(
+        fx.entities[["entity_id", "entity_type"]]
+    )
+    schema = spark.createDataFrame(
+        DEFAULT_EDGE_SCHEMA, "pred string, subj_type string, obj_type string"
+    )
+    return edge_type_profile(edges, nodes, schema)
+
+
 @register("kg_canon_quality", value_oracles.lazy("kg_canon_quality"))
 def kg_canon_quality(spark, sf_dir):
     """Pair-counting precision/recall of the pipeline's surface

@@ -895,3 +895,83 @@ class KGPipeline:
             F.coalesce("component", "surface").alias("canonical_surface"),
             "entity_id",
         )
+
+
+#: Ontology for edge validation: (pred, subj_type, obj_type) rows a
+#: well-formed edge may match; '*' is a wildcard. A human-curated schema
+#: is dozens of rows — the one dimension in the pipeline that is
+#: genuinely bounded (never SF-proportional), hence the forced broadcast
+#: in edge_type_profile. The fixture ontology deliberately excludes
+#: tool→tool uses_tool and non-data derived_from endpoints so the
+#: validation path exercises real violations.
+DEFAULT_EDGE_SCHEMA: list[tuple[str, str, str]] = [
+    ("uses_tool", "dataset", "tool"),
+    ("uses_tool", "metric", "tool"),
+    ("uses_tool", "place", "tool"),
+    ("uses_tool", "org", "tool"),
+    ("located_in", "*", "place"),
+    ("derived_from", "dataset", "dataset"),
+    ("derived_from", "dataset", "metric"),
+    ("derived_from", "metric", "dataset"),
+    ("derived_from", "metric", "metric"),
+    ("mentions", "*", "*"),
+    ("relates_to", "*", "*"),
+]
+
+
+def edge_type_profile(
+    edges: DataFrame, nodes: DataFrame, schema: DataFrame
+) -> DataFrame:
+    """Predicate domain/range validation — the KG-construction quality
+    gate that catches systematic extraction errors (a linker drifting
+    into tool→tool ``uses_tool`` edges, a place classified as a metric):
+    profile every (pred, subj_type, obj_type) combination in the edge
+    set and mark whether the ontology ``schema`` (pred, subj_type,
+    obj_type; '*' wildcards) allows it.
+
+    → (pred, subj_type, obj_type, n_edges, valid) — integer counts, one
+    row per observed combination. Quarantining the offending edges is
+    the same plan one join deeper: semi-join edges against the
+    ``valid = false`` rows of this profile.
+
+    100-TB shape: the two type lookups join the edge FACTS on entity id
+    (node dim is SF-proportional — no forced hint, AQE decides);
+    the profile aggregation collapses to |preds|·|types|² rows with
+    map-side combine before any schema logic runs; the schema itself is
+    the one genuinely bounded dimension (a curated ontology), so it IS
+    force-broadcast, and the wildcard match runs on the collapsed
+    profile, never per edge.
+    """
+    subj_t = nodes.select(
+        F.col("entity_id").alias("_subj_id"),
+        F.col("entity_type").alias("subj_type"),
+    )
+    obj_t = nodes.select(
+        F.col("entity_id").alias("_obj_id"),
+        F.col("entity_type").alias("obj_type"),
+    )
+    typed = (
+        edges.select("subj_entity_id", "pred", "obj_entity_id")
+        .join(subj_t, F.col("subj_entity_id") == F.col("_subj_id"))
+        .join(obj_t, F.col("obj_entity_id") == F.col("_obj_id"))
+    )
+    prof = typed.groupBy("pred", "subj_type", "obj_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    s = schema.select(
+        F.col("pred").alias("_s_pred"),
+        F.col("subj_type").alias("_s_subj"),
+        F.col("obj_type").alias("_s_obj"),
+    )
+    cond = (
+        (F.col("pred") == F.col("_s_pred"))
+        & ((F.col("_s_subj") == "*") | (F.col("_s_subj") == F.col("subj_type")))
+        & ((F.col("_s_obj") == "*") | (F.col("_s_obj") == F.col("obj_type")))
+    )
+    hit = prof.join(F.broadcast(s), cond, "left_semi").withColumn(
+        "valid", F.lit(True)
+    )
+    miss = prof.join(F.broadcast(s), cond, "left_anti").withColumn(
+        "valid", F.lit(False)
+    )
+    return hit.unionByName(miss)

@@ -1174,3 +1174,49 @@ def _kg_canon_quality_values() -> str:
             ("recall", "DOUBLE"),
         ],
     )
+
+
+@_register("kg_type_constraints")
+def _kg_type_constraints_values() -> str:
+    """Twin of kg_type_constraints: distinct (subj, pred, obj) edges from
+    the pure-Python triple twin, typed through the entity dim, counted
+    per (pred, subj_type, obj_type), and flagged by the SAME
+    DEFAULT_EDGE_SCHEMA wildcard logic — shared constant, independent
+    evaluation."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.plans.kg_pipeline import DEFAULT_EDGE_SCHEMA
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    pdf = _fixture_triples()
+    types = dict(zip(fx.entities.entity_id, fx.entities.entity_type))
+    edges = {
+        (r.subj_entity_id, r.pred, r.obj_entity_id)
+        for r in pdf.itertuples(index=False)
+    }
+    counts: dict[tuple[str, str, str], int] = {}
+    for s, p, o in edges:
+        key = (p, types[s], types[o])
+        counts[key] = counts.get(key, 0) + 1
+
+    def _allowed(pred: str, st: str, ot: str) -> bool:
+        return any(
+            sp == pred
+            and ss in ("*", st)
+            and so in ("*", ot)
+            for sp, ss, so in DEFAULT_EDGE_SCHEMA
+        )
+
+    rows = [
+        (p, st, ot, n, _allowed(p, st, ot))
+        for (p, st, ot), n in sorted(counts.items())
+    ]
+    return values_sql(
+        rows,
+        [
+            ("pred", "VARCHAR"),
+            ("subj_type", "VARCHAR"),
+            ("obj_type", "VARCHAR"),
+            ("n_edges", "BIGINT"),
+            ("valid", "BOOLEAN"),
+        ],
+    )
