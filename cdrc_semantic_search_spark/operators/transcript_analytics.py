@@ -103,3 +103,80 @@ def role_balance(turns: DataFrame) -> DataFrame:
         F.count_if(F.col("role") == "assistant").alias("n_assistant"),
         F.count_if(F.col("role") == "tool").alias("n_tool"),
     )
+
+
+def qa_pair_mining(turns: DataFrame) -> DataFrame:
+    """(conv_id, q_turn_idx, a_turn_idx, q_len, a_len) — user turns that
+    ask a question ('?' anywhere in the text) answered by the
+    IMMEDIATELY following assistant turn. The question/answer pair miner
+    every instruction-tuning data pipeline runs over agent transcripts;
+    lengths are character counts (integer-exact hash core).
+
+    Plan: one lead window over the stable (conv_id, turn_idx) order
+    carrying (role, text, turn_idx) of the next turn, then a filter —
+    no join, no second shuffle. Per-conversation window partitions keep
+    hot conversations one-task local (same skew note as the module doc).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = (
+        turns.select("conv_id", "turn_idx", "role", "text")
+        .withColumn("next_role", F.lead("role").over(w))
+        .withColumn("next_text", F.lead("text").over(w))
+        .withColumn("next_idx", F.lead("turn_idx").over(w))
+    )
+    return nxt.filter(
+        (F.col("role") == "user")
+        & F.col("text").contains("?")
+        & (F.col("next_role") == "assistant")
+    ).select(
+        "conv_id",
+        F.col("turn_idx").alias("q_turn_idx"),
+        F.col("next_idx").alias("a_turn_idx"),
+        F.length("text").cast("long").alias("q_len"),
+        F.length("next_text").cast("long").alias("a_len"),
+    )
+
+
+def tool_retry_runs(turns: DataFrame, min_run: int = 2) -> DataFrame:
+    """(conv_id, tool, start_turn_idx, run_len) — maximal runs of
+    CONSECUTIVE calls to the same tool within a conversation's tool-call
+    sequence (non-tool turns between calls are skipped, matching
+    tool_transition_counts' sequence definition), kept when run_len ≥
+    ``min_run``. Repeated immediate re-invocation is the retry/failure
+    signature operations watches for in agent transcripts.
+
+    Plan: filter to tool turns (pushed to the scan), one conv_id window
+    computing the run-boundary flag (lag) and the running boundary sum
+    (run id) — two window functions over ONE partitioning, so one
+    shuffle — then a groupBy on (conv_id, run id), conversation-sized
+    key space, map-side combined.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    seq = (
+        turns.filter(F.col("tool") != "")
+        .select("conv_id", "turn_idx", "tool")
+        .withColumn(
+            "boundary",
+            F.when(
+                F.lag("tool").over(w).isNull()
+                | (F.lag("tool").over(w) != F.col("tool")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("boundary").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        seq.groupBy("conv_id", "run_id")
+        .agg(
+            F.first("tool").alias("tool"),
+            F.min("turn_idx").alias("start_turn_idx"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+        )
+        .filter(F.col("run_len") >= min_run)
+        .select("conv_id", "tool", "start_turn_idx", "run_len")
+    )

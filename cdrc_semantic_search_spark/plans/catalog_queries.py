@@ -5077,6 +5077,32 @@ def tr_role_balance(spark, sf_dir):
     return role_balance(_fixture_turns(spark))
 
 
+@register("tr_qa_pairs", value_oracles.lazy("tr_qa_pairs"))
+def tr_qa_pairs(spark, sf_dir):
+    """Question-answer pair mining: user turns containing '?' answered by
+    the immediately following assistant turn, with character lengths —
+    one lead window over the stable (conv_id, turn_idx) order, no join.
+    Oracle: pure-Python twin over the same fixture rows."""
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        qa_pair_mining,
+    )
+
+    return qa_pair_mining(_fixture_turns(spark))
+
+
+@register("tr_tool_retries", value_oracles.lazy("tr_tool_retries"))
+def tr_tool_retries(spark, sf_dir):
+    """Tool retry-run mining: maximal runs (length ≥ 2) of consecutive
+    same-tool calls in each conversation's tool-call sequence — the
+    run-length-encode-by-window idiom (lag boundary flag + running sum
+    run id, one shuffle)."""
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        tool_retry_runs,
+    )
+
+    return tool_retry_runs(_fixture_turns(spark))
+
+
 # =====================================================================
 # PII redaction (operators/text_analysis.redact_pii)
 # =====================================================================

@@ -1220,3 +1220,73 @@ def _kg_type_constraints_values() -> str:
             ("valid", "BOOLEAN"),
         ],
     )
+
+
+@_register("tr_qa_pairs")
+def _tr_qa_pairs_values() -> str:
+    """Twin of qa_pair_mining: per conversation in turn order, a user
+    turn containing '?' whose next turn is an assistant turn; character
+    lengths — all integers."""
+    pdf = _fixture_transcripts_pdf()
+    rows = []
+    for conv_id, grp in pdf.groupby("conv_id"):
+        g = list(grp.sort_values("turn_idx").itertuples())
+        for cur, nxt in zip(g, g[1:]):
+            if (
+                cur.role == "user"
+                and "?" in (cur.text or "")
+                and nxt.role == "assistant"
+            ):
+                rows.append(
+                    (
+                        str(conv_id),
+                        int(cur.turn_idx),
+                        int(nxt.turn_idx),
+                        len(cur.text or ""),
+                        len(nxt.text or ""),
+                    )
+                )
+    return values_sql(
+        sorted(rows),
+        [
+            ("conv_id", "VARCHAR"),
+            ("q_turn_idx", "INTEGER"),
+            ("a_turn_idx", "INTEGER"),
+            ("q_len", "BIGINT"),
+            ("a_len", "BIGINT"),
+        ],
+    )
+
+
+@_register("tr_tool_retries")
+def _tr_tool_retries_values() -> str:
+    """Twin of tool_retry_runs: run-length encode each conversation's
+    tool-call sequence (tool turns only, turn order), keep runs ≥ 2."""
+    pdf = _fixture_transcripts_pdf()
+    rows = []
+    for conv_id, grp in pdf.groupby("conv_id"):
+        g = [
+            r
+            for r in grp.sort_values("turn_idx").itertuples()
+            if (r.tool or "") != ""
+        ]
+        i = 0
+        while i < len(g):
+            j = i
+            while j + 1 < len(g) and g[j + 1].tool == g[i].tool:
+                j += 1
+            run_len = j - i + 1
+            if run_len >= 2:
+                rows.append(
+                    (str(conv_id), str(g[i].tool), int(g[i].turn_idx), run_len)
+                )
+            i = j + 1
+    return values_sql(
+        sorted(rows),
+        [
+            ("conv_id", "VARCHAR"),
+            ("tool", "VARCHAR"),
+            ("start_turn_idx", "INTEGER"),
+            ("run_len", "BIGINT"),
+        ],
+    )

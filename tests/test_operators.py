@@ -1720,3 +1720,54 @@ def test_clustering_pair_quality_hand_values(spark):
     p = clustering_pair_quality(perfect).collect()[0]
     assert (p.tp_pairs, p.pred_pairs, p.gold_pairs) == (2, 2, 2)
     assert p.precision == 1.0 and p.recall == 1.0
+
+
+def test_qa_pair_mining_hand_values(spark):
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        qa_pair_mining,
+    )
+
+    rows = [
+        ("c1", 0, "user", "what is x?", "", None),
+        ("c1", 1, "assistant", "x is 42", "", None),
+        ("c1", 2, "user", "thanks", "", None),          # no '?'
+        ("c1", 3, "user", "and y?", "", None),
+        ("c1", 4, "tool", "lookup", "sql", None),       # next not assistant
+        ("c2", 0, "user", "why?", "", None),            # last turn: no next
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    got = {(r.conv_id, r.q_turn_idx): r for r in qa_pair_mining(df).collect()}
+    assert set(got) == {("c1", 0)}
+    r = got[("c1", 0)]
+    assert (r.a_turn_idx, r.q_len, r.a_len) == (1, 10, 7)
+
+
+def test_tool_retry_runs_hand_values(spark):
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        tool_retry_runs,
+    )
+
+    # tool-call sequence per conv skips non-tool turns: c1 = sql, sql,
+    # (user), sql, browser -> one sql run of 3 (intervening user turn
+    # does NOT break the run), browser singleton dropped
+    rows = [
+        ("c1", 0, "tool", "q", "sql", None),
+        ("c1", 1, "tool", "q", "sql", None),
+        ("c1", 2, "user", "hm", "", None),
+        ("c1", 3, "tool", "q", "sql", None),
+        ("c1", 4, "tool", "q", "browser", None),
+        ("c2", 0, "tool", "q", "python", None),
+        ("c2", 1, "tool", "q", "python", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    got = sorted(
+        (r.conv_id, r.tool, r.start_turn_idx, r.run_len)
+        for r in tool_retry_runs(df).collect()
+    )
+    assert got == [("c1", "sql", 0, 3), ("c2", "python", 0, 2)]
