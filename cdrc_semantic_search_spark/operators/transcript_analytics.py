@@ -180,3 +180,45 @@ def tool_retry_runs(turns: DataFrame, min_run: int = 2) -> DataFrame:
         .filter(F.col("run_len") >= min_run)
         .select("conv_id", "tool", "start_turn_idx", "run_len")
     )
+
+
+def topic_segments(
+    turns_with_vec: DataFrame, vec_col: str = "vec", threshold: float = 0.15
+) -> DataFrame:
+    """(conv_id, turn_idx, segment_id) — segment each conversation at
+    embedding-drift boundaries: a new segment starts where the cosine
+    between a turn's vector and the PREVIOUS turn's vector falls below
+    ``threshold`` (TextTiling's boundary rule on modern embeddings —
+    the conversation-chunking stage a long-transcript KG/RAG pipeline
+    runs before assembly). segment_id is the per-conversation running
+    boundary count, starting at 1; output is integer-only, so the hash
+    core carries no float.
+
+    Plan: one conv_id window — lag(vec) + the fold-cosine Catalyst
+    expression (functions/vector.cosine: double left-fold, the exact
+    cross-engine order) + running boundary sum. One shuffle, no UDF, no
+    join; the vectors themselves never leave the row.
+
+    Threshold note: pick τ away from observed cosine mass (the fixture
+    pins 0.15, whose nearest pair sits 3e-4 away); the fold is
+    deterministic, so the decision is stable — the margin only guards
+    against callers swapping in a different (but close) kernel.
+    """
+    from cdrc_semantic_search_spark.functions.vector import cosine
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag(vec_col).over(w)
+    boundary = F.when(
+        prev.isNull() | (cosine(prev, F.col(vec_col)) < threshold), 1
+    ).otherwise(0)
+    return (
+        turns_with_vec.select("conv_id", "turn_idx", F.col(vec_col))
+        .withColumn("_boundary", boundary)
+        .withColumn(
+            "segment_id",
+            F.sum("_boundary")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .select("conv_id", "turn_idx", "segment_id")
+    )

@@ -5090,6 +5090,28 @@ def tr_qa_pairs(spark, sf_dir):
     return qa_pair_mining(_fixture_turns(spark))
 
 
+@register("tr_topic_segments", value_oracles.lazy("tr_topic_segments"))
+def tr_topic_segments(spark, sf_dir):
+    """Embedding-drift conversation segmentation (transcript_analytics.
+    topic_segments): encode each turn (Arrow-batched pandas UDF), lag
+    the vector over the stable conversation order, start a segment where
+    fold-cosine to the previous turn drops below τ=0.15 — integer-only
+    output (conv_id, turn_idx, segment_id). Oracle: pure-Python twin
+    over the shared encode + fold-cosine kernels."""
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.encoder import make_encoder_udf
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        topic_segments,
+    )
+
+    enc = Settings().encoder
+    encode = make_encoder_udf(dim=enc.embed_dim, seed=enc.seed, ngram=enc.ngram)
+    turns = _fixture_turns(spark).withColumn(
+        "vec", encode(F.coalesce(F.col("text"), F.lit("")))
+    )
+    return topic_segments(turns, "vec", threshold=0.15)
+
+
 @register("tr_tool_retries", value_oracles.lazy("tr_tool_retries"))
 def tr_tool_retries(spark, sf_dir):
     """Tool retry-run mining: maximal runs (length ≥ 2) of consecutive

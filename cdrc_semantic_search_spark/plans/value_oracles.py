@@ -1290,3 +1290,36 @@ def _tr_tool_retries_values() -> str:
             ("run_len", "BIGINT"),
         ],
     )
+
+
+@_register("tr_topic_segments")
+def _tr_topic_segments_values() -> str:
+    """Twin of tr_topic_segments: encode_texts (bit-exact shared kernel)
+    + the exact left-fold cosine between consecutive turns; boundary
+    where cosine < 0.15 (nearest fixture pair sits 3e-4 from τ);
+    running boundary count per conversation."""
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.encoder import encode_texts
+
+    pdf = _fixture_transcripts_pdf()
+    enc = Settings().encoder
+    rows = []
+    for conv_id, grp in pdf.groupby("conv_id"):
+        g = grp.sort_values("turn_idx")
+        texts = [t if isinstance(t, str) else "" for t in g.text.tolist()]
+        vecs = encode_texts(
+            texts, dim=enc.embed_dim, seed=enc.seed, ngram=enc.ngram
+        )
+        seg = 0
+        for i, r in enumerate(g.itertuples()):
+            if i == 0 or _fold_cosine(vecs[i - 1], vecs[i]) < 0.15:
+                seg += 1
+            rows.append((str(conv_id), int(r.turn_idx), seg))
+    return values_sql(
+        sorted(rows),
+        [
+            ("conv_id", "VARCHAR"),
+            ("turn_idx", "INTEGER"),
+            ("segment_id", "BIGINT"),
+        ],
+    )

@@ -1771,3 +1771,33 @@ def test_tool_retry_runs_hand_values(spark):
         for r in tool_retry_runs(df).collect()
     )
     assert got == [("c1", "sql", 0, 3), ("c2", "python", 0, 2)]
+
+
+def test_topic_segments_hand_values(spark):
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        topic_segments,
+    )
+
+    # orthogonal vectors force boundaries; identical vectors never do
+    e1, e2 = [1.0, 0.0], [0.0, 1.0]
+    rows = [
+        ("c1", 0, e1),  # first turn: always segment 1
+        ("c1", 1, e1),  # cos=1 -> same segment
+        ("c1", 2, e2),  # cos=0 < 0.15 -> segment 2
+        ("c1", 3, e2),  # same segment
+        ("c2", 0, e2),  # new conversation restarts at 1
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, vec array<float>"
+    )
+    got = {
+        (r.conv_id, r.turn_idx): r.segment_id
+        for r in topic_segments(df, "vec", threshold=0.15).collect()
+    }
+    assert got == {
+        ("c1", 0): 1,
+        ("c1", 1): 1,
+        ("c1", 2): 2,
+        ("c1", 3): 2,
+        ("c2", 0): 1,
+    }
