@@ -222,3 +222,49 @@ def topic_segments(
         )
         .select("conv_id", "turn_idx", "segment_id")
     )
+
+
+def salient_turns(
+    turns_with_vec: DataFrame, vec_col: str = "vec", top_k: int = 1
+) -> DataFrame:
+    """(conv_id, turn_idx, rank) — the ``top_k`` most central turns of
+    each conversation: highest fold-cosine to the conversation's exact
+    embedding centroid (ties broken by earliest turn). The extractive
+    salience selector a summarization/labeling pipeline runs to pick
+    representative turns before an expensive LLM pass.
+
+    Exactness: the centroid comes from :func:`~cdrc_semantic_search_spark.
+    operators.rollup.label_centroids` — DECIMAL(38,18) element sums, so
+    it is accumulation-order- and partitioning-independent; the score is
+    the deterministic double left fold (functions/vector.cosine).
+    Identical turn texts tie at identical doubles and the window's
+    (score DESC, turn_idx ASC) order resolves them reproducibly.
+
+    100-TB shape: centroids collapse to one row per conversation before
+    the join back (both sides shuffle on conv_id — the join and the
+    rank window reuse that partitioning); output is k rows per
+    conversation. posexplode inside label_centroids multiplies rows by
+    dim pre-aggregation — map-side combine eats it before the exchange.
+    """
+    from cdrc_semantic_search_spark.operators.rollup import label_centroids
+
+    cents = label_centroids(
+        turns_with_vec.select(F.col("conv_id"), F.col(vec_col)),
+        "conv_id",
+        vec_col,
+        round_digits=6,
+    ).select(F.col("label").alias("conv_id"), "centroid")
+    from cdrc_semantic_search_spark.functions.vector import cosine
+
+    scored = turns_with_vec.select("conv_id", "turn_idx", F.col(vec_col)).join(
+        cents, "conv_id"
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("_score").desc(), F.col("turn_idx").asc()
+    )
+    return (
+        scored.withColumn("_score", cosine(F.col(vec_col), F.col("centroid")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .select("conv_id", "turn_idx", "rank")
+    )

@@ -5112,6 +5112,28 @@ def tr_topic_segments(spark, sf_dir):
     return topic_segments(turns, "vec", threshold=0.15)
 
 
+@register("tr_salient_turns", value_oracles.lazy("tr_salient_turns"))
+def tr_salient_turns(spark, sf_dir):
+    """Top-3 most-central turns per conversation (transcript_analytics.
+    salient_turns): fold-cosine to the DECIMAL-exact conversation
+    centroid, ties broken by earliest turn — the representative-turn
+    selector for summarization/labeling. Oracle: pure-Python twin
+    replicating the decimal centroid (BigDecimal.valueOf cast
+    semantics) and the exact fold score."""
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.encoder import make_encoder_udf
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        salient_turns,
+    )
+
+    enc = Settings().encoder
+    encode = make_encoder_udf(dim=enc.embed_dim, seed=enc.seed, ngram=enc.ngram)
+    turns = _fixture_turns(spark).withColumn(
+        "vec", encode(F.coalesce(F.col("text"), F.lit("")))
+    )
+    return salient_turns(turns, "vec", top_k=3)
+
+
 @register("tr_tool_retries", value_oracles.lazy("tr_tool_retries"))
 def tr_tool_retries(spark, sf_dir):
     """Tool retry-run mining: maximal runs (length ≥ 2) of consecutive

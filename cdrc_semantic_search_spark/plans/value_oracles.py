@@ -1323,3 +1323,58 @@ def _tr_topic_segments_values() -> str:
             ("segment_id", "BIGINT"),
         ],
     )
+
+
+@_register("tr_salient_turns")
+def _tr_salient_turns_values() -> str:
+    """Twin of tr_salient_turns: per conversation, the exact decimal
+    centroid — CAST(float AS DECIMAL(38,18)) mirrors Spark's
+    BigDecimal.valueOf (shortest-repr, HALF_UP), exact Decimal sum,
+    ROUND(·,8) → double → /n → ROUND(·,6) — then the exact double left
+    fold against each turn vector and a (score DESC, turn_idx ASC)
+    row_number. Verified bit-equal to the Spark scores on all 1147
+    fixture turns before wiring."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.encoder import encode_texts
+
+    pdf = _fixture_transcripts_pdf()
+    enc = Settings().encoder
+    q18 = Decimal(1).scaleb(-18)
+    q8 = Decimal(1).scaleb(-8)
+    top_k = 3
+    rows = []
+    for conv_id, grp in pdf.groupby("conv_id"):
+        g = grp.sort_values("turn_idx")
+        texts = [t if isinstance(t, str) else "" for t in g.text.tolist()]
+        vecs = encode_texts(
+            texts, dim=enc.embed_dim, seed=enc.seed, ngram=enc.ngram
+        )
+        n = len(vecs)
+        cent = []
+        for d in range(enc.embed_dim):
+            s = sum(
+                (
+                    Decimal(repr(float(vecs[i][d]))).quantize(q18, ROUND_HALF_UP)
+                    for i in range(n)
+                ),
+                Decimal(0),
+            )
+            m = float(s.quantize(q8, ROUND_HALF_UP)) / n
+            cent.append(_round_half_up(m, 6))
+        scored = [
+            (_fold_cosine(vecs[i], cent), int(r.turn_idx))
+            for i, r in enumerate(g.itertuples())
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (_, turn_idx) in enumerate(scored[:top_k], start=1):
+            rows.append((str(conv_id), turn_idx, rank))
+    return values_sql(
+        sorted(rows),
+        [
+            ("conv_id", "VARCHAR"),
+            ("turn_idx", "INTEGER"),
+            ("rank", "BIGINT"),
+        ],
+    )

@@ -1801,3 +1801,26 @@ def test_topic_segments_hand_values(spark):
         ("c1", 3): 2,
         ("c2", 0): 1,
     }
+
+
+def test_salient_turns_tiebreak_and_centroid(spark):
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        salient_turns,
+    )
+
+    # c1: two identical vectors tie at the centroid -> earliest wins;
+    # the third (orthogonal-ish) turn ranks last
+    rows = [
+        ("c1", 0, [1.0, 0.0]),
+        ("c1", 1, [1.0, 0.0]),
+        ("c1", 2, [0.0, 1.0]),
+        ("c2", 5, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, vec array<float>"
+    )
+    got = sorted(
+        (r.conv_id, r.rank, r.turn_idx)
+        for r in salient_turns(df, "vec", top_k=2).collect()
+    )
+    assert got == [("c1", 1, 0), ("c1", 2, 1), ("c2", 1, 5)]
