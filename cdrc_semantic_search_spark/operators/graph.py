@@ -1073,3 +1073,177 @@ def tree_depth_doubling(
         f"(covers depth 2^{max_doublings}) — the pointer graph contains a "
         "cycle; run strongly_connected_components to locate it"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 4,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    UNDIRECTED version of an edge list → (id, label) after exactly
+    ``n_rounds`` rounds. Every vertex starts labelled with its own id;
+    each round it adopts the most frequent label among its neighbors
+    plus its own current label (the self-vote damps the 2-cycle
+    oscillation plain synchronous LPA exhibits on bipartite structure),
+    ties broken by the SMALLEST label — fully deterministic, so the
+    result is exactly reproducible by an unrolled SQL oracle.
+
+    KG consumer: entity-community assignment over the materialized
+    kg_edges graph (reference-semantics anchor: the same role the
+    catalogue's thematic grouping plays for retrieval facets,
+    /root/reference/src/datastore.py:52-66 metadata attach) — the cheap
+    precursor to modularity-style clustering when canonicalization
+    (connected components over NEAR-DUPLICATE surfaces) is too strict to
+    group related-but-distinct entities.
+
+    100-TB shape per round: one equi-join of the (static, persisted)
+    symmetric edge list with the current |V|-row label vector on the
+    NEIGHBOR key, one map-side-combined (v,label) count, then a second
+    map-side-combinable max-of-struct aggregation per vertex — two
+    key-partitioned exchanges per round, no window sort, no all-pairs.
+    Fixed ``n_rounds`` (not convergence-probed): synchronous LPA is not
+    guaranteed to converge, and community quality plateaus in ~5 rounds
+    (Raghavan et al. 2007); localCheckpoint truncates lineage per round.
+    Hot-vertex skew: a degree-d hub contributes d vote rows per round —
+    identical skew class to pagerank_fixed's fanout, and the same
+    mitigation applies (salted two-phase count via
+    build_pagerank_fanout's bucketing) if a real hub dominates.
+
+    Pass ``cache_handle`` (a list) to receive the persisted symmetric
+    edge frame for deterministic unpersist after consumption.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .persist()
+    )
+    if cache_handle is not None:
+        cache_handle.append(sym)
+    lab = sym.select(F.col("v").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(n_rounds):
+        votes = sym.join(
+            lab.select(F.col("id").alias("n"), "label"), "n"
+        ).select("v", "label").unionAll(
+            lab.select(F.col("id").alias("v"), "label")
+        )
+        counts = votes.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        # max of (count, -label) = most frequent, then smallest label —
+        # an aggregation (map-side combinable) instead of a window sort
+        lab = (
+            counts.groupBy("v")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("c").alias("c"), (-F.col("label")).alias("neg")
+                    )
+                ).alias("t")
+            )
+            .select(F.col("v").alias("id"), (-F.col("t.neg")).alias("label"))
+            .localCheckpoint()
+        )
+    return lab
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    walk_length: int = 4,
+    n_walks: int = 2,
+    seed: int = 42,
+    max_neighbors: int | None = 10_000,
+) -> DataFrame:
+    """Deterministic truncated random walks over the UNDIRECTED version
+    of an edge list → (walk_id, step, node), ``n_walks`` walks of
+    ``walk_length`` hops from EVERY vertex — the node2vec/DeepWalk
+    corpus-generation stage of a graph-embedding training pipeline
+    (the KG consumer: turn the materialized entity graph into positive
+    skip-gram pairs; kg_negative_samples already provides the negatives).
+
+    "Random" is a pure hash function, not an RNG: the next hop from
+    ``cur`` at ``step`` in walk ``walk_id`` is
+    ``neighbors[crc32(f"{seed}|{walk_id}|{step}|{cur}") % deg]`` over the
+    SORTED neighbor array. That makes every walk independent of
+    partitioning, task retries, and executor count (the same
+    determinism-under-reshuffle contract as split.md5-bucket sampling) —
+    and exactly reproducible by a pure-Python twin sharing zlib.crc32.
+
+    100-TB shape: the adjacency build is one groupBy (neighbor arrays
+    sorted on the reducer); each hop is ONE equi-join of the frontier
+    (|V|·n_walks rows, constant per step) against the adjacency table on
+    the current node — walk_length joins total, no iteration-growing
+    state, no shuffled corpus. Hub adjacency arrays are capped at
+    ``max_neighbors`` (deterministic: sorted prefix) so a 10⁸-degree hub
+    cannot blow a single reducer row past memory; the cap biases hub
+    transitions toward low-id neighbors, which embedding training
+    tolerates (hub transitions are near-uniform noise); ``None`` opts
+    out. Dead ends cannot occur on a symmetric adjacency (every vertex
+    that appears has >= 1 neighbor).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    adj = sym.groupBy("v").agg(F.array_sort(F.collect_list("n")).alias("nbrs"))
+    if max_neighbors is not None:
+        adj = adj.withColumn("nbrs", F.slice("nbrs", 1, max_neighbors))
+    adj = adj.persist()
+    starts = adj.select("v").crossJoin(
+        F.broadcast(
+            adj.sparkSession.range(n_walks).select(
+                F.col("id").cast("int").alias("w")
+            )
+        )
+    )
+    frontier = starts.select(
+        F.concat_ws(":", F.col("v"), F.col("w")).alias("walk_id"),
+        F.lit(0).alias("step"),
+        F.col("v").alias("node"),
+    )
+    out = frontier
+    for step in range(1, walk_length + 1):
+        hop = frontier.join(adj, frontier["node"] == adj["v"]).select(
+            "walk_id",
+            F.lit(step).alias("step"),
+            F.element_at(
+                "nbrs",
+                (
+                    F.pmod(
+                        F.crc32(
+                            F.concat_ws(
+                                "|",
+                                F.lit(seed),
+                                F.col("walk_id"),
+                                F.lit(step),
+                                F.col("node"),
+                            ).cast("binary")
+                        ),
+                        F.size("nbrs"),
+                    )
+                    + F.lit(1)
+                ).cast("int"),
+            ).alias("node"),
+        )
+        frontier = hop
+        out = out.unionByName(hop)
+    return out

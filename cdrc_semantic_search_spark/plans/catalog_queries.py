@@ -3106,6 +3106,97 @@ def graph_sssp_weighted(spark, sf_dir):
     return sssp_weighted(edges, sources, n_rounds=6)
 
 
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation oracle: each MATERIALIZED
+    round re-derives every vertex's label as the most frequent label
+    among neighbors + self, ties to the smallest label (ROW_NUMBER
+    mirrors the Spark max-of-(count,-label) aggregation exactly —
+    integer-only, no float hazard)."""
+    parts = [
+        """
+    WITH raw AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey AS s, 1000 + l_partkey % 100 AS d
+        FROM lineitem WHERE l_orderkey < 300
+    ),
+    e AS MATERIALIZED (
+        SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+        FROM raw WHERE s <> d
+    ),
+    sym AS MATERIALIZED (
+        SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT v AS id, v AS label FROM sym)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    c{i} AS MATERIALIZED (
+        SELECT id, label, COUNT(*) AS c FROM (
+            SELECT sym.v AS id, l{i - 1}.label AS label
+            FROM sym JOIN l{i - 1} ON l{i - 1}.id = sym.n
+            UNION ALL
+            SELECT id, label FROM l{i - 1}
+        ) GROUP BY id, label
+    ),
+    l{i} AS MATERIALIZED (
+        SELECT id, label FROM (
+            SELECT id, label, ROW_NUMBER() OVER (
+                PARTITION BY id ORDER BY c DESC, label ASC
+            ) AS rn FROM c{i}
+        ) WHERE rn = 1
+    )"""
+        )
+    parts.append(f"""
+    SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l{rounds}
+    """)
+    return "".join(parts)
+
+
+@register("graph_label_prop", _lpa_oracle_sql)
+def graph_label_prop(spark, sf_dir):
+    """Label-propagation communities (operators/graph.label_propagation,
+    4 synchronous rounds, self-vote, min-label ties) over the same
+    supplier↔bucket graph as graph_pagerank — the entity-community
+    assignment stage downstream of kg_edges materialization. The oracle
+    unrolls the four rounds as MATERIALIZED CTEs (the graph_kcore
+    inlining lesson) and is exact: the update rule is integer-only."""
+    from cdrc_semantic_search_spark.operators.graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    handle: list = []
+    out = label_propagation(edges, n_rounds=4, cache_handle=handle)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+@register("graph_random_walks", value_oracles.lazy("graph_random_walks"))
+def graph_random_walks(spark, sf_dir):
+    """Deterministic truncated random walks (operators/graph.random_walks;
+    hash-routed next hops over sorted adjacency — node2vec/DeepWalk
+    corpus generation for graph-embedding training). Oracle: pure-Python
+    twin sharing zlib.crc32 == Spark F.crc32 (java.util.zip.CRC32, same
+    polynomial) over the sf0.01 parquet; candidate adjacency re-derived
+    independently (dict-of-sorted-lists, never the distributed join)."""
+    from cdrc_semantic_search_spark.operators.graph import random_walks
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 200")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    out = random_walks(edges, walk_length=4, n_walks=2, seed=42)
+    return out.select(
+        "walk_id", F.col("step").cast("int").alias("step"),
+        F.col("node").cast("long").alias("node"),
+    )
+
+
 @register("kg_triples_fixture", value_oracles.lazy("kg_triples_fixture"))
 def kg_triples_fixture(spark, sf_dir):
     """The KG pipeline end-to-end on the deterministic transcript fixture.

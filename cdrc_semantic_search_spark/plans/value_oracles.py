@@ -1378,3 +1378,50 @@ def _tr_salient_turns_values() -> str:
             ("rank", "BIGINT"),
         ],
     )
+
+
+@_register("graph_random_walks")
+def _graph_random_walks_values() -> str:
+    """Twin of graph_random_walks: adjacency re-derived independently as a
+    dict of sorted unique neighbor lists over the sf0.01 supplier↔bucket
+    graph (l_orderkey < 200), then the exact hash-routed walk —
+    zlib.crc32(f"{seed}|{walk_id}|{step}|{cur}") % deg over the sorted
+    array, the same bytes Spark's F.crc32(concat_ws(...)) hashes
+    (java.util.zip.CRC32 shares the zlib polynomial; pinned by
+    test_crc32_matches_spark)."""
+    t = _read("lineitem", ["l_orderkey", "l_suppkey", "l_partkey"])
+    ok = t.column("l_orderkey").to_pylist()
+    sk = t.column("l_suppkey").to_pylist()
+    pk = t.column("l_partkey").to_pylist()
+    und: set[tuple[int, int]] = set()
+    for o, s, p in zip(ok, sk, pk):
+        if o < 200:
+            d = 1000 + p % 100
+            a, b = (s, d) if s <= d else (d, s)
+            if a != b:
+                und.add((int(a), int(b)))
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nbrs = {v: sorted(ns)[:10_000] for v, ns in adj.items()}
+    seed, walk_length, n_walks = 42, 4, 2
+    rows: list[tuple] = []
+    for v in nbrs:
+        for w in range(n_walks):
+            wid = f"{v}:{w}"
+            cur = v
+            rows.append((wid, 0, cur))
+            for step in range(1, walk_length + 1):
+                ns = nbrs[cur]
+                idx = zlib.crc32(f"{seed}|{wid}|{step}|{cur}".encode()) % len(ns)
+                cur = ns[idx]
+                rows.append((wid, step, cur))
+    return values_sql(
+        sorted(rows),
+        [
+            ("walk_id", "VARCHAR"),
+            ("step", "INTEGER"),
+            ("node", "BIGINT"),
+        ],
+    )

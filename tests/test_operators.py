@@ -1824,3 +1824,81 @@ def test_salient_turns_tiebreak_and_centroid(spark):
         for r in salient_turns(df, "vec", top_k=2).collect()
     )
     assert got == [("c1", 1, 0), ("c1", 2, 1), ("c2", 1, 5)]
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two disjoint triangles linked by nothing: every member adopts its
+    clique's min id; the bridge-free split is stable across rounds."""
+    from cdrc_semantic_search_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src int, dst int",
+    )
+    handle = []
+    got = {
+        r["id"]: r["label"]
+        for r in label_propagation(edges, n_rounds=4, cache_handle=handle).collect()
+    }
+    for df in handle:
+        df.unpersist()
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_label_propagation_partition_invariance(spark):
+    """Synchronous update + min-label ties = result independent of input
+    partitioning (the determinism-under-reshuffle contract)."""
+    from cdrc_semantic_search_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 23) for i in range(40)] + [(3, 40), (40, 41)],
+        "src int, dst int",
+    )
+    a = sorted(map(tuple, label_propagation(edges, n_rounds=3).collect()))
+    b = sorted(
+        map(tuple, label_propagation(edges.repartition(7), n_rounds=3).collect())
+    )
+    assert a == b
+
+
+def test_random_walks_hops_are_edges(spark):
+    """Every consecutive (step k, step k+1) pair must be an edge of the
+    undirected graph, every vertex starts n_walks walks, and the result
+    is partition-invariant (hash-routed hops, no RNG state)."""
+    from cdrc_semantic_search_spark.operators.graph import random_walks
+
+    raw = [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4), (5, 1)]
+    edges = spark.createDataFrame(raw, "src int, dst int")
+    out = random_walks(edges, walk_length=3, n_walks=2, seed=7)
+    rows = sorted(map(tuple, out.collect()))
+    und = set()
+    for s, d in raw:
+        und.add((s, d))
+        und.add((d, s))
+    walks: dict[str, dict[int, int]] = {}
+    for wid, step, node in rows:
+        walks.setdefault(wid, {})[step] = node
+    assert len(walks) == 5 * 2  # |V| * n_walks
+    for wid, path in walks.items():
+        assert sorted(path) == [0, 1, 2, 3]
+        assert path[0] == int(wid.split(":")[0])
+        for k in range(3):
+            assert (path[k], path[k + 1]) in und, (wid, k)
+    rows2 = sorted(
+        map(tuple, random_walks(edges.repartition(5), walk_length=3, n_walks=2, seed=7).collect())
+    )
+    assert rows == rows2
+
+
+def test_random_walks_max_neighbors_cap(spark):
+    """A star hub capped below its degree can only hop to the sorted
+    prefix of its neighbors."""
+    from cdrc_semantic_search_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "src int, dst int"
+    )
+    out = random_walks(edges, walk_length=2, n_walks=3, seed=1, max_neighbors=3)
+    for wid, step, node in out.collect():
+        if step > 0:  # step 0 is the start vertex itself, cap-exempt
+            assert node in {0, 1, 2, 3}, (wid, step, node)

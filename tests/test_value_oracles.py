@@ -116,3 +116,16 @@ def test_values_sql_roundtrip_exact():
 
     with pytest.raises(ValueError, match="NUL"):
         vo.values_sql([(1, 0.0, "a\x00b")], [("i", "BIGINT"), ("x", "DOUBLE"), ("s", "VARCHAR")])
+
+
+def test_crc32_matches_spark(spark):
+    """zlib.crc32 must equal Spark's F.crc32 on UTF-8 bytes (the
+    graph_random_walks twin routes hops through this equality)."""
+    import zlib
+
+    samples = ["", "a", "42|17:0|1|17", "42|1005:1|3|23", "naïve ✓", "x" * 100]
+    rows = spark.createDataFrame([(s,) for s in samples], "s string").select(
+        "s", F.crc32(F.col("s").cast("binary")).alias("h")
+    ).collect()
+    for r in rows:
+        assert zlib.crc32(r["s"].encode()) == r["h"], f"mismatch on {r['s']!r}"
