@@ -1247,3 +1247,68 @@ def random_walks(
         frontier = hop
         out = out.unionByName(hop)
     return out
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity Q of a vertex labeling over the UNDIRECTED
+    simple graph → one row (m_edges, intra_edges, sum_deg_sq, modularity)
+    — the quality gate for :func:`label_propagation` output (accept a
+    community assignment only if Q clears a floor).
+
+    Float discipline: Q = Σ_c(e_c/m − (d_c/2m)²) has a per-community SUM
+    whose double summation ORDER differs between engines; this
+    formulation hoists the sums into INTEGER aggregates first —
+    Q = intra/m − Σ_c d_c² / (4m²) — so the only float ops are two exact
+    int→double casts, one division each, and one subtraction, identical
+    bit-for-bit in any engine/partitioning. (d_c counts half-edge
+    endpoints: d_c = Σ_{v∈c} deg(v), Σ_c d_c = 2m.)
+
+    100-TB shape: two key-partitioned joins annotate edge endpoints with
+    labels (the labels frame is |V|-sized — NOT broadcast), one map-side
+    combinable per-label degree sum, then single-row global aggregates;
+    nothing quadratic, no window.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    la = labels.select(F.col("id").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("id").alias("b"), F.col("label").alias("lb"))
+    tagged = und.join(la, "a").join(lb, "b")
+    m_intra = tagged.select(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.count_if(F.col("la") == F.col("lb")).alias("intra_edges"),
+    )
+    sym = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    d_c = (
+        deg.join(labels.select(F.col("id").alias("v"), "label"), "v")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    sumsq = d_c.select(F.sum(F.col("d_c") * F.col("d_c")).alias("sum_deg_sq"))
+    return m_intra.crossJoin(F.broadcast(sumsq)).select(
+        "m_edges",
+        "intra_edges",
+        "sum_deg_sq",
+        (
+            F.col("intra_edges").cast("double") / F.col("m_edges").cast("double")
+            - F.col("sum_deg_sq").cast("double")
+            / (
+                F.lit(4.0)
+                * F.col("m_edges").cast("double")
+                * F.col("m_edges").cast("double")
+            )
+        ).alias("modularity"),
+    )

@@ -117,6 +117,17 @@ def _topk_blend(
     (/root/reference/src/common/utils.py:30): ``default`` = dense-only,
     ``sparse`` = lexical-only, ``hybrid`` = α·dense + (1−α)·sparse
     (model.py:74-78). Effective weights: default → α=1; sparse → α=0.
+
+    BATCH-COMPOSITION INDEPENDENCE: the batched GEMM only PRESELECTS a
+    candidate pool with a 1e-5 score margin; every returned score is then
+    recomputed as an exact per-pair float32 dot (a single vector-vector
+    BLAS call whose inputs — one index row, one encoded surface — do not
+    depend on what else is in the batch). GEMM kernel blocking varies
+    with the batch's shape and perturbs scores by ~2.7e-7 (measured),
+    which flipped candidate SETS for near-tied forms when this function
+    ran under different mapInPandas partitionings; with the margin +
+    exact rescore, identical (surface, index) pairs yield identical bits
+    in any batch — pinned by test_topk_blend_batch_invariance.
     """
     if not surfaces:
         return []
@@ -143,7 +154,13 @@ def _topk_blend(
         stoks = frozenset(normalize_surface(surf).split())
         if sims is not None:
             row = sims[bi]
-            cand = np.argpartition(-row, kk - 1)[:kk] if kk < m else np.arange(m)
+            if kk < m:
+                # margin-padded pool: anything within 1e-5 of the kk-th
+                # GEMM score stays in; the exact rescore below decides
+                thr = np.partition(row, m - kk)[m - kk] - 1e-5
+                cand = np.nonzero(row >= thr)[0]
+            else:
+                cand = np.arange(m)
         elif index.token_postings is not None:
             row = None
             hits: set[int] = set()
@@ -155,7 +172,10 @@ def _topk_blend(
             cand = range(m)
         best: dict[str, float] = {}
         for ci in cand:
-            dense = float(row[ci]) if row is not None else 0.0
+            # exact per-pair dot: bit-identical in every batch composition
+            dense = (
+                float(np.dot(index.matrix[ci], q[bi])) if row is not None else 0.0
+            )
             ts = index.token_sets[ci]
             union = len(stoks | ts)
             jac = (len(stoks & ts) / union) if union else 0.0
@@ -256,3 +276,118 @@ def link_surfaces(
         )
         .drop("__alias_eid", "__fb_eid", "__fb_score", norm)
     )
+
+
+def candidate_entities(
+    surfaces_df: DataFrame, bc_index, settings: Settings, k: int = 3
+) -> DataFrame:
+    """distinct surfaces → TOP-K candidate links (surface, entity_id,
+    score), one row per (surface, candidate) — the multi-candidate
+    sibling of :func:`embed_link_surfaces` (which keeps only the argmax).
+    Scores are rounded to 4 digits to absorb float32 batch-composition
+    noise in the BLAS matmul (same mitigation as the fused triple linker;
+    every fixture margin is ≥ 1e-5 from a boundary, noise is ~1e-7)."""
+    alpha = settings.retrieval.alpha
+    mode = settings.retrieval.query_mode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _token, index = bc_index.value
+        for pdf in batches:
+            surfaces = pdf["surface"].fillna("").tolist()
+            ranked = _topk_blend(index, surfaces, k=k, alpha=alpha, mode=mode)
+            rows = [
+                (surf, eid, score)
+                for surf, cands in zip(surfaces, ranked)
+                for eid, score in cands
+            ]
+            yield pd.DataFrame(
+                rows, columns=["surface", "entity_id", "score"]
+            )
+
+    out = surfaces_df.select("surface").mapInPandas(
+        run, schema="surface string, entity_id string, score double"
+    )
+    return out.withColumn("score", F.round("score", 4))
+
+
+def collective_link_mentions(
+    mentions: DataFrame,
+    bc_index,
+    settings: Settings,
+    k: int = 3,
+    beta: float = 0.25,
+) -> DataFrame:
+    """Collective (coherence-reranked) entity disambiguation: each
+    mention's top-k candidates are rescored by how many OTHER mentions in
+    the same conversation also carry that entity as a candidate, then the
+    argmax is kept —
+    ``final = score + β · (support − 1) / max(n_mentions − 1, 1)``.
+    This is the classic collective-entity-linking step (document-level
+    topical coherence breaks ties the per-mention cosine cannot — the
+    stage the reference's per-query retrieval
+    (/root/reference/src/model.py:73-79) has no analog for, because a
+    single search query has no peers to vote with). Ties on the final
+    score resolve to the smallest entity_id — fully deterministic.
+
+    Returns (conv_id, turn_idx, mention_idx, surface, entity_id, support,
+    final_score); ``surface`` is the NORMALIZED form.
+
+    100-TB shape: candidate generation runs over DISTINCT normalized
+    surfaces (map-only against the broadcast index) and re-joins
+    broadcast, so the mention fact table never shuffles for linking; the
+    two aggregates (per-(conv, entity) support, per-conv mention count)
+    and their re-joins are all keyed on conv_id — one co-partitioned
+    exchange family — and the final argmax is a map-side-combinable
+    min-of-struct aggregation, not a window sort. Hot-conversation skew
+    is bounded: a conversation's candidate rows are ≤ k × its mentions.
+    """
+    ment = mentions.select(
+        "conv_id",
+        "turn_idx",
+        "mention_idx",
+        norm_surface_col(F.col("surface")).alias("surface"),
+    )
+    distinct_surfaces = ment.select("surface").distinct()
+    cands = candidate_entities(distinct_surfaces, bc_index, settings, k=k)
+    mc = ment.join(F.broadcast(cands), "surface")
+    support = mc.groupBy("conv_id", "entity_id").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    n_ment = ment.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_ment"))
+    scored = (
+        mc.join(support, ["conv_id", "entity_id"])
+        .join(n_ment, "conv_id")
+        .withColumn(
+            "final",
+            F.col("score")
+            + F.lit(beta)
+            * (
+                (F.col("support") - F.lit(1)).cast("double")
+                / F.greatest(F.col("n_ment") - F.lit(1), F.lit(1)).cast("double")
+            ),
+        )
+    )
+    best = (
+        scored.groupBy("conv_id", "turn_idx", "mention_idx")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("final")).alias("nf"),
+                    F.col("entity_id").alias("eid"),
+                    F.col("support").alias("support"),
+                    F.col("surface").alias("surface"),
+                    F.col("final").alias("final"),
+                )
+            ).alias("t")
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "mention_idx",
+            F.col("t.surface").alias("surface"),
+            F.col("t.eid").alias("entity_id"),
+            F.col("t.support").alias("support"),
+            F.round(F.col("t.final"), 6).alias("final_score"),
+        )
+    )
+    return best

@@ -275,3 +275,57 @@ _TRUNC_UNIT = {
     "1 day": "day",
     "1 minute": "minute",
 }
+
+
+def burst_detection(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    trailing: int = 3,
+    num: int = 3,
+    den: int = 2,
+) -> DataFrame:
+    """Per-key daily activity bursts: a day is a burst when its count
+    beats ``num/den`` × the mean of the ``trailing`` preceding OBSERVED
+    days — evaluated entirely in integers
+    (``cnt * den * trailing > num * sum_prev`` ⇔
+    cnt > (num/den)·mean_prev, default 1.5× the 3-day mean) so the
+    oracle comparison has zero float hazard. Days without a full
+    trailing window are emitted with is_burst = false (cold-start days
+    are not bursts by definition, not silently dropped).
+
+    The KG consumer: edge-activity spike detection over the temporal
+    edge table (kg_edges_temporal) — "entity pair suddenly hot" is the
+    trigger for re-canonicalization or trend surfacing; here expressed
+    over any (key, ts) event stream.
+
+    100-TB shape: one map-side-combinable (key, day) count — the only
+    shuffle proportional to |events| — then a lag window over the
+    per-(key, day) frame, which is |keys|·|days|-sized: orders of
+    magnitude smaller than the input. Trailing window is ROWS-based
+    (observed days), so gap days don't need densification.
+    """
+    daily = events.groupBy(
+        F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-trailing, -1)
+    )
+    return daily.select(
+        "key",
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).alias("sum_prev"),
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+    ).select(
+        "key",
+        "day",
+        "cnt",
+        F.coalesce("sum_prev", F.lit(0)).alias("sum_prev"),
+        (
+            (F.col("n_prev") == trailing)
+            & (F.col("cnt") * den * trailing > F.lit(num) * F.col("sum_prev"))
+        ).alias("is_burst"),
+    )

@@ -3106,12 +3106,9 @@ def graph_sssp_weighted(spark, sf_dir):
     return sssp_weighted(edges, sources, n_rounds=6)
 
 
-def _lpa_oracle_sql(rounds: int = 4) -> str:
-    """Unrolled synchronous label-propagation oracle: each MATERIALIZED
-    round re-derives every vertex's label as the most frequent label
-    among neighbors + self, ties to the smallest label (ROW_NUMBER
-    mirrors the Spark max-of-(count,-label) aggregation exactly —
-    integer-only, no float hazard)."""
+def _lpa_cte_parts(rounds: int = 4) -> list[str]:
+    """Shared unrolled-LPA CTE prefix (ends at l{rounds}) for the
+    graph_label_prop and graph_modularity oracles."""
     parts = [
         """
     WITH raw AS MATERIALIZED (
@@ -3146,8 +3143,53 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
         ) WHERE rn = 1
     )"""
         )
+    return parts
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation oracle: each MATERIALIZED
+    round re-derives every vertex's label as the most frequent label
+    among neighbors + self, ties to the smallest label (ROW_NUMBER
+    mirrors the Spark max-of-(count,-label) aggregation exactly —
+    integer-only, no float hazard)."""
+    parts = _lpa_cte_parts(rounds)
     parts.append(f"""
     SELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l{rounds}
+    """)
+    return "".join(parts)
+
+
+def _modularity_oracle_sql(rounds: int = 4) -> str:
+    """Modularity of the unrolled-LPA labeling. The per-community sums
+    are INTEGER aggregates (intra edge count, Σ d_c²) so the only float
+    ops are the final two divisions and one subtraction — the identical
+    expression the Spark operator evaluates, bit-for-bit."""
+    parts = _lpa_cte_parts(rounds)
+    parts.append(f"""
+    , lab AS MATERIALIZED (SELECT id, label FROM l{rounds}),
+    tagged AS (
+        SELECT e.a, e.b, la.label AS la, lb.label AS lb
+        FROM e JOIN lab la ON la.id = e.a JOIN lab lb ON lb.id = e.b
+    ),
+    mi AS (
+        SELECT COUNT(*) AS m_edges,
+               COUNT(*) FILTER (WHERE la = lb) AS intra_edges
+        FROM tagged
+    ),
+    deg AS (SELECT v, COUNT(*) AS deg FROM sym GROUP BY v),
+    dc AS (
+        SELECT lab.label, SUM(deg.deg) AS d_c
+        FROM deg JOIN lab ON lab.id = deg.v GROUP BY lab.label
+    ),
+    ss AS (SELECT SUM(d_c * d_c) AS sum_deg_sq FROM dc)
+    SELECT CAST(m_edges AS BIGINT) AS m_edges,
+           CAST(intra_edges AS BIGINT) AS intra_edges,
+           CAST(sum_deg_sq AS BIGINT) AS sum_deg_sq,
+           CAST(intra_edges AS DOUBLE) / CAST(m_edges AS DOUBLE)
+           - CAST(sum_deg_sq AS DOUBLE)
+             / (4.0 * CAST(m_edges AS DOUBLE) * CAST(m_edges AS DOUBLE))
+             AS modularity
+    FROM mi, ss
     """)
     return "".join(parts)
 
@@ -3167,12 +3209,69 @@ def graph_label_prop(spark, sf_dir):
         F.col("l_suppkey").alias("src"),
         (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
     )
-    handle: list = []
-    out = label_propagation(edges, n_rounds=4, cache_handle=handle)
+    out = label_propagation(edges, n_rounds=4)
     return out.select(
         F.col("id").cast("long").alias("id"),
         F.col("label").cast("long").alias("label"),
     )
+
+
+@register("graph_modularity", _modularity_oracle_sql)
+def graph_modularity(spark, sf_dir):
+    """Newman modularity of the 4-round LPA labeling over the
+    supplier↔bucket graph (operators/graph.modularity) — the quality
+    gate for community output. Integer aggregates hoisted so the float
+    tail is three exact ops; no rounding needed."""
+    from cdrc_semantic_search_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    labels = label_propagation(edges, n_rounds=4)
+    return modularity(edges, labels)
+
+
+_BURST_ORACLE_SQL = """
+    WITH daily AS (
+        SELECT event_type AS key, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT key, day, cnt,
+               COALESCE(SUM(cnt) OVER (
+                   PARTITION BY key ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+               ), 0) AS sum_prev,
+               COUNT(*) OVER (
+                   PARTITION BY key ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+               ) AS n_prev
+        FROM daily
+    )
+    SELECT key, day, CAST(cnt AS BIGINT) AS cnt,
+           CAST(sum_prev AS BIGINT) AS sum_prev,
+           (n_prev = 3 AND cnt * 2 * 3 > 3 * sum_prev) AS is_burst
+    FROM win
+"""
+
+
+@register("t5_burst_detection", _BURST_ORACLE_SQL)
+def t5_burst_detection(spark, sf_dir):
+    """Daily activity-burst detection per event_type
+    (operators/temporal.burst_detection): a day bursts when its count
+    beats 1.5× the mean of the 3 preceding observed days — integer-only
+    inequality (cnt·2·3 > 3·sum_prev), cold-start days are explicit
+    is_burst = false rows. The temporal-KG consumer: edge-activity spike
+    detection on kg_edges_temporal."""
+    from cdrc_semantic_search_spark.operators.temporal import burst_detection
+
+    ev = load(spark, sf_dir, "events")
+    return burst_detection(ev, "event_type", trailing=3, num=3, den=2)
 
 
 @register("graph_random_walks", value_oracles.lazy("graph_random_walks"))
@@ -5312,4 +5411,33 @@ def ta_redact_pii(spark, sf_dir):
     out = redact_pii(decorated, "text")
     return out.select(
         "doc_id", "n_url", "n_email", "n_ipv4", "n_phone", "text_redacted"
+    )
+
+
+# =====================================================================
+# collective entity linking (operators/linking.collective_link_mentions)
+# =====================================================================
+
+@register("kg_collective_linking", value_oracles.lazy("kg_collective_linking"))
+def kg_collective_linking(spark, sf_dir):
+    """Coherence-reranked entity disambiguation over the deterministic
+    transcript fixture: per-mention top-3 candidates from the broadcast
+    index, rescored by within-conversation candidate support
+    (final = score + 0.25·(support−1)/max(n_mentions−1, 1)), argmax by
+    min-of-struct. Oracle: pure-Python twin sharing the _topk_blend
+    specification kernel, re-deriving mention extraction, support counts
+    and the exact double arithmetic independently."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.operators.extraction import extract_mentions
+    from cdrc_semantic_search_spark.operators.linking import (
+        collective_link_mentions,
+    )
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities)
+    raw = extract_mentions(tdf, pipe.bc_catalogue)
+    return collective_link_mentions(
+        raw, pipe.bc_index, pipe.settings, k=3, beta=0.25
     )

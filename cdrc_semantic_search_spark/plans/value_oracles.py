@@ -1425,3 +1425,92 @@ def _graph_random_walks_values() -> str:
             ("node", "BIGINT"),
         ],
     )
+
+
+@_register("kg_collective_linking")
+def _kg_collective_linking_values() -> str:
+    """Twin of kg_collective_linking: single-process mention extraction
+    (extract_turn — the specification kernel), one _topk_blend batch over
+    ALL distinct normalized surfaces (k=3; scores rounded half-up to 4,
+    absorbing ~1e-7 BLAS batch-composition noise), then the identical
+    double arithmetic: final = score + 0.25·(support−1)/max(n−1, 1),
+    argmax by (−final, entity_id). Support counts and the per-conv
+    mention totals are re-derived with plain dicts, never Spark."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.encoder import normalize_surface
+    from cdrc_semantic_search_spark.operators.extraction_core import (
+        AliasMatcher,
+        extract_turn,
+    )
+    from cdrc_semantic_search_spark.operators.linking import (
+        _topk_blend,
+        build_entity_index,
+    )
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    settings = Settings()
+    matcher = AliasMatcher(
+        [
+            (r.entity_id, [r.canonical_name, *list(r.aliases)])
+            for r in fx.entities.itertuples()
+        ]
+    )
+    index = build_entity_index(fx.entities, settings)
+    k, beta = 3, 0.25
+    # mentions: (conv_id, turn_idx, mention_idx, norm_surface)
+    ments: list[tuple] = []
+    for r in fx.transcripts.itertuples():
+        found, _ = extract_turn(r.text or "", matcher)
+        for mi, m in enumerate(found):
+            ments.append(
+                (str(r.conv_id), int(r.turn_idx), mi, normalize_surface(m.surface))
+            )
+    surfaces = sorted({m[3] for m in ments})
+    ranked = _topk_blend(
+        index,
+        surfaces,
+        k=k,
+        alpha=settings.retrieval.alpha,
+        mode=settings.retrieval.query_mode,
+    )
+    cands = {
+        s: [(eid, _round_half_up(score, 4)) for eid, score in r]
+        for s, r in zip(surfaces, ranked)
+    }
+    n_ment: dict[str, int] = {}
+    support: dict[tuple[str, str], int] = {}
+    for conv_id, _ti, _mi, surf in ments:
+        n_ment[conv_id] = n_ment.get(conv_id, 0) + 1
+        for eid, _s in cands[surf]:
+            support[(conv_id, eid)] = support.get((conv_id, eid), 0) + 1
+    rows = []
+    for conv_id, ti, mi, surf in ments:
+        if not cands[surf]:
+            continue
+        denom = float(max(n_ment[conv_id] - 1, 1))
+        best = min(
+            (
+                (
+                    -(s + beta * ((support[(conv_id, eid)] - 1) / denom)),
+                    eid,
+                    support[(conv_id, eid)],
+                )
+                for eid, s in cands[surf]
+            )
+        )
+        rows.append(
+            (conv_id, ti, mi, surf, best[1], best[2], _round_half_up(-best[0], 6))
+        )
+    return values_sql(
+        sorted(rows),
+        [
+            ("conv_id", "VARCHAR"),
+            ("turn_idx", "INTEGER"),
+            ("mention_idx", "INTEGER"),
+            ("surface", "VARCHAR"),
+            ("entity_id", "VARCHAR"),
+            ("support", "BIGINT"),
+            ("final_score", "DOUBLE"),
+        ],
+    )

@@ -1902,3 +1902,51 @@ def test_random_walks_max_neighbors_cap(spark):
     for wid, step, node in out.collect():
         if step > 0:  # step 0 is the start vertex itself, cap-exempt
             assert node in {0, 1, 2, 3}, (wid, step, node)
+
+
+def test_modularity_hand_values(spark):
+    """Two triangles + one bridge, labeled by clique: m=7, intra=6,
+    degrees all 2 except bridge endpoints 3 → Σd_c² = (2+2+3)² + (2+2+3)²
+    = 98, Q = 6/7 − 98/196 = 0.357142857…; and the all-one-community
+    labeling scores Q = 1 − (2m)²/(4m²) = 0."""
+    from cdrc_semantic_search_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src int, dst int",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 2), (11, 2), (12, 2)],
+        "id int, label int",
+    )
+    r = modularity(edges, labels).collect()[0]
+    assert (r["m_edges"], r["intra_edges"], r["sum_deg_sq"]) == (7, 6, 98)
+    assert abs(r["modularity"] - (6 / 7 - 98 / 196)) < 1e-15
+    one = labels.select("id", F.lit(1).alias("label"))
+    r1 = modularity(edges, one).collect()[0]
+    assert r1["modularity"] == 0.0
+
+
+def test_burst_detection_hand_values(spark):
+    """Counts 2,2,2 then 4 on day 4 → burst (4 > 1.5×2); day 5 count 3
+    vs mean (2+2+4)/3 = 8/3 → 3 > 4 is false; first three days are
+    cold-start false."""
+    import datetime
+
+    from cdrc_semantic_search_spark.operators.temporal import burst_detection
+
+    rows = []
+    per_day = {1: 2, 2: 2, 3: 2, 4: 4, 5: 3}
+    for d, n in per_day.items():
+        for i in range(n):
+            rows.append(("click", datetime.datetime(2024, 1, d, 10, i)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        str(r["day"]): (r["cnt"], r["sum_prev"], r["is_burst"])
+        for r in burst_detection(ev, "event_type").collect()
+    }
+    assert got["2024-01-01"] == (2, 0, False)
+    assert got["2024-01-02"] == (2, 2, False)
+    assert got["2024-01-03"] == (2, 4, False)
+    assert got["2024-01-04"] == (4, 6, True)
+    assert got["2024-01-05"] == (3, 8, False)
