@@ -1312,3 +1312,40 @@ def modularity(
             )
         ).alias("modularity"),
     )
+
+
+def walk_skipgram_pairs(
+    walks: DataFrame, window: int = 2
+) -> DataFrame:
+    """(walk_id, step, node) walks → skip-gram positive training pairs
+    (center, context, n_pairs): every ordered co-occurrence within
+    ``window`` hops on the same walk, counted corpus-wide — the
+    DeepWalk/node2vec pair-generation stage that turns
+    :func:`random_walks` output into embedding-training positives
+    (kg_negative_samples supplies the negatives).
+
+    100-TB shape: ONE self-equi-join keyed on walk_id — each walk is a
+    (walk_length+1)-row group, so the join fan-out per key is the
+    constant (L+1)·window, never data-dependent — followed by a
+    map-side-combinable (center, context) count whose key space is the
+    edge-neighborhood size, orders of magnitude below the pair stream.
+    """
+    a = walks.select(
+        F.col("walk_id").alias("w"),
+        F.col("step").alias("s1"),
+        F.col("node").alias("center"),
+    )
+    b = walks.select(
+        F.col("walk_id").alias("w"),
+        F.col("step").alias("s2"),
+        F.col("node").alias("context"),
+    )
+    return (
+        a.join(b, "w")
+        .filter(
+            (F.col("s2") > F.col("s1"))
+            & (F.col("s2") - F.col("s1") <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -3296,6 +3296,32 @@ def graph_random_walks(spark, sf_dir):
     )
 
 
+@register("graph_walk_pairs", value_oracles.lazy("graph_walk_pairs"))
+def graph_walk_pairs(spark, sf_dir):
+    """Skip-gram positive pairs from the deterministic random walks
+    (operators/graph.walk_skipgram_pairs, window=2) — the
+    embedding-training positives the walk corpus exists to produce.
+    Oracle: plain-dict pair counting over the shared walk-simulation
+    twin."""
+    from cdrc_semantic_search_spark.operators.graph import (
+        random_walks,
+        walk_skipgram_pairs,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 200")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    walks = random_walks(edges, walk_length=4, n_walks=2, seed=42)
+    out = walk_skipgram_pairs(walks, window=2)
+    return out.select(
+        F.col("center").cast("long").alias("center"),
+        F.col("context").cast("long").alias("context"),
+        "n_pairs",
+    )
+
+
 @register("kg_triples_fixture", value_oracles.lazy("kg_triples_fixture"))
 def kg_triples_fixture(spark, sf_dir):
     """The KG pipeline end-to-end on the deterministic transcript fixture.

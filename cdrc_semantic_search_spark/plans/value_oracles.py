@@ -1380,9 +1380,9 @@ def _tr_salient_turns_values() -> str:
     )
 
 
-@_register("graph_random_walks")
-def _graph_random_walks_values() -> str:
-    """Twin of graph_random_walks: adjacency re-derived independently as a
+def _random_walk_rows() -> list[tuple]:
+    """Shared walk simulation for the graph_random_walks and
+    graph_walk_pairs twins: adjacency re-derived independently as a
     dict of sorted unique neighbor lists over the sf0.01 supplier↔bucket
     graph (l_orderkey < 200), then the exact hash-routed walk —
     zlib.crc32(f"{seed}|{walk_id}|{step}|{cur}") % deg over the sorted
@@ -1417,12 +1417,47 @@ def _graph_random_walks_values() -> str:
                 idx = zlib.crc32(f"{seed}|{wid}|{step}|{cur}".encode()) % len(ns)
                 cur = ns[idx]
                 rows.append((wid, step, cur))
+    return rows
+
+
+@_register("graph_random_walks")
+def _graph_random_walks_values() -> str:
+    """VALUES rendering of the shared walk simulation (_random_walk_rows)."""
     return values_sql(
-        sorted(rows),
+        sorted(_random_walk_rows()),
         [
             ("walk_id", "VARCHAR"),
             ("step", "INTEGER"),
             ("node", "BIGINT"),
+        ],
+    )
+
+
+@_register("graph_walk_pairs")
+def _graph_walk_pairs_values() -> str:
+    """Twin of graph_walk_pairs: skip-gram positives counted with a plain
+    dict over the shared walk simulation — ordered within-walk
+    co-occurrences at step distance 1..window (window=2)."""
+    window = 2
+    walks: dict[str, dict[int, int]] = {}
+    for wid, step, node in _random_walk_rows():
+        walks.setdefault(wid, {})[step] = node
+    counts: dict[tuple[int, int], int] = {}
+    for path in walks.values():
+        steps = sorted(path)
+        for i, s1 in enumerate(steps):
+            for s2 in steps[i + 1 :]:
+                if s2 - s1 > window:
+                    break
+                key = (path[s1], path[s2])
+                counts[key] = counts.get(key, 0) + 1
+    rows = [(c, x, n) for (c, x), n in counts.items()]
+    return values_sql(
+        sorted(rows),
+        [
+            ("center", "BIGINT"),
+            ("context", "BIGINT"),
+            ("n_pairs", "BIGINT"),
         ],
     )
 

@@ -1950,3 +1950,30 @@ def test_burst_detection_hand_values(spark):
     assert got["2024-01-03"] == (2, 4, False)
     assert got["2024-01-04"] == (4, 6, True)
     assert got["2024-01-05"] == (3, 8, False)
+
+
+def test_walk_skipgram_pairs_hand_values(spark):
+    """One walk a:0 = [1,2,3,4], window 2 → ordered pairs (1,2),(1,3),
+    (2,3),(2,4),(3,4); a second walk [1,2,1,2] exercises repeat
+    counting: (1,2)x2, (2,1)x1, (1,1)x1, (2,2)x1."""
+    from cdrc_semantic_search_spark.operators.graph import walk_skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("a:0", 0, 1), ("a:0", 1, 2), ("a:0", 2, 3), ("a:0", 3, 4),
+         ("b:0", 0, 1), ("b:0", 1, 2), ("b:0", 2, 1), ("b:0", 3, 2)],
+        "walk_id string, step int, node int",
+    )
+    got = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in walk_skipgram_pairs(walks, window=2).collect()
+    }
+    assert got == {
+        (1, 2): 3,  # a:(0,1) + b:(0,1) + b:(2,3)
+        (1, 3): 1,
+        (2, 3): 1,
+        (2, 4): 1,
+        (3, 4): 1,
+        (2, 1): 1,  # b:(1,2)
+        (1, 1): 1,  # b:(0,2)
+        (2, 2): 1,  # b:(1,3)
+    }
