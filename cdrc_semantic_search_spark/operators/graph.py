@@ -1140,18 +1140,20 @@ def label_propagation(
             lab.select(F.col("id").alias("v"), "label")
         )
         counts = votes.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
-        # max of (count, -label) = most frequent, then smallest label —
-        # an aggregation (map-side combinable) instead of a window sort
+        # min of (−count, label) = most frequent, then smallest label —
+        # an aggregation (map-side combinable) instead of a window sort;
+        # negating the COUNT (not the label) keeps any orderable label
+        # type working (entity ids are strings in the KG consumer)
         lab = (
             counts.groupBy("v")
             .agg(
-                F.max(
+                F.min(
                     F.struct(
-                        F.col("c").alias("c"), (-F.col("label")).alias("neg")
+                        (-F.col("c")).alias("negc"), F.col("label").alias("lab")
                     )
                 ).alias("t")
             )
-            .select(F.col("v").alias("id"), (-F.col("t.neg")).alias("label"))
+            .select(F.col("v").alias("id"), F.col("t.lab").alias("label"))
             .localCheckpoint()
         )
     return lab

@@ -122,6 +122,59 @@ class KGPipeline:
             )
         )
 
+    def collective_mentions(
+        self, transcripts: DataFrame, k: int = 3, beta: float = 0.25
+    ) -> DataFrame:
+        """Coherence-reranked mention disambiguation
+        (operators/linking.collective_link_mentions over
+        extract_mentions): each mention's top-k candidates are rescored
+        by within-conversation candidate support before the argmax — the
+        collective-linking alternative to the per-mention ``mentions()``
+        path when conversations are topically coherent. Same broadcast
+        state; the fact table shuffles only on conv_id-family keys.
+        """
+        from cdrc_semantic_search_spark.operators.linking import (
+            collective_link_mentions,
+        )
+
+        raw = extract_mentions(transcripts, self.bc_catalogue)
+        return collective_link_mentions(
+            raw, self.bc_index, self.settings, k=k, beta=beta
+        )
+
+    def entity_communities(
+        self, edges: DataFrame, n_rounds: int = 4, min_modularity: float | None = None
+    ) -> DataFrame:
+        """Community assignment over a materialized kg_edges table
+        (operators/graph.label_propagation on the (subj, obj) projection)
+        with an optional modularity quality gate: if ``min_modularity``
+        is set and Newman Q of the labeling falls below it, raise instead
+        of materializing a meaningless partition (the same
+        fail-loudly-not-wrong contract as catalog time travel).
+        NOTE: the gate runs an eager modularity job at call time.
+        """
+        from cdrc_semantic_search_spark.operators.graph import (
+            label_propagation,
+            modularity,
+        )
+
+        proj = edges.select(
+            F.col("subj_entity_id").alias("src"),
+            F.col("obj_entity_id").alias("dst"),
+        )
+        labels = label_propagation(proj, n_rounds=n_rounds)
+        if min_modularity is not None:
+            q = modularity(proj, labels).collect()[0]["modularity"]
+            if q < min_modularity:
+                raise ValueError(
+                    f"label-propagation modularity {q:.4f} < floor "
+                    f"{min_modularity}: community structure too weak to "
+                    "materialize"
+                )
+        return labels.select(
+            F.col("id").alias("entity_id"), F.col("label").alias("community")
+        )
+
     # ---------------------------------------------------------- materialize
     def kg_edges(self, triples: DataFrame) -> DataFrame:
         """Edge rollup: weight + activity span (FIXTURES.md §3 shape)."""

@@ -169,3 +169,31 @@ def test_entity_cooccurrence_matches_hand_math(spark, fixture, spark_fixture):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_pipeline_collective_and_communities(spark, fixture):
+    """The two new pipeline stages run end-to-end on the fixture: every
+    collectively-linked mention resolves to a catalogue entity, flipping
+    is bounded to coherence (support never below 1), and
+    entity_communities yields one community per entity with the
+    modularity gate passing at a permissive floor and raising at an
+    impossible one."""
+    import pytest as _pytest
+
+    from cdrc_semantic_search_spark import fixtures as fx_mod
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    tdf, _ = fx_mod.to_spark(spark, fixture)
+    pipe = KGPipeline(spark, fixture.entities)
+    cm = pipe.collective_mentions(tdf).collect()
+    assert cm, "fixture has mentions"
+    eids = set(fixture.entities.entity_id)
+    assert all(r["entity_id"] in eids for r in cm)
+    assert all(r["support"] >= 1 for r in cm)
+
+    edges = pipe.kg_edges(pipe.triples(tdf))
+    comm = pipe.entity_communities(edges, min_modularity=-1.0)
+    rows = comm.collect()
+    assert len(rows) == len({r["entity_id"] for r in rows})
+    with _pytest.raises(ValueError, match="modularity"):
+        pipe.entity_communities(edges, min_modularity=1.0)
