@@ -308,6 +308,16 @@ def burst_detection(
     daily = events.groupBy(
         F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    return burst_flags(daily, trailing=trailing, num=num, den=den)
+
+
+def burst_flags(
+    daily: DataFrame, trailing: int = 3, num: int = 3, den: int = 2
+) -> DataFrame:
+    """The window/flag half of :func:`burst_detection` over an already
+    aggregated (key, day, cnt) frame — shared by the batch operator and
+    the streaming merge-on-read view (streaming/incremental.
+    compacted_daily_counts), so streamed ≡ batch by construction."""
     w = (
         Window.partitionBy("key")
         .orderBy("day")

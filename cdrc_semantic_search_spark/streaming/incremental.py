@@ -358,3 +358,64 @@ def compacted_pq_codes(spark: SparkSession, catalog: ParquetTableCatalog,
         .filter(F.col("__rn") == 1)
         .select("c_id", "codes")
     )
+
+
+def stream_daily_counts(
+    spark: SparkSession,
+    input_dir: str,
+    catalog: ParquetTableCatalog,
+    checkpoint_dir: str,
+    key_col: str,
+    ts_col: str = "ts",
+    source_schema: str | None = None,
+    table: str = "daily_count_deltas",
+) -> None:
+    """Streaming maintenance of the per-(key, day) activity counts that
+    feed burst detection: each micro-batch commits its OWN (key, day,
+    cnt) rollup as a ledgered delta partition — counts are additive, so
+    merge-on-read is a SUM (not latest-wins like PQ codes), and no
+    read-modify-write of the count table happens per batch. Re-delivered
+    batches overwrite their partition idempotently.
+
+    The temporal-KG consumer: keep edge/entity activity counters fresh
+    at stream time so :func:`compacted_daily_counts` +
+    operators/temporal.burst_flags surfaces "suddenly hot" keys without
+    rescanning history.
+    """
+    snapshot = f"stream:{os.path.basename(input_dir)}"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        daily = batch_df.groupBy(
+            F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        catalog.overwrite_partition(
+            daily, table, partition=str(batch_id), source_snapshot=snapshot
+        )
+
+    schema = source_schema or f"{key_col} string, {ts_col} timestamp"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def compacted_daily_counts(
+    spark: SparkSession,
+    catalog: ParquetTableCatalog,
+    table: str = "daily_count_deltas",
+) -> DataFrame:
+    """Merge-on-read view of the streamed daily counts: SUM across
+    committed delta partitions (additive merge — a key/day seen in many
+    batches accumulates, bit-equal to a batch rollup of the union).
+    Feed to operators/temporal.burst_flags for streamed ≡ batch bursts.
+    """
+    deltas = catalog.read_table(spark, table)
+    return deltas.groupBy("key", "day").agg(F.sum("cnt").alias("cnt"))

@@ -612,3 +612,55 @@ def test_batch_upsert_folds_streamed_deltas(spark, tmp_path):
     want2 = topk_pq_adc(spark, q, mk(range(22), final), books, k=5).toPandas()
     got2 = topk_pq_adc_index(spark, q, catalog, k=5).toPandas()
     assert pair(got2) == pair(want2)
+
+
+def test_streamed_daily_counts_equal_batch_bursts(spark, tmp_path):
+    """Streamed per-batch (key, day) count deltas, SUM-merged on read,
+    must reproduce the batch burst_detection output exactly — including
+    keys/days split across micro-batches. Restarting on the same
+    checkpoint adds nothing."""
+    import datetime
+
+    from cdrc_semantic_search_spark.operators.temporal import (
+        burst_detection,
+        burst_flags,
+    )
+
+    rows = []
+    per_day = {1: 2, 2: 2, 3: 2, 4: 9, 5: 3, 6: 1, 7: 30}
+    for d, n in per_day.items():
+        for i in range(n):
+            rows.append(("click", datetime.datetime(2024, 1, d, 8, i % 60)))
+            if i % 2 == 0:
+                rows.append(("view", datetime.datetime(2024, 1, d, 9, i % 60)))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    src = str(tmp_path / "ev_src")
+    # several files so maxFilesPerTrigger-less availableNow still splits
+    # day/key groups across micro-batch boundaries
+    ev.repartition(6).write.mode("overwrite").parquet(src)
+
+    cat = ParquetTableCatalog(str(tmp_path / "ev_cat"))
+    incremental.stream_daily_counts(
+        spark, src, cat, checkpoint_dir=str(tmp_path / "ev_ckpt"),
+        key_col="event_type",
+        source_schema="event_type string, ts timestamp",
+    )
+    assert len(cat.ledger("daily_count_deltas")) >= 2, "want multiple batches"
+    merged = incremental.compacted_daily_counts(spark, cat)
+    streamed = {
+        tuple(r) for r in burst_flags(merged).collect()
+    }
+    batch = {
+        tuple(r) for r in burst_detection(ev, "event_type").collect()
+    }
+    assert streamed == batch
+    n_parts = len(cat.ledger("daily_count_deltas"))
+    incremental.stream_daily_counts(
+        spark, src, cat, checkpoint_dir=str(tmp_path / "ev_ckpt"),
+        key_col="event_type",
+        source_schema="event_type string, ts timestamp",
+    )
+    assert len(cat.ledger("daily_count_deltas")) == n_parts
+    assert {tuple(r) for r in burst_flags(
+        incremental.compacted_daily_counts(spark, cat)
+    ).collect()} == batch
