@@ -1112,6 +1112,11 @@ def label_propagation(
     mitigation applies (salted two-phase count via
     build_pagerank_fanout's bucketing) if a real hub dominates.
 
+    NOTE: EAGER — each round localCheckpoints the |V|-row label frame
+    (the same lineage-truncation contract as connected_components), so
+    n_rounds Spark jobs run at call time; total materialized state is
+    O(n_rounds · |V|), never O(|E|).
+
     Pass ``cache_handle`` (a list) to receive the persisted symmetric
     edge frame for deterministic unpersist after consumption.
     """

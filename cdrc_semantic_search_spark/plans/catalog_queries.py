@@ -2157,6 +2157,37 @@ def sketch_approx_distinct(spark, sf_dir):
     )
 
 
+@register("sketch_count_min", value_oracles.lazy("sketch_count_min"))
+def sketch_count_min(spark, sf_dir):
+    """Deterministic count-min sketch (operators/sketch, d=4 w=64 —
+    width deliberately small so collisions make the overestimate real at
+    sf0.01) over (event_type|user_id) keys, point-queried for the 20
+    hottest exact keys: (key, exact_cnt, cms_est), cms_est ≥ exact_cnt
+    always. Unlike the HLL entry (engine-internal registers, rows-only),
+    these counters are pure crc32 arithmetic — the twin re-derives every
+    counter and the hash check is exact."""
+    from cdrc_semantic_search_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "|", F.col("event_type"), F.col("user_id").cast("string")
+        ).alias("key")
+    )
+    exact = ev.groupBy("key").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    w = Window.orderBy(F.desc("exact_cnt"), F.asc("key"))
+    top = (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    sk = count_min_sketch(ev, "key", depth=4, width=64)
+    est = cms_estimate(sk, top.select("key"), "key", depth=4, width=64)
+    return top.join(est, "key").select("key", "exact_cnt", "cms_est")
+
+
 @register(
     "ta_dup_ngram_fraction",
     f"""

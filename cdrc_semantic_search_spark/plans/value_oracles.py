@@ -1549,3 +1549,41 @@ def _kg_collective_linking_values() -> str:
             ("final_score", "DOUBLE"),
         ],
     )
+
+
+@_register("sketch_count_min")
+def _sketch_count_min_values() -> str:
+    """Twin of sketch_count_min: exact key counts + every CMS counter
+    re-derived with plain dicts and zlib.crc32 (== Spark F.crc32,
+    pinned); est = min over the 4 hash rows, floor 0 for absent
+    counters."""
+    t = _read("events", ["event_type", "user_id"])
+    ets = t.column("event_type").to_pylist()
+    uids = t.column("user_id").to_pylist()
+    seed, depth, width = 42, 4, 64
+    counts: dict[str, int] = {}
+    counters: dict[tuple[int, int], int] = {}
+    for et, uid in zip(ets, uids):
+        key = f"{et}|{uid}"
+        counts[key] = counts.get(key, 0) + 1
+        for i in range(depth):
+            c = zlib.crc32(f"{seed}|{i}|{key}".encode()) % width
+            counters[(i, c)] = counters.get((i, c), 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = []
+    for key, exact in top:
+        est = min(
+            counters.get(
+                (i, zlib.crc32(f"{seed}|{i}|{key}".encode()) % width), 0
+            )
+            for i in range(depth)
+        )
+        rows.append((key, exact, est))
+    return values_sql(
+        sorted(rows),
+        [
+            ("key", "VARCHAR"),
+            ("exact_cnt", "BIGINT"),
+            ("cms_est", "BIGINT"),
+        ],
+    )

@@ -1977,3 +1977,42 @@ def test_walk_skipgram_pairs_hand_values(spark):
         (1, 1): 1,  # b:(0,2)
         (2, 2): 1,  # b:(1,3)
     }
+
+
+def test_count_min_merge_and_overestimate(spark):
+    """CMS(A ∪ B) must equal CMS(A) ⊕ CMS(B) (elementwise counter sum,
+    exact), and every point estimate must be ≥ the true count."""
+    from cdrc_semantic_search_spark.operators.sketch import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    rows = [(f"k{i % 17}",) for i in range(500)] + [("hot",)] * 60
+    df = spark.createDataFrame(rows, "key string")
+    a = df.filter(F.crc32(F.col("key").cast("binary")) % 2 == 0)
+    b = df.filter(F.crc32(F.col("key").cast("binary")) % 2 == 1)
+    whole = count_min_sketch(df, "key", depth=3, width=16)
+    merged = (
+        count_min_sketch(a, "key", depth=3, width=16)
+        .unionAll(count_min_sketch(b, "key", depth=3, width=16))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    exact = {
+        r["key"]: r["c"]
+        for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    est = {
+        r["key"]: r["cms_est"]
+        for r in cms_estimate(
+            whole, df.select("key").distinct(), "key", depth=3, width=16
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # width 16 over 18 keys guarantees at least one collision somewhere;
+    # the sketch is an overestimate, not a count
+    assert sum(est.values()) >= sum(exact.values())
