@@ -1356,3 +1356,136 @@ def walk_skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def random_walks_node2vec(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    walk_length: int = 4,
+    n_walks: int = 1,
+    seed: int = 42,
+    p: int = 1,
+    q: int = 2,
+    max_neighbors: int | None = 10_000,
+) -> DataFrame:
+    """Second-order (node2vec-biased) deterministic random walks →
+    (walk_id, step, node): the next hop is drawn with the node2vec
+    weights — 1/p to RETURN to the previous node, 1 to a COMMON neighbor
+    of (prev, cur), 1/q to go FARTHER — so integer p > 1 discourages
+    backtracking and q > 1 keeps walks local (BFS-like), the knobs that
+    make node2vec embeddings tune between homophily and structural
+    equivalence (Grover & Leskovec 2016). ``p``/``q`` are positive
+    integers; weights are pq-scaled to exact integers (return = q,
+    common = p·q, far = p), so weighted selection is pure integer
+    arithmetic: r = crc32(seed|walk|step|cur|prev) mod Σweights, pick
+    the first sorted neighbor whose cumulative weight exceeds r —
+    partition/retry invariant and exactly twin-able, like
+    :func:`random_walks`. Step 1 has no prev (concat_ws skips the NULL;
+    all candidates weigh ``far``) and degenerates to a uniform pick.
+
+    100-TB shape: per hop ONE equi-join on the current node plus one
+    LEFT join on the previous node (for N(prev) membership); the
+    weighting/selection is a single O(deg) Catalyst ``aggregate`` over
+    the zipped (weight, index) array — no per-row Python, no
+    deg²-anything; hub arrays capped as in :func:`random_walks`.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = und.select(F.col("a").alias("v"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("n"))
+    )
+    adj = sym.groupBy("v").agg(F.array_sort(F.collect_list("n")).alias("nbrs"))
+    if max_neighbors is not None:
+        adj = adj.withColumn("nbrs", F.slice("nbrs", 1, max_neighbors))
+    adj = adj.persist()
+    starts = adj.select("v").crossJoin(
+        F.broadcast(
+            adj.sparkSession.range(n_walks).select(
+                F.col("id").cast("int").alias("w")
+            )
+        )
+    )
+    frontier = starts.select(
+        F.concat_ws(":", F.col("v"), F.col("w")).alias("walk_id"),
+        F.col("v").alias("node"),
+        F.lit(None).cast(adj.schema["v"].dataType).alias("prev"),
+    )
+    out = frontier.select("walk_id", F.lit(0).alias("step"), "node")
+    cur_adj = adj.select(F.col("v").alias("node"), "nbrs")
+    prev_adj = adj.select(F.col("v").alias("prev"), F.col("nbrs").alias("pn"))
+    for step in range(1, walk_length + 1):
+        j = (
+            frontier.join(cur_adj, "node")
+            .join(prev_adj, "prev", "left")
+            .withColumn("pn", F.coalesce("pn", F.array()))
+        )
+        prev_c, r_w, c_w, f_w = (
+            F.col("prev"), F.lit(q), F.lit(p * q), F.lit(p),
+        )
+        j = j.withColumn(
+            "wts",
+            F.transform(
+                "nbrs",
+                lambda x: F.when(x.eqNullSafe(prev_c), r_w)
+                .when(F.array_contains(F.col("pn"), x), c_w)
+                .otherwise(f_w)
+                .cast("long"),
+            ),
+        )
+        j = j.withColumn(
+            "r",
+            F.pmod(
+                F.crc32(
+                    F.concat_ws(
+                        "|",
+                        F.lit(seed),
+                        F.col("walk_id"),
+                        F.lit(step),
+                        F.col("node"),
+                        F.col("prev"),
+                    ).cast("binary")
+                ),
+                F.aggregate("wts", F.lit(0).cast("long"), lambda a, x: a + x),
+            ),
+        )
+        # first index whose cumulative weight exceeds r — one O(deg)
+        # fold over (weight, index) pairs with a (cum, chosen) accumulator
+        j = j.withColumn(
+            "sel",
+            F.aggregate(
+                F.zip_with(
+                    "wts",
+                    F.sequence(F.lit(1), F.size("nbrs")),
+                    lambda w, i: F.struct(w.alias("w"), i.alias("i")),
+                ),
+                F.struct(
+                    F.lit(0).cast("long").alias("cum"), F.lit(0).alias("idx")
+                ),
+                lambda acc, s: F.struct(
+                    (acc["cum"] + s["w"]).alias("cum"),
+                    F.when(
+                        (acc["idx"] == 0) & (acc["cum"] + s["w"] > F.col("r")),
+                        s["i"],
+                    )
+                    .otherwise(acc["idx"])
+                    .alias("idx"),
+                ),
+            )["idx"],
+        )
+        hop = j.select(
+            "walk_id",
+            F.element_at("nbrs", F.col("sel")).alias("node"),
+            F.col("node").alias("prev"),
+        )
+        frontier = hop
+        out = out.unionByName(
+            hop.select("walk_id", F.lit(step).alias("step"), "node")
+        )
+    return out

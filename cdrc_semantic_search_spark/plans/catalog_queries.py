@@ -3353,6 +3353,31 @@ def graph_walk_pairs(spark, sf_dir):
     )
 
 
+@register("graph_node2vec_walks", value_oracles.lazy("graph_node2vec_walks"))
+def graph_node2vec_walks(spark, sf_dir):
+    """Second-order biased walks (operators/graph.random_walks_node2vec,
+    p=2 q=3: backtracking discouraged, BFS-leaning) over the same
+    supplier↔bucket graph as graph_random_walks — weighted hop selection
+    is a single Catalyst aggregate over integer pq-scaled weights, no
+    UDF. Oracle: pure-Python twin over the shared adjacency + crc32."""
+    from cdrc_semantic_search_spark.operators.graph import (
+        random_walks_node2vec,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 200")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    out = random_walks_node2vec(
+        edges, walk_length=4, n_walks=1, seed=42, p=2, q=3
+    )
+    return out.select(
+        "walk_id", F.col("step").cast("int").alias("step"),
+        F.col("node").cast("long").alias("node"),
+    )
+
+
 @register("kg_triples_fixture", value_oracles.lazy("kg_triples_fixture"))
 def kg_triples_fixture(spark, sf_dir):
     """The KG pipeline end-to-end on the deterministic transcript fixture.

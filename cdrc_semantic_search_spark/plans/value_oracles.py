@@ -1380,15 +1380,10 @@ def _tr_salient_turns_values() -> str:
     )
 
 
-def _random_walk_rows() -> list[tuple]:
-    """Shared walk simulation for the graph_random_walks and
-    graph_walk_pairs twins: adjacency re-derived independently as a
-    dict of sorted unique neighbor lists over the sf0.01 supplier↔bucket
-    graph (l_orderkey < 200), then the exact hash-routed walk —
-    zlib.crc32(f"{seed}|{walk_id}|{step}|{cur}") % deg over the sorted
-    array, the same bytes Spark's F.crc32(concat_ws(...)) hashes
-    (java.util.zip.CRC32 shares the zlib polynomial; pinned by
-    test_crc32_matches_spark)."""
+def _walk_adjacency() -> tuple[dict, dict]:
+    """(sorted-capped neighbor lists, raw neighbor sets) of the sf0.01
+    supplier↔bucket walk graph (l_orderkey < 200), re-derived
+    independently of Spark — shared by all three walk twins."""
     t = _read("lineitem", ["l_orderkey", "l_suppkey", "l_partkey"])
     ok = t.column("l_orderkey").to_pylist()
     sk = t.column("l_suppkey").to_pylist()
@@ -1404,7 +1399,17 @@ def _random_walk_rows() -> list[tuple]:
     for a, b in und:
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
-    nbrs = {v: sorted(ns)[:10_000] for v, ns in adj.items()}
+    return {v: sorted(ns)[:10_000] for v, ns in adj.items()}, adj
+
+
+def _random_walk_rows() -> list[tuple]:
+    """Shared walk simulation for the graph_random_walks and
+    graph_walk_pairs twins over :func:`_walk_adjacency`: the exact
+    hash-routed walk — zlib.crc32(f"{seed}|{walk_id}|{step}|{cur}") %
+    deg over the sorted array, the same bytes Spark's
+    F.crc32(concat_ws(...)) hashes (java.util.zip.CRC32 shares the zlib
+    polynomial; pinned by test_crc32_matches_spark)."""
+    nbrs, _adj = _walk_adjacency()
     seed, walk_length, n_walks = 42, 4, 2
     rows: list[tuple] = []
     for v in nbrs:
@@ -1585,5 +1590,55 @@ def _sketch_count_min_values() -> str:
             ("key", "VARCHAR"),
             ("exact_cnt", "BIGINT"),
             ("cms_est", "BIGINT"),
+        ],
+    )
+
+
+@_register("graph_node2vec_walks")
+def _graph_node2vec_walks_values() -> str:
+    """Twin of graph_node2vec_walks (p=2, q=3, 1 walk/vertex, length 4):
+    integer node2vec weights (return = q, common = p·q, far = p) over
+    the shared adjacency, r = crc32(seed|walk|step|cur|prev) mod
+    Σweights, first sorted neighbor whose cumulative weight exceeds r;
+    step 1 omits prev from the hashed bytes exactly as concat_ws skips
+    the NULL column."""
+    nbrs, adj = _walk_adjacency()
+    seed, walk_length, n_walks, p, q = 42, 4, 1, 2, 3
+    rows: list[tuple] = []
+    for v in nbrs:
+        for w in range(n_walks):
+            wid = f"{v}:{w}"
+            cur, prev = v, None
+            rows.append((wid, 0, cur))
+            for step in range(1, walk_length + 1):
+                ns = nbrs[cur]
+                wts = [
+                    q
+                    if (prev is not None and x == prev)
+                    else (
+                        p * q
+                        if (prev is not None and x in adj.get(prev, ()))
+                        else p
+                    )
+                    for x in ns
+                ]
+                hs = f"{seed}|{wid}|{step}|{cur}" + (
+                    f"|{prev}" if prev is not None else ""
+                )
+                r = zlib.crc32(hs.encode()) % sum(wts)
+                cum = 0
+                for i, wt in enumerate(wts):
+                    cum += wt
+                    if cum > r:
+                        sel = i
+                        break
+                prev, cur = cur, ns[sel]
+                rows.append((wid, step, cur))
+    return values_sql(
+        sorted(rows),
+        [
+            ("walk_id", "VARCHAR"),
+            ("step", "INTEGER"),
+            ("node", "BIGINT"),
         ],
     )

@@ -2016,3 +2016,40 @@ def test_count_min_merge_and_overestimate(spark):
     # width 16 over 18 keys guarantees at least one collision somewhere;
     # the sketch is an overestimate, not a count
     assert sum(est.values()) >= sum(exact.values())
+
+
+def test_node2vec_walks_bias_and_invariance(spark):
+    """On a 6-clique, raising p (pq-scaled: return weight q vs common
+    p·q) must cut immediate backtracks versus the uniform walk; hops
+    stay on edges; repartitioning the input changes nothing."""
+    from cdrc_semantic_search_spark.operators.graph import (
+        random_walks_node2vec,
+    )
+
+    raw = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    edges = spark.createDataFrame(raw, "src int, dst int")
+
+    def backtracks(p, q):
+        out = random_walks_node2vec(
+            edges, walk_length=6, n_walks=8, seed=3, p=p, q=q
+        ).collect()
+        paths: dict[str, dict[int, int]] = {}
+        for r in out:
+            paths.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+        und = {(a, b) for a, b in raw} | {(b, a) for a, b in raw}
+        n_back = 0
+        for path in paths.values():
+            for s in range(1, 6):
+                assert (path[s], path[s + 1]) in und
+                if s >= 1 and path.get(s - 1) == path[s + 1]:
+                    n_back += 1
+        return n_back
+
+    uniform = backtracks(1, 1)
+    averse = backtracks(40, 1)  # return weight q=1 vs common 40
+    assert averse < uniform, (averse, uniform)
+    a = random_walks_node2vec(edges, walk_length=3, n_walks=2, seed=5, p=2, q=3)
+    b = random_walks_node2vec(
+        edges.repartition(7), walk_length=3, n_walks=2, seed=5, p=2, q=3
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
