@@ -15,7 +15,7 @@ N never re-optimizes 1..N-1 (same discipline as connected_components).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdrc_semantic_search_spark.functions.observe import unique_observation
@@ -1489,3 +1489,53 @@ def random_walks_node2vec(
             hop.select("walk_id", F.lit(step).alias("step"), "node")
         )
     return out
+
+
+def sparsify_topk_edges(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+) -> DataFrame:
+    """Degree-bounding graph sparsifier: keep each node's k strongest
+    incident edges (by weight desc, then neighbor asc for deterministic
+    ties); an edge survives if EITHER endpoint ranks it — the standard
+    pre-processing step before wedge-join algorithms (triangles, link
+    prediction) whose cost is Σ deg², and before visual/ANN-graph
+    export. A node's own ranking keeps ≤ k of its edges; its final
+    degree can exceed k only by edges its NEIGHBORS fought to keep —
+    bounded fan-in, not a silent cap (every dropped edge lost a
+    deterministic contest on both endpoints).
+
+    100-TB shape: one unionAll to view the edge list from both
+    endpoints, one per-node window top-k (single exchange on the
+    endpoint key), one distinct on the surviving keys — no joins, no
+    fan-out beyond 2|E|. The window sorts only per-node groups; a
+    10⁸-degree hub sorts its own incident list, which is exactly the
+    work the sparsifier exists to amortize (do it once here, not in
+    every downstream wedge join).
+    """
+    both = edges.select(
+        F.col(src).alias("s"), F.col(dst).alias("d"), F.col(weight).alias("w")
+    ).unionAll(
+        edges.select(
+            F.col(dst).alias("s"), F.col(src).alias("d"), F.col(weight).alias("w")
+        )
+    )
+    win = Window.partitionBy("s").orderBy(
+        F.desc("w"), F.asc("d")
+    )
+    kept = (
+        both.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.least(F.col("s"), F.col("d")).alias("a"),
+            F.greatest(F.col("s"), F.col("d")).alias("b"),
+            F.col("w"),
+        )
+        .distinct()
+    )
+    return kept.select(
+        F.col("a").alias(src), F.col("b").alias(dst), F.col("w").alias(weight)
+    )

@@ -3353,6 +3353,58 @@ def graph_walk_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "graph_sparsify_topk",
+    """
+    WITH e AS (
+        SELECT LEAST(l_suppkey, 1000 + l_partkey % 100) AS src,
+               GREATEST(l_suppkey, 1000 + l_partkey % 100) AS dst,
+               COUNT(*) AS weight
+        FROM lineitem WHERE l_orderkey < 300 GROUP BY 1, 2
+    ),
+    bi AS (
+        SELECT src AS s, dst AS d, weight AS w FROM e
+        UNION ALL SELECT dst, src, weight FROM e
+    ),
+    r AS (
+        SELECT s, d, w,
+               ROW_NUMBER() OVER (PARTITION BY s ORDER BY w DESC, d ASC) AS rn
+        FROM bi
+    )
+    SELECT DISTINCT CAST(LEAST(s, d) AS BIGINT) AS src,
+           CAST(GREATEST(s, d) AS BIGINT) AS dst,
+           CAST(w AS BIGINT) AS weight
+    FROM r WHERE rn <= 3
+    """,
+)
+def graph_sparsify_topk(spark, sf_dir):
+    """Top-3 strongest incident edges per node
+    (operators/graph.sparsify_topk_edges) over the weighted
+    supplier↔bucket graph — the degree-bounding pre-processing for
+    wedge-join algorithms; edge survives if either endpoint ranks it."""
+    from cdrc_semantic_search_spark.operators.graph import sparsify_topk_edges
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = (
+        li.select(
+            F.least(
+                F.col("l_suppkey"), F.lit(1000) + F.col("l_partkey") % 100
+            ).alias("src"),
+            F.greatest(
+                F.col("l_suppkey"), F.lit(1000) + F.col("l_partkey") % 100
+            ).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    out = sparsify_topk_edges(edges, k=3)
+    return out.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+        F.col("weight").cast("long").alias("weight"),
+    )
+
+
 @register("graph_node2vec_walks", value_oracles.lazy("graph_node2vec_walks"))
 def graph_node2vec_walks(spark, sf_dir):
     """Second-order biased walks (operators/graph.random_walks_node2vec,

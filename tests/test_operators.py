@@ -2053,3 +2053,29 @@ def test_node2vec_walks_bias_and_invariance(spark):
         edges.repartition(7), walk_length=3, n_walks=2, seed=5, p=2, q=3
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sparsify_topk_edges_hand_values(spark):
+    """Star hub 0 with weighted spokes 1..5 (weights 5..1), k=2: the hub
+    keeps its two heaviest spokes, but every leaf keeps its ONLY edge —
+    so all 5 edges survive via the leaf side; raising to a path graph
+    shows real drops: 1-2(w1) 2-3(w9) 3-4(w9) 4-5(w1), k=1 → 2-3 and
+    3-4 survive (each endpoint's max), 1-2 survives via leaf 1, 4-5 via
+    leaf 5 — drop only happens when BOTH endpoints outrank the edge."""
+    from cdrc_semantic_search_spark.operators.graph import sparsify_topk_edges
+
+    star = spark.createDataFrame(
+        [(0, i, 6 - i) for i in range(1, 6)], "src int, dst int, weight int"
+    )
+    kept = sparsify_topk_edges(star, k=2)
+    assert kept.count() == 5  # leaves keep their only edge
+    tri = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 9), (1, 3, 9), (2, 4, 1), (3, 4, 1), (1, 4, 2)],
+        "src int, dst int, weight int",
+    )
+    kept2 = {
+        (r["src"], r["dst"]) for r in sparsify_topk_edges(tri, k=1).collect()
+    }
+    # every node's single strongest edge: 1→(1,3,9), 2→(2,3,9), 3→tie 9,9
+    # → neighbor asc keeps (2,3); 4→(1,4,2). Dropped: (1,2,1),(2,4,1),(3,4,1)
+    assert kept2 == {(1, 3), (2, 3), (1, 4)}

@@ -202,3 +202,34 @@ def test_q15_max_is_broadcast_not_global_window(spark):
     plan = plan_of(REGISTRY["q15_top_supplier"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
+
+
+def test_collective_linking_candidates_broadcast(spark):
+    """collective_link_mentions must broadcast the distinct-surface
+    candidate frame into the mention facts (the facts never shuffle for
+    linking) and contain no cartesian product."""
+    import pandas as pd
+
+    from cdrc_semantic_search_spark.config import Settings
+    from cdrc_semantic_search_spark.operators.linking import (
+        build_entity_index,
+        collective_link_mentions,
+    )
+
+    ents = pd.DataFrame(
+        {
+            "entity_id": ["E1", "E2"],
+            "canonical_name": ["alpha beta", "gamma delta"],
+            "aliases": [[], []],
+            "entity_type": ["d", "d"],
+        }
+    )
+    settings = Settings()
+    bc = spark.sparkContext.broadcast(("t", build_entity_index(ents, settings)))
+    mentions = spark.createDataFrame(
+        [("c1", 0, 0, "alpha beta"), ("c1", 1, 0, "gamma delta")],
+        "conv_id string, turn_idx int, mention_idx int, surface string",
+    )
+    plan = plan_of(collective_link_mentions(mentions, bc, settings))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
