@@ -339,3 +339,55 @@ def burst_flags(
             & (F.col("cnt") * den * trailing > F.lit(num) * F.col("sum_prev"))
         ).alias("is_burst"),
     )
+
+
+def decayed_activity(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    halflife_days: int = 1,
+    max_age_days: int = 25,
+) -> DataFrame:
+    """Exponentially time-decayed activity per key, as of the NEWEST day
+    in the input: score = Σ_days cnt_d · 2^(−age_d / halflife), ages
+    capped at ``max_age_days`` (older days decay to the cap's weight
+    rather than vanishing, keeping the score monotone in history).
+    The recency-weighted entity-importance signal (trend ranking,
+    canonicalization tie-breaks) where a plain count over-credits stale
+    entities.
+
+    FLOAT DISCIPLINE — this aggregate is exact despite being a double
+    SUM: with integer halflife, every term cnt_d · 2^(−k) is a dyadic
+    rational; granularity 2^(−max_age) and magnitude < 2^27 · counts
+    keep every PARTIAL sum inside the 53-bit mantissa (max_age 25 +
+    count bits ≤ 27 ⇒ span ≤ 52 bits), so addition never rounds and the
+    result is bit-identical for ANY summation order — engine, partition
+    count, and reduce-tree shape cannot change it. (Contrast arbitrary-
+    base decay, where per-order rounding would force a tolerance.)
+
+    100-TB shape: one map-side-combinable (key, day) count, one
+    broadcast scalar max(day), then a second map-side-combinable sum
+    per key — the decayed sum commutes with partial aggregation
+    BECAUSE it is exact.
+    """
+    daily = events.groupBy(
+        F.col(key_col).alias("key"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    newest = daily.select(F.max("day").alias("as_of"))
+    aged = daily.crossJoin(F.broadcast(newest)).select(
+        "key",
+        "cnt",
+        F.least(
+            F.datediff(F.col("as_of"), F.col("day")), F.lit(max_age_days)
+        ).alias("age"),
+    )
+    return aged.groupBy("key").agg(
+        F.sum(
+            F.col("cnt")
+            * F.pow(
+                F.lit(2.0),
+                -(F.col("age").cast("double") / F.lit(float(halflife_days))),
+            )
+        ).alias("decayed"),
+        F.sum("cnt").alias("total_cnt"),
+    )

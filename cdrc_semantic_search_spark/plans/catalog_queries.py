@@ -3354,6 +3354,38 @@ def graph_walk_pairs(spark, sf_dir):
 
 
 @register(
+    "t6_decayed_activity",
+    """
+    WITH daily AS (
+        SELECT event_type AS key, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(day) AS as_of FROM daily),
+    aged AS (
+        SELECT key, cnt,
+               LEAST(datediff('day', day, (SELECT as_of FROM mx)), 25) AS age
+        FROM daily
+    )
+    SELECT key,
+           SUM(cnt * POWER(2.0, -(CAST(age AS DOUBLE) / 1.0))) AS decayed,
+           CAST(SUM(cnt) AS BIGINT) AS total_cnt
+    FROM aged GROUP BY key
+    """,
+)
+def t6_decayed_activity(spark, sf_dir):
+    """Exponentially time-decayed activity per event_type
+    (operators/temporal.decayed_activity, halflife 1 day, age cap 25):
+    the recency-weighted importance signal. The double SUM is pinned
+    WITHOUT rounding — dyadic terms keep every partial sum exact (see
+    the operator's float-discipline note), so engine/partitioning
+    summation order cannot move a bit."""
+    from cdrc_semantic_search_spark.operators.temporal import decayed_activity
+
+    ev = load(spark, sf_dir, "events")
+    return decayed_activity(ev, "event_type", halflife_days=1, max_age_days=25)
+
+
+@register(
     "graph_sparsify_topk",
     """
     WITH e AS (

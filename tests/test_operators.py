@@ -2079,3 +2079,34 @@ def test_sparsify_topk_edges_hand_values(spark):
     # every node's single strongest edge: 1→(1,3,9), 2→(2,3,9), 3→tie 9,9
     # → neighbor asc keeps (2,3); 4→(1,4,2). Dropped: (1,2,1),(2,4,1),(3,4,1)
     assert kept2 == {(1, 3), (2, 3), (1, 4)}
+
+
+def test_decayed_activity_exact_and_order_independent(spark):
+    """Hand value: counts (3, 2, 4) on ages (0, 1, 2) → 3 + 1.0 + 1.0 =
+    5.0 exactly; a 40-day-old burst hits the age cap (25) and contributes
+    cnt·2⁻²⁵ exactly. Repartitioning must reproduce identical BITS —
+    dyadic partial sums never round, so summation order is irrelevant."""
+    import datetime
+
+    from cdrc_semantic_search_spark.operators.temporal import decayed_activity
+
+    base = datetime.datetime(2024, 3, 1, 12, 0)
+    rows = []
+    for age, n in ((0, 3), (1, 2), (2, 4)):
+        for i in range(n):
+            rows.append(("a", base - datetime.timedelta(days=age, minutes=i)))
+    for i in range(7):
+        rows.append(("b", base - datetime.timedelta(days=40, minutes=i)))
+    rows.append(("b", base))
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        r["key"]: (r["decayed"], r["total_cnt"])
+        for r in decayed_activity(ev, "event_type").collect()
+    }
+    assert got["a"] == (5.0, 9)
+    assert got["b"] == (1.0 + 7 * 2.0 ** -25, 8)
+    again = {
+        r["key"]: (r["decayed"], r["total_cnt"])
+        for r in decayed_activity(ev.repartition(13), "event_type").collect()
+    }
+    assert got == again  # bit-exact, not approx
