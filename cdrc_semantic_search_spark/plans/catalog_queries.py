@@ -3437,6 +3437,23 @@ def graph_sparsify_topk(spark, sf_dir):
     )
 
 
+@register("kg_entity_communities", value_oracles.lazy("kg_entity_communities"))
+def kg_entity_communities(spark, sf_dir):
+    """The KG consumer of label propagation end-to-end:
+    KGPipeline.entity_communities over the fixture's materialized
+    kg_edges (STRING entity ids — the path the numeric graph_label_prop
+    oracle can't exercise), permissive modularity floor. Twin: plain-dict
+    synchronous LPA over the fixture-triples edge rollup."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities)
+    edges = pipe.kg_edges(pipe.triples(tdf))
+    return pipe.entity_communities(edges, min_modularity=-1.0)
+
+
 @register("graph_node2vec_walks", value_oracles.lazy("graph_node2vec_walks"))
 def graph_node2vec_walks(spark, sf_dir):
     """Second-order biased walks (operators/graph.random_walks_node2vec,

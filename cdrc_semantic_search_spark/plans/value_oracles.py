@@ -1642,3 +1642,39 @@ def _graph_node2vec_walks_values() -> str:
             ("node", "BIGINT"),
         ],
     )
+
+
+@_register("kg_entity_communities")
+def _kg_entity_communities_values() -> str:
+    """Twin of kg_entity_communities: the fixture triples rolled up to
+    undirected entity edges, then 4 rounds of synchronous LPA re-derived
+    with plain dicts — self-vote included, ties to the lexicographically
+    smallest label (Python str < == Spark string ordering for these
+    ASCII entity ids)."""
+    pdf = _fixture_triples()
+    und: set[tuple[str, str]] = set()
+    for r in pdf.itertuples(index=False):
+        a, b = sorted((r.subj_entity_id, r.obj_entity_id))
+        if a != b:
+            und.add((a, b))
+    adj: dict[str, set[str]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(4):
+        nxt = {}
+        for v, ns in adj.items():
+            votes: dict[str, int] = {labels[v]: 1}
+            for n in ns:
+                votes[labels[n]] = votes.get(labels[n], 0) + 1
+            nxt[v] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    rows = sorted(labels.items())
+    return values_sql(
+        rows,
+        [
+            ("entity_id", "VARCHAR"),
+            ("community", "VARCHAR"),
+        ],
+    )
