@@ -3437,6 +3437,64 @@ def graph_sparsify_topk(spark, sf_dir):
     )
 
 
+@register(
+    "graph_clustering_coeff",
+    """
+    WITH raw AS (
+        SELECT DISTINCT l_suppkey AS s, 1000 + l_partkey % 100 AS d
+        FROM lineitem WHERE l_orderkey < 200
+    ),
+    e AS (
+        SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+        FROM raw WHERE s <> d
+    ),
+    tris AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+        SELECT x AS id FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris
+    ),
+    t AS (SELECT id, COUNT(*) AS tri_cnt FROM corners GROUP BY id),
+    deg AS (
+        SELECT id, COUNT(*) AS deg FROM (
+            SELECT a AS id FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY id
+    )
+    SELECT CAST(deg.id AS BIGINT) AS id, CAST(deg AS BIGINT) AS deg,
+           CAST(COALESCE(tri_cnt, 0) AS BIGINT) AS tri_cnt,
+           CASE WHEN deg < 2 THEN 0.0
+                ELSE (2.0 * CAST(COALESCE(tri_cnt, 0) AS DOUBLE))
+                     / CAST(deg * (deg - 1) AS DOUBLE) END AS coeff
+    FROM deg LEFT JOIN t ON t.id = deg.id
+    """,
+)
+def graph_clustering_coeff(spark, sf_dir):
+    """Per-vertex local clustering coefficients
+    (operators/graph.clustering_coefficients) over the supplier↔bucket
+    graph — int/int division in double, bit-agreed across engines, no
+    rounding."""
+    from cdrc_semantic_search_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 200")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    out = clustering_coefficients(edges)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("deg").cast("long").alias("deg"),
+        F.col("tri_cnt").cast("long").alias("tri_cnt"),
+        "coeff",
+    )
+
+
 @register("kg_entity_communities", value_oracles.lazy("kg_entity_communities"))
 def kg_entity_communities(spark, sf_dir):
     """The KG consumer of label propagation end-to-end:

@@ -2110,3 +2110,26 @@ def test_decayed_activity_exact_and_order_independent(spark):
         for r in decayed_activity(ev.repartition(13), "event_type").collect()
     }
     assert got == again  # bit-exact, not approx
+
+
+def test_clustering_coefficients_hand_values(spark):
+    """Triangle 1-2-3 with pendant 4 on 3: nodes 1,2 → deg 2, 1
+    triangle, coeff 1.0; node 3 → deg 3, 1 triangle, coeff 2/6; node 4 →
+    deg 1, coeff 0.0."""
+    from cdrc_semantic_search_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src int, dst int"
+    )
+    got = {
+        r["id"]: (r["deg"], r["tri_cnt"], r["coeff"])
+        for r in clustering_coefficients(edges).collect()
+    }
+    assert got == {
+        1: (2, 1, 1.0),
+        2: (2, 1, 1.0),
+        3: (3, 1, 2.0 / 6.0),
+        4: (1, 0, 0.0),
+    }
