@@ -1080,6 +1080,8 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     n_rounds: int = 4,
+    weight: str | None = None,
+    self_weight: int = 1,
     cache_handle: list | None = None,
 ) -> DataFrame:
     """Synchronous label-propagation community detection over the
@@ -1112,6 +1114,13 @@ def label_propagation(
     mitigation applies (salted two-phase count via
     build_pagerank_fanout's bucketing) if a real hub dominates.
 
+    ``weight`` (optional INTEGER edge-weight column) makes votes
+    weight-proportional — the kg_edges consumer counts co-mention
+    multiplicity, so a 40-triple relation should out-vote a 1-triple
+    one; parallel input rows for the same undirected pair sum. The
+    ``self_weight`` vote keeps the oscillation damping. Integer weights
+    keep the update rule exact — no float enters the comparison.
+
     NOTE: EAGER — each round localCheckpoints the |V|-row label frame
     (the same lineage-truncation contract as connected_components), so
     n_rounds Spark jobs run at call time; total materialized state is
@@ -1120,17 +1129,24 @@ def label_propagation(
     Pass ``cache_handle`` (a list) to receive the persisted symmetric
     edge frame for deterministic unpersist after consumption.
     """
+    w_expr = F.col(weight) if weight is not None else F.lit(1)
     und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
+            w_expr.cast("long").alias("w"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        .groupBy("a", "b")
+        .agg(
+            F.sum("w").alias("w")
+            if weight is not None
+            else F.lit(1).cast("long").alias("w")
+        )
     )
     sym = (
-        und.select(F.col("a").alias("v"), F.col("b").alias("n"))
-        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        und.select(F.col("a").alias("v"), F.col("b").alias("n"), "w")
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n"), "w"))
         .persist()
     )
     if cache_handle is not None:
@@ -1141,10 +1157,14 @@ def label_propagation(
     for _ in range(n_rounds):
         votes = sym.join(
             lab.select(F.col("id").alias("n"), "label"), "n"
-        ).select("v", "label").unionAll(
-            lab.select(F.col("id").alias("v"), "label")
+        ).select("v", "label", "w").unionAll(
+            lab.select(
+                F.col("id").alias("v"),
+                "label",
+                F.lit(self_weight).cast("long").alias("w"),
+            )
         )
-        counts = votes.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        counts = votes.groupBy("v", "label").agg(F.sum("w").alias("c"))
         # min of (−count, label) = most frequent, then smallest label —
         # an aggregation (map-side combinable) instead of a window sort;
         # negating the COUNT (not the label) keeps any orderable label

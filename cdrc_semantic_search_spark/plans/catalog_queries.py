@@ -3512,6 +3512,25 @@ def kg_entity_communities(spark, sf_dir):
     return pipe.entity_communities(edges, min_modularity=-1.0)
 
 
+@register(
+    "kg_entity_communities_weighted",
+    value_oracles.lazy("kg_entity_communities_weighted"),
+)
+def kg_entity_communities_weighted(spark, sf_dir):
+    """Weight-proportional LPA over the fixture's kg_edges
+    (entity_communities(weighted=True)): a 40-triple relation out-votes
+    a 1-triple one. Twin: plain-dict weighted LPA over per-pair triple
+    multiplicities."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities)
+    edges = pipe.kg_edges(pipe.triples(tdf))
+    return pipe.entity_communities(edges, weighted=True)
+
+
 @register("graph_node2vec_walks", value_oracles.lazy("graph_node2vec_walks"))
 def graph_node2vec_walks(spark, sf_dir):
     """Second-order biased walks (operators/graph.random_walks_node2vec,

@@ -143,7 +143,11 @@ class KGPipeline:
         )
 
     def entity_communities(
-        self, edges: DataFrame, n_rounds: int = 4, min_modularity: float | None = None
+        self,
+        edges: DataFrame,
+        n_rounds: int = 4,
+        min_modularity: float | None = None,
+        weighted: bool = False,
     ) -> DataFrame:
         """Community assignment over a materialized kg_edges table
         (operators/graph.label_propagation on the (subj, obj) projection)
@@ -151,7 +155,10 @@ class KGPipeline:
         is set and Newman Q of the labeling falls below it, raise instead
         of materializing a meaningless partition (the same
         fail-loudly-not-wrong contract as catalog time travel).
-        NOTE: the gate runs an eager modularity job at call time.
+        ``weighted=True`` makes votes proportional to the edge weight
+        (co-mention multiplicity) — a 40-triple relation out-votes a
+        1-triple one. NOTE: the gate runs an eager modularity job at
+        call time.
         """
         from cdrc_semantic_search_spark.operators.graph import (
             label_propagation,
@@ -161,8 +168,11 @@ class KGPipeline:
         proj = edges.select(
             F.col("subj_entity_id").alias("src"),
             F.col("obj_entity_id").alias("dst"),
+            F.col("weight"),
         )
-        labels = label_propagation(proj, n_rounds=n_rounds)
+        labels = label_propagation(
+            proj, n_rounds=n_rounds, weight="weight" if weighted else None
+        )
         if min_modularity is not None:
             q = modularity(proj, labels).collect()[0]["modularity"]
             if q < min_modularity:

@@ -1678,3 +1678,38 @@ def _kg_entity_communities_values() -> str:
             ("community", "VARCHAR"),
         ],
     )
+
+
+@_register("kg_entity_communities_weighted")
+def _kg_entity_communities_weighted_values() -> str:
+    """Twin of kg_entity_communities_weighted: votes weighted by triple
+    multiplicity per unordered entity pair (summed across predicates and
+    directions — exactly what the (least, greatest) groupBy-sum in
+    label_propagation computes from the kg_edges projection),
+    self-vote weight 1."""
+    pdf = _fixture_triples()
+    wts: dict[tuple[str, str], int] = {}
+    for r in pdf.itertuples(index=False):
+        a, b = sorted((r.subj_entity_id, r.obj_entity_id))
+        if a != b:
+            wts[(a, b)] = wts.get((a, b), 0) + 1
+    adj: dict[str, dict[str, int]] = {}
+    for (a, b), w in wts.items():
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+    labels = {v: v for v in adj}
+    for _ in range(4):
+        nxt = {}
+        for v, ns in adj.items():
+            votes: dict[str, int] = {labels[v]: 1}
+            for n, w in ns.items():
+                votes[labels[n]] = votes.get(labels[n], 0) + w
+            nxt[v] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = nxt
+    return values_sql(
+        sorted(labels.items()),
+        [
+            ("entity_id", "VARCHAR"),
+            ("community", "VARCHAR"),
+        ],
+    )
