@@ -40,6 +40,10 @@ HEADLINE = [
     "ta_language_id",
     "i1_windowed_counts",
     "cc_components",
+    # r5 session-4 additions (sf-bound): iterative community detection
+    # and the deterministic CMS — measured per-round alongside the rest
+    "graph_label_prop",
+    "sketch_count_min",
 ]
 
 

@@ -1144,9 +1144,14 @@ def label_propagation(
             else F.lit(1).cast("long").alias("w")
         )
     )
+    # pre-partition the (static) symmetric edge list on the JOIN key once:
+    # every round's vote join then reuses this layout and only the |V|-row
+    # label vector exchanges — without it the |2E| side would re-exchange
+    # n_rounds times (the dominant shuffle at scale)
     sym = (
         und.select(F.col("a").alias("v"), F.col("b").alias("n"), "w")
         .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n"), "w"))
+        .repartition("n")
         .persist()
     )
     if cache_handle is not None:
