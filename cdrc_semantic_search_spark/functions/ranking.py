@@ -16,7 +16,7 @@ shuffles once on (term); the idf/avgdl side is broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdrc_semantic_search_spark.functions.text import tokens
@@ -121,3 +121,61 @@ def tfidf_scores(
     return tf.join(F.broadcast(idf), "term").select(
         "id", "term", (F.col("tf") * F.col("idf")).alias("tfidf")
     )
+
+
+def rrf_fuse(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "id",
+    score_col: str = "score",
+    k: int = 60,
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two scored lists →
+    (id, rank_a, rank_b, rrf = Σ 1/(k + rank)) — the rank-based
+    alternative to the reference's α-blend (model.py:74-78): RRF needs
+    no score calibration between heterogeneous retrievers (BM25 scale vs
+    cosine scale), which is why it is the standard hybrid-fusion
+    baseline (Cormack et al. 2009). Absent-from-one-list items
+    contribute 0 from that side.
+
+    Determinism contract: ranks are row_number over (score DESC, id
+    ASC) — callers should pass scores already rounded to their oracle
+    precision so near-equal floats cannot flip ranks between engines;
+    the fused score is two exact IEEE divisions and one addition in
+    fixed order, bit-identical everywhere, no output rounding needed.
+
+    ``top`` truncates each list after ranking (the usual top-k fusion).
+    Scale shape: ranking is one window per list (global order — RRF
+    inputs are top-k lists, thousands of rows, not corpora; for per-
+    query fusion partition the window by the query key upstream), then
+    one full-outer equi-join on id.
+    """
+    wa = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    ra = a.select(
+        F.col(id_col).alias("id"),
+        F.row_number().over(wa).alias("rank_a"),
+    )
+    rb = b.select(
+        F.col(id_col).alias("id"),
+        F.row_number().over(wa).alias("rank_b"),
+    )
+    if top is not None:
+        ra = ra.filter(F.col("rank_a") <= top)
+        rb = rb.filter(F.col("rank_b") <= top)
+    fused = ra.join(rb, "id", "full_outer").select(
+        "id",
+        "rank_a",
+        "rank_b",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k) + F.col("rank_a")).cast("double"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k) + F.col("rank_b")).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    return fused

@@ -1488,6 +1488,95 @@ def r1_bm25_scores(spark, sf_dir):
     return out.select("id", F.round("score", 6).alias("score"))
 
 
+def _rrf_oracle_sql() -> str:
+    """Two bm25 rankings (suffix-disambiguated CTE chains) fused by
+    reciprocal rank: ranks on (ROUND(score,6) DESC, doc_id ASC) so ln's
+    ~1-ulp drift cannot flip a rank, fused score = two exact divisions
+    + one addition (bit-identical — no output rounding)."""
+
+    def bm25_chain(terms: list[str], sfx: str) -> str:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        return f"""
+    d{sfx} AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    tk{sfx} AS (SELECT doc_id, unnest(toks) AS term FROM d{sfx}),
+    doclen{sfx} AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tk{sfx} GROUP BY doc_id),
+    stats{sfx} AS (SELECT AVG(dl) AS avgdl FROM doclen{sfx}),
+    nn{sfx} AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    tf{sfx} AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM tk{sfx} WHERE term IN ({tl}) GROUP BY doc_id, term
+    ),
+    idf{sfx} AS (
+        SELECT term,
+               ln(((SELECT n FROM nn{sfx}) - CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5)
+                  / (CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5) + 1.0) AS idf
+        FROM tf{sfx} GROUP BY term
+    ),
+    part{sfx} AS (
+        SELECT tf{sfx}.doc_id,
+               idf{sfx}.idf * (tf{sfx}.tf * 2.2)
+               / (tf{sfx}.tf + 1.2 * (1 - 0.75 + 0.75 * doclen{sfx}.dl / (SELECT avgdl FROM stats{sfx}))) AS s
+        FROM tf{sfx} JOIN idf{sfx} USING (term) JOIN doclen{sfx} USING (doc_id)
+    ),
+    scored{sfx} AS (
+        SELECT d2.doc_id AS id, ROUND(COALESCE(x.score, 0.0), 6) AS score
+        FROM documents d2 LEFT JOIN (
+            SELECT doc_id, SUM(s) AS score FROM part{sfx} GROUP BY doc_id
+        ) x ON x.doc_id = d2.doc_id
+    ),
+    ranked{sfx} AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rank{sfx}
+        FROM scored{sfx}
+    ),
+    top{sfx} AS (SELECT * FROM ranked{sfx} WHERE rank{sfx} <= 20)"""
+
+    return (
+        "WITH "
+        + bm25_chain(["data", "model", "spark"], "_a").lstrip()
+        + ","
+        + bm25_chain(["data", "energy"], "_b")
+        + """
+    SELECT COALESCE(top_a.id, top_b.id) AS id,
+           CAST(rank_a AS INTEGER) AS rank_a,
+           CAST(rank_b AS INTEGER) AS rank_b,
+           COALESCE(1.0 / (60 + CAST(rank_a AS DOUBLE)), 0.0)
+           + COALESCE(1.0 / (60 + CAST(rank_b AS DOUBLE)), 0.0) AS rrf
+    FROM top_a FULL OUTER JOIN top_b ON top_a.id = top_b.id
+    """
+    )
+
+
+@register("r3_rrf_fusion", _rrf_oracle_sql)
+def r3_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (functions/ranking.rrf_fuse, k=60, top 20)
+    of two BM25 rankings over different query bags — the
+    calibration-free hybrid-fusion baseline beside the reference's
+    α-blend. Ranks are taken on 6-rounded scores so both engines rank
+    identical values; the fused double needs no rounding."""
+    from cdrc_semantic_search_spark.functions.ranking import (
+        bm25_scores,
+        rrf_fuse,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    a = bm25_scores(d, ["data", "model", "spark"]).select(
+        "id", F.round("score", 6).alias("score")
+    )
+    b = bm25_scores(d, ["data", "energy"]).select(
+        "id", F.round("score", 6).alias("score")
+    )
+    out = rrf_fuse(a, b, k=60, top=20)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("rank_a").cast("int").alias("rank_a"),
+        F.col("rank_b").cast("int").alias("rank_b"),
+        "rrf",
+    )
+
+
 @register(
     "r2_tfidf_scores",
     """

@@ -2133,3 +2133,20 @@ def test_clustering_coefficients_hand_values(spark):
         3: (3, 1, 2.0 / 6.0),
         4: (1, 0, 0.0),
     }
+
+
+def test_rrf_fuse_hand_values(spark):
+    """Lists A = [x(3.0), y(2.0)], B = [y(9.0), z(1.0)], k=2: y fuses
+    1/(2+2) + 1/(2+1) = 0.5833…, x = 1/3 from A only, z = 1/4 from B
+    only; score ties rank by id asc."""
+    from cdrc_semantic_search_spark.functions.ranking import rrf_fuse
+
+    a = spark.createDataFrame([("x", 3.0), ("y", 2.0)], "id string, score double")
+    b = spark.createDataFrame([("y", 9.0), ("z", 1.0)], "id string, score double")
+    got = {
+        r["id"]: (r["rank_a"], r["rank_b"], r["rrf"])
+        for r in rrf_fuse(a, b, k=2).collect()
+    }
+    assert got["x"] == (1, None, 1.0 / 3.0)
+    assert got["y"] == (2, 1, 1.0 / 4.0 + 1.0 / 3.0)
+    assert got["z"] == (None, 2, 1.0 / 4.0)
