@@ -1624,3 +1624,86 @@ def clustering_coefficients(
         )
         .alias("coeff"),
     )
+
+
+def community_conductance(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-community conductance φ(C) = cut(C) / min(vol(C), vol(V∖C))
+    → (label, n_nodes, cut_edges, volume, conductance) — the
+    PER-COMMUNITY quality metric beside the global :func:`modularity`
+    score (a community can be tight while the whole partition scores
+    poorly, and vice versa); standard accept/reject signal for
+    promoting an LPA community to a curated entity group.
+
+    Exactness: cut and volume are integer aggregates; the division and
+    the min are single IEEE ops on exact ints — bit-agreed with the SQL
+    oracle, no rounding. cut = 0 (e.g. the whole-graph community, whose
+    complement volume is 0) is explicitly φ = 0 rather than 0/0 = NaN;
+    cut > 0 implies both volumes are positive, so the division is safe.
+
+    Plan: two label-annotation joins on the edge endpoints, one
+    map-side-combinable agg per community for cut, one for volume (via
+    degrees), one broadcast scalar total volume — nothing quadratic.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    la = labels.select(F.col("id").alias("a"), F.col("label").alias("la"))
+    lb = labels.select(F.col("id").alias("b"), F.col("label").alias("lb"))
+    tagged = und.join(la, "a").join(lb, "b")
+    # cut edges counted once per SIDE: an inter-community edge is a cut
+    # edge for BOTH its communities
+    cuts = (
+        tagged.filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("label"))
+        .unionAll(
+            tagged.filter(F.col("la") != F.col("lb")).select(
+                F.col("lb").alias("label")
+            )
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cut_edges"))
+    )
+    sym = und.select(F.col("a").alias("v")).unionAll(
+        und.select(F.col("b").alias("v"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    vol = (
+        deg.join(labels.select(F.col("id").alias("v"), "label"), "v")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("volume"),
+        )
+    )
+    total = vol.select(F.sum("volume").alias("total_vol"))
+    return (
+        vol.join(cuts, "label", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
+            "volume",
+            # explicit 0.0 for cut == 0: the whole-graph community has
+            # min-volume 0 and would otherwise produce 0/0 = NaN
+            F.when(F.coalesce("cut_edges", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("cut_edges", F.lit(0)).cast("double")
+                / F.least(
+                    F.col("volume"), F.col("total_vol") - F.col("volume")
+                ).cast("double")
+            )
+            .alias("conductance"),
+        )
+    )

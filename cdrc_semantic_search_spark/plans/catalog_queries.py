@@ -3314,6 +3314,68 @@ def _modularity_oracle_sql(rounds: int = 4) -> str:
     return "".join(parts)
 
 
+def _conductance_oracle_sql(rounds: int = 4) -> str:
+    """Per-community conductance of the unrolled-LPA labeling: integer
+    cut/volume aggregates, one guarded exact division (cut 0 → 0.0)."""
+    parts = _lpa_cte_parts(rounds)
+    parts.append(f"""
+    , lab AS MATERIALIZED (SELECT id, label FROM l{rounds}),
+    tagged AS (
+        SELECT la.label AS la, lb.label AS lb
+        FROM e JOIN lab la ON la.id = e.a JOIN lab lb ON lb.id = e.b
+    ),
+    cuts AS (
+        SELECT label, COUNT(*) AS cut_edges FROM (
+            SELECT la AS label FROM tagged WHERE la <> lb
+            UNION ALL SELECT lb FROM tagged WHERE la <> lb
+        ) GROUP BY label
+    ),
+    deg AS (SELECT v, COUNT(*) AS deg FROM sym GROUP BY v),
+    vol AS (
+        SELECT lab.label, COUNT(*) AS n_nodes, SUM(deg.deg) AS volume
+        FROM deg JOIN lab ON lab.id = deg.v GROUP BY lab.label
+    ),
+    tot AS (SELECT SUM(volume) AS total_vol FROM vol)
+    SELECT CAST(vol.label AS BIGINT) AS label,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(COALESCE(cut_edges, 0) AS BIGINT) AS cut_edges,
+           CAST(volume AS BIGINT) AS volume,
+           CASE WHEN COALESCE(cut_edges, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(cut_edges, 0) AS DOUBLE)
+                     / CAST(LEAST(volume, (SELECT total_vol FROM tot) - volume) AS DOUBLE)
+           END AS conductance
+    FROM vol LEFT JOIN cuts ON cuts.label = vol.label
+    """)
+    return "".join(parts)
+
+
+@register("graph_conductance", _conductance_oracle_sql)
+def graph_conductance(spark, sf_dir):
+    """Per-community conductance of the 4-round LPA labeling
+    (operators/graph.community_conductance) — the per-community quality
+    gate beside global modularity; integer cut/volume, guarded exact
+    division, no rounding."""
+    from cdrc_semantic_search_spark.operators.graph import (
+        community_conductance,
+        label_propagation,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    labels = label_propagation(edges, n_rounds=4)
+    out = community_conductance(edges, labels)
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("cut_edges").cast("long").alias("cut_edges"),
+        F.col("volume").cast("long").alias("volume"),
+        "conductance",
+    )
+
+
 @register("graph_label_prop", _lpa_oracle_sql)
 def graph_label_prop(spark, sf_dir):
     """Label-propagation communities (operators/graph.label_propagation,

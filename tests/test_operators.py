@@ -2150,3 +2150,29 @@ def test_rrf_fuse_hand_values(spark):
     assert got["x"] == (1, None, 1.0 / 3.0)
     assert got["y"] == (2, 1, 1.0 / 4.0 + 1.0 / 3.0)
     assert got["z"] == (None, 2, 1.0 / 4.0)
+
+
+def test_community_conductance_hand_values(spark):
+    """Two triangles bridged by one edge, labeled by clique: each side
+    has cut 1, volume 2+2+3 = 7, total 14 → φ = 1/7; whole-graph
+    labeling → cut 0 → φ = 0.0 (not NaN)."""
+    from cdrc_semantic_search_spark.operators.graph import (
+        community_conductance,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src int, dst int",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 2), (11, 2), (12, 2)],
+        "id int, label int",
+    )
+    got = {
+        r["label"]: (r["n_nodes"], r["cut_edges"], r["volume"], r["conductance"])
+        for r in community_conductance(edges, labels).collect()
+    }
+    assert got == {1: (3, 1, 7, 1.0 / 7.0), 2: (3, 1, 7, 1.0 / 7.0)}
+    one = labels.select("id", F.lit(9).alias("label"))
+    r = community_conductance(edges, one).collect()[0]
+    assert (r["cut_edges"], r["conductance"]) == (0, 0.0)
