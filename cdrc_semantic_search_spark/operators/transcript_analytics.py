@@ -268,3 +268,50 @@ def salient_turns(
         .filter(F.col("rank") <= top_k)
         .select("conv_id", "turn_idx", "rank")
     )
+
+
+def qa_lexical_overlap(turns: DataFrame) -> DataFrame:
+    """(conv_id, q_turn_idx, a_turn_idx, n_common, n_union, jaccard) —
+    token-set Jaccard between each mined question and its answer: the
+    cheap answer-relevance proxy an instruction-tuning pipeline uses to
+    drop non-sequitur pairs before the expensive judge.
+
+    Tokenization is the shared Catalyst ``tokens`` kernel (split on
+    [^a-z0-9]+, lowercased — functions/text.tokens, twin-pinned), sets
+    via array_distinct; Jaccard is one int/int IEEE division (n_union 0
+    → 0.0 explicitly). Same single-window plan as
+    :func:`qa_pair_mining` — no join, one conv_id shuffle.
+    """
+    from cdrc_semantic_search_spark.functions.text import tokens
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = (
+        turns.select("conv_id", "turn_idx", "role", "text")
+        .withColumn("next_role", F.lead("role").over(w))
+        .withColumn("next_text", F.lead("text").over(w))
+        .withColumn("next_idx", F.lead("turn_idx").over(w))
+    )
+    qa = nxt.filter(
+        (F.col("role") == "user")
+        & F.col("text").contains("?")
+        & (F.col("next_role") == "assistant")
+    ).select(
+        "conv_id",
+        F.col("turn_idx").alias("q_turn_idx"),
+        F.col("next_idx").alias("a_turn_idx"),
+        F.array_distinct(tokens(F.col("text"))).alias("tq"),
+        F.array_distinct(tokens(F.col("next_text"))).alias("ta"),
+    )
+    return qa.select(
+        "conv_id",
+        "q_turn_idx",
+        "a_turn_idx",
+        F.size(F.array_intersect("tq", "ta")).cast("long").alias("n_common"),
+        F.size(F.array_union("tq", "ta")).cast("long").alias("n_union"),
+        F.when(F.size(F.array_union("tq", "ta")) == 0, F.lit(0.0))
+        .otherwise(
+            F.size(F.array_intersect("tq", "ta")).cast("double")
+            / F.size(F.array_union("tq", "ta")).cast("double")
+        )
+        .alias("jaccard"),
+    )

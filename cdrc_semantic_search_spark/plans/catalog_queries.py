@@ -5691,6 +5691,20 @@ def tr_qa_pairs(spark, sf_dir):
     return qa_pair_mining(_fixture_turns(spark))
 
 
+@register("tr_qa_overlap", value_oracles.lazy("tr_qa_overlap"))
+def tr_qa_overlap(spark, sf_dir):
+    """Question↔answer token-set Jaccard
+    (transcript_analytics.qa_lexical_overlap): the answer-relevance
+    proxy over mined QA pairs — shared Catalyst tokens kernel,
+    array_intersect/union sets, guarded int/int division. Oracle:
+    pure-Python twin via the pinned _tokens kernel."""
+    from cdrc_semantic_search_spark.operators.transcript_analytics import (
+        qa_lexical_overlap,
+    )
+
+    return qa_lexical_overlap(_fixture_turns(spark))
+
+
 @register("tr_topic_segments", value_oracles.lazy("tr_topic_segments"))
 def tr_topic_segments(spark, sf_dir):
     """Embedding-drift conversation segmentation (transcript_analytics.

@@ -1713,3 +1713,48 @@ def _kg_entity_communities_weighted_values() -> str:
             ("community", "VARCHAR"),
         ],
     )
+
+
+@_register("tr_qa_overlap")
+def _tr_qa_overlap_values() -> str:
+    """Twin of tr_qa_overlap: the qa-pair mining rule + token-SET
+    Jaccard via the shared _tokens kernel (== Catalyst tokens, pinned
+    by test_tokens_twin_matches_catalyst); n_union 0 → 0.0."""
+    pdf = _fixture_transcripts_pdf()
+    rows = []
+    for conv_id, grp in pdf.groupby("conv_id"):
+        g = grp.sort_values("turn_idx").reset_index(drop=True)
+        for i in range(len(g) - 1):
+            q, a = g.iloc[i], g.iloc[i + 1]
+            if (
+                q.role == "user"
+                and isinstance(q.text, str)
+                and "?" in q.text
+                and a.role == "assistant"
+            ):
+                tq = set(_tokens(q.text))
+                ta = set(_tokens(a.text))
+                common = len(tq & ta)
+                union = len(tq | ta)
+                jac = 0.0 if union == 0 else common / union
+                rows.append(
+                    (
+                        str(conv_id),
+                        int(q.turn_idx),
+                        int(a.turn_idx),
+                        common,
+                        union,
+                        jac,
+                    )
+                )
+    return values_sql(
+        sorted(rows),
+        [
+            ("conv_id", "VARCHAR"),
+            ("q_turn_idx", "INTEGER"),
+            ("a_turn_idx", "INTEGER"),
+            ("n_common", "BIGINT"),
+            ("n_union", "BIGINT"),
+            ("jaccard", "DOUBLE"),
+        ],
+    )

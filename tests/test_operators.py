@@ -2176,3 +2176,19 @@ def test_community_conductance_hand_values(spark):
     one = labels.select("id", F.lit(9).alias("label"))
     r = community_conductance(edges, one).collect()[0]
     assert (r["cut_edges"], r["conductance"]) == (0, 0.0)
+
+
+def test_label_propagation_bipartite_damping(spark):
+    """Plain synchronous LPA 2-cycles on bipartite structure (labels
+    swap sides each round); the self-vote makes the update a
+    fixed-point instead: on K2 the labels settle at min(id) and stay
+    settled for both round parities (3 and 4 rounds agree)."""
+    from cdrc_semantic_search_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(1, 2)], "src int, dst int")
+    # without self-vote: round 1 swaps (1→2, 2→1), round 2 swaps back —
+    # a 2-cycle. With it, each vertex sees votes {self:1, nbr:1} → tie
+    # → min label → both converge to 1 and STAY.
+    r3 = sorted(map(tuple, label_propagation(edges, n_rounds=3).collect()))
+    r4 = sorted(map(tuple, label_propagation(edges, n_rounds=4).collect()))
+    assert r3 == r4 == [(1, 1), (2, 1)]
