@@ -3646,6 +3646,30 @@ def graph_clustering_coeff(spark, sf_dir):
     )
 
 
+@register("kg_graph_diff", value_oracles.lazy("kg_graph_diff"))
+def kg_graph_diff(spark, sf_dir):
+    """Temporal graph diff (KGPipeline.edge_diff): the fixture's triples
+    split at 2026-05-01 into two observation windows, per-window
+    kg_edges rollups full-outer diffed — added/removed/changed/stable
+    relations, the re-canon/trend trigger feed. Twin: plain-dict window
+    rollups + diff."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities)
+    tr = pipe.triples(tdf)
+    split = F.lit("2026-05-01").cast("timestamp")
+    old = pipe.kg_edges(tr.filter(F.col("ts") < split)).drop(
+        "first_ts", "last_ts"
+    )
+    new = pipe.kg_edges(tr.filter(F.col("ts") >= split)).drop(
+        "first_ts", "last_ts"
+    )
+    return KGPipeline.edge_diff(old, new)
+
+
 @register("kg_entity_communities", value_oracles.lazy("kg_entity_communities"))
 def kg_entity_communities(spark, sf_dir):
     """The KG consumer of label propagation end-to-end:

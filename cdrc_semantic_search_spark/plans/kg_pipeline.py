@@ -198,6 +198,34 @@ class KGPipeline:
         )
 
     @staticmethod
+    def edge_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+        """Diff two kg_edges rollups (two time windows, two snapshot
+        generations) → (subj_entity_id, pred, obj_entity_id, w_old,
+        w_new, status ∈ added|removed|changed|stable) — the KG
+        maintenance primitive: what relations appeared, vanished, or
+        shifted weight between observation windows (feeds re-canon
+        triggers and temporal trend review alongside burst detection).
+
+        One full-outer join on the edge key; absent sides carry weight
+        0. At scale both inputs are rollups bucket-partitioned on the
+        same key (merge_edge_deltas note), so the join co-locates.
+        """
+        key = ["subj_entity_id", "pred", "obj_entity_id"]
+        a = old.select(*key, F.col("weight").alias("w_old"))
+        b = new.select(*key, F.col("weight").alias("w_new"))
+        j = a.join(b, key, "full_outer")
+        return j.select(
+            *key,
+            F.coalesce("w_old", F.lit(0)).cast("long").alias("w_old"),
+            F.coalesce("w_new", F.lit(0)).cast("long").alias("w_new"),
+            F.when(F.col("w_old").isNull(), F.lit("added"))
+            .when(F.col("w_new").isNull(), F.lit("removed"))
+            .when(F.col("w_old") != F.col("w_new"), F.lit("changed"))
+            .otherwise(F.lit("stable"))
+            .alias("status"),
+        )
+
+    @staticmethod
     def merge_edge_deltas(existing: DataFrame, delta: DataFrame) -> DataFrame:
         """Incremental kg_edges maintenance: fold a new batch's edge
         rollup into the existing edge table WITHOUT rebuilding from all

@@ -1758,3 +1758,49 @@ def _tr_qa_overlap_values() -> str:
             ("jaccard", "DOUBLE"),
         ],
     )
+
+
+@_register("kg_graph_diff")
+def _kg_graph_diff_values() -> str:
+    """Twin of kg_graph_diff: fixture triples split at 2026-05-01 into
+    two observation windows, per-window edge rollups diffed with plain
+    dicts — added/removed/changed/stable per (subj, pred, obj)."""
+    import pandas as pd
+
+    pdf = _fixture_triples_with_ts()
+    split = pd.Timestamp("2026-05-01")
+    key_cols = ["subj_entity_id", "pred", "obj_entity_id"]
+
+    def rollup(frame):
+        out: dict[tuple, int] = {}
+        for r in frame.itertuples(index=False):
+            k = (r.subj_entity_id, r.pred, r.obj_entity_id)
+            out[k] = out.get(k, 0) + 1
+        return out
+
+    old = rollup(pdf[pdf.ts < split])
+    new = rollup(pdf[pdf.ts >= split])
+    rows = []
+    for k in set(old) | set(new):
+        wo, wn = old.get(k), new.get(k)
+        status = (
+            "added"
+            if wo is None
+            else "removed"
+            if wn is None
+            else "changed"
+            if wo != wn
+            else "stable"
+        )
+        rows.append((*k, wo or 0, wn or 0, status))
+    return values_sql(
+        sorted(rows),
+        [
+            ("subj_entity_id", "VARCHAR"),
+            ("pred", "VARCHAR"),
+            ("obj_entity_id", "VARCHAR"),
+            ("w_old", "BIGINT"),
+            ("w_new", "BIGINT"),
+            ("status", "VARCHAR"),
+        ],
+    )

@@ -197,3 +197,29 @@ def test_pipeline_collective_and_communities(spark, fixture):
     assert len(rows) == len({r["entity_id"] for r in rows})
     with _pytest.raises(ValueError, match="modularity"):
         pipe.entity_communities(edges, min_modularity=1.0)
+
+
+def test_edge_diff_statuses(spark):
+    """Hand case: edge A only old → removed; B only new → added; C
+    weight 2→5 → changed; D equal → stable; weights coalesce to 0 on
+    the absent side."""
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    old = spark.createDataFrame(
+        [("A", "p", "X", 1), ("C", "p", "X", 2), ("D", "p", "X", 3)],
+        "subj_entity_id string, pred string, obj_entity_id string, weight long",
+    )
+    new = spark.createDataFrame(
+        [("B", "p", "X", 4), ("C", "p", "X", 5), ("D", "p", "X", 3)],
+        "subj_entity_id string, pred string, obj_entity_id string, weight long",
+    )
+    got = {
+        r["subj_entity_id"]: (r["w_old"], r["w_new"], r["status"])
+        for r in KGPipeline.edge_diff(old, new).collect()
+    }
+    assert got == {
+        "A": (1, 0, "removed"),
+        "B": (0, 4, "added"),
+        "C": (2, 5, "changed"),
+        "D": (3, 3, "stable"),
+    }
