@@ -176,6 +176,19 @@ def main() -> None:
         for i, r in enumerate(r_n_all)
     )
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    # preserve sections owned by benches that splice at RUN time rather
+    # than caching a json (scaleup_bench) — and anything else a future
+    # bench adds — so this rewrite never silently drops measurements
+    preserved: list[str] = []
+    try:
+        old = open("/root/repo/BENCH.md").read()
+        chunks = ["## " + c for c in old.split("\n## ")[1:]]
+        for c in chunks:
+            head = c.splitlines()[0]
+            if head.startswith(("## Scale-up", "## KG pipeline scale-up")):
+                preserved.append(c.rstrip() + "\n")
+    except FileNotFoundError:
+        pass
     with open("/root/repo/BENCH.md", "w") as f:
         f.write(
             f"""# BENCH — KG pipeline throughput & N→4N scaling
@@ -293,6 +306,11 @@ results are parallelism-independent (asserted in tests/test_resume.py).
             data = json.load(f)
         with open("/root/repo/BENCH.md", "a") as f:
             f.write("\n" + mod.render_section(data))
+
+    if preserved:
+        with open("/root/repo/BENCH.md", "a") as f:
+            for section in preserved:
+                f.write("\n" + section)
 
 
 if __name__ == "__main__":
