@@ -3646,6 +3646,47 @@ def graph_clustering_coeff(spark, sf_dir):
     )
 
 
+@register("kg_meta_paths", value_oracles.lazy("kg_meta_paths"))
+def kg_meta_paths(spark, sf_dir):
+    """Typed relation-composition statistics: every composable
+    a→[p1]→mid→[p2]→c path (a≠c) rolled up per (pred1, pred2) —
+    n_paths, Σ w1·w2, distinct endpoint pairs. The schema-discovery
+    query KG curators run to find which predicate compositions carry
+    signal (e.g. uses_tool ∘ located_in). One midpoint-keyed self-join
+    of the typed edge rollup + one aggregation whose key space is
+    |preds|² — broadcast-small at any corpus size."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities)
+    e = pipe.kg_edges(pipe.triples(tdf)).select(
+        F.col("subj_entity_id").alias("a"),
+        F.col("pred"),
+        F.col("obj_entity_id").alias("b"),
+        F.col("weight").alias("w"),
+    )
+    e1 = e.select(
+        F.col("a"), F.col("pred").alias("pred1"),
+        F.col("b").alias("mid"), F.col("w").alias("w1"),
+    )
+    e2 = e.select(
+        F.col("a").alias("mid"), F.col("pred").alias("pred2"),
+        F.col("b").alias("c"), F.col("w").alias("w2"),
+    )
+    return (
+        e1.join(e2, "mid")
+        .filter(F.col("a") != F.col("c"))
+        .groupBy("pred1", "pred2")
+        .agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.sum(F.col("w1") * F.col("w2")).alias("path_weight"),
+            F.count_distinct(F.col("a"), F.col("c")).alias("n_pairs"),
+        )
+    )
+
+
 @register("kg_graph_diff", value_oracles.lazy("kg_graph_diff"))
 def kg_graph_diff(spark, sf_dir):
     """Temporal graph diff (KGPipeline.edge_diff): the fixture's triples

@@ -640,6 +640,45 @@ def _kg_two_hop_values() -> str:
     )
 
 
+@_register("kg_meta_paths")
+def _kg_meta_paths_values() -> str:
+    """Relation-composition STATISTICS twin: typed edges (subj, pred,
+    obj, w); every composable a→[p1]→mid→[p2]→c path (a≠c) rolled up per
+    (p1, p2) — n_paths (edge-pair count), Σ w1·w2, distinct (a, c)
+    endpoint pairs."""
+    pdf = _fixture_triples()
+    w: dict[tuple[str, str, str], int] = {}
+    for r in pdf.itertuples(index=False):
+        k = (r.subj_entity_id, r.pred, r.obj_entity_id)
+        w[k] = w.get(k, 0) + 1
+    out_adj: dict[str, list[tuple[str, str, int]]] = {}
+    for (a, p, b), wt in w.items():
+        out_adj.setdefault(a, []).append((p, b, wt))
+    agg: dict[tuple[str, str], list] = {}
+    for (a, p1, mid), w1 in w.items():
+        for p2, c, w2 in out_adj.get(mid, []):
+            if a == c:
+                continue
+            acc = agg.setdefault((p1, p2), [0, 0, set()])
+            acc[0] += 1
+            acc[1] += w1 * w2
+            acc[2].add((a, c))
+    rows = [
+        (p1, p2, n, pw, len(pairs))
+        for (p1, p2), (n, pw, pairs) in agg.items()
+    ]
+    return values_sql(
+        sorted(rows),
+        [
+            ("pred1", "VARCHAR"),
+            ("pred2", "VARCHAR"),
+            ("n_paths", "BIGINT"),
+            ("path_weight", "BIGINT"),
+            ("n_pairs", "BIGINT"),
+        ],
+    )
+
+
 @_register("kg_negative_samples")
 def _kg_negative_samples_values() -> str:
     """Negative-sampling twin: per positive edge, 2 md5-picked corrupted
