@@ -3646,6 +3646,26 @@ def graph_clustering_coeff(spark, sf_dir):
     )
 
 
+@register(
+    "kg_cluster_representatives",
+    value_oracles.lazy("kg_cluster_representatives"),
+)
+def kg_cluster_representatives(spark, sf_dir):
+    """Display-form selection per surface cluster
+    (KGPipeline.cluster_representatives): most-mentioned member wins,
+    ties to the smallest surface — the consumer-facing canonicalization
+    output on top of surface_clusters. Twin: shared derivation with the
+    kg_canon_quality twin + plain-dict argmax."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities)
+    men = pipe.mentions(tdf)
+    return pipe.cluster_representatives(men)
+
+
 @register("kg_meta_paths", value_oracles.lazy("kg_meta_paths"))
 def kg_meta_paths(spark, sf_dir):
     """Typed relation-composition statistics: every composable

@@ -425,6 +425,55 @@ class KGPipeline:
         """
         return self._cluster_surfaces(self.surface_forms(mentions))
 
+    def cluster_representatives(
+        self, mentions: DataFrame, clusters: DataFrame | None = None
+    ) -> DataFrame:
+        """Display-form selection per surface cluster: the member with
+        the MOST mention occurrences wins (ties → lexicographically
+        smallest surface) → (canonical_surface, representative,
+        rep_mentions, n_members, total_mentions). surface_clusters picks
+        its cluster KEY as the min member (stable under growth); the
+        representative is the consumer-facing name — frequency beats
+        alphabetical for display (the most-typed form of an entity).
+
+        One normalized-surface count off the mentions table (map-side
+        combinable), one join onto the distinct cluster table (tiny vs
+        mentions), one min-of-struct argmax per cluster — no window.
+        """
+        from cdrc_semantic_search_spark.operators.linking import norm_surface_col
+
+        if clusters is None:
+            clusters = self.surface_clusters(mentions)
+        counts = (
+            mentions.select(norm_surface_col(F.col("surface")).alias("surface"))
+            .groupBy("surface")
+            .agg(F.count(F.lit(1)).alias("n_mentions"))
+        )
+        j = clusters.select("surface", "canonical_surface").join(
+            counts, "surface"
+        )
+        return (
+            j.groupBy("canonical_surface")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("n_mentions")).alias("negn"),
+                        F.col("surface").alias("s"),
+                        F.col("n_mentions").alias("n"),
+                    )
+                ).alias("t"),
+                F.count(F.lit(1)).alias("n_members"),
+                F.sum("n_mentions").alias("total_mentions"),
+            )
+            .select(
+                "canonical_surface",
+                F.col("t.s").alias("representative"),
+                F.col("t.n").alias("rep_mentions"),
+                "n_members",
+                "total_mentions",
+            )
+        )
+
     # ---------------------------------------------------------- full runs
     def materialize(
         self,

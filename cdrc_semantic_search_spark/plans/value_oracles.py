@@ -1102,17 +1102,17 @@ def _semantic_keep_values() -> str:
     )
 
 
-@_register("kg_canon_quality")
-def _kg_canon_quality_values() -> str:
-    """Twin of kg_canon_quality: re-derives the surface clusters OUTSIDE
-    Spark from the shared specification kernels — extract_turn/_link for
-    the distinct (surface → min gold entity) universe (the same chain
-    _kg_nodes_values pins), encode_texts for vectors, lsh_planes/
-    lsh_bucket_matrix + bucket intersection for candidates, the exact
-    left-fold cosine for the ≥ τ re-check, and union-find with
+def _fixture_surface_clusters() -> tuple[dict, dict, dict]:
+    """Shared canonicalization derivation for the kg_canon_quality and
+    kg_cluster_representatives twins: re-derives the surface clusters
+    OUTSIDE Spark from the shared specification kernels — extract_turn/
+    _link for the distinct (surface → min gold entity) universe (the
+    same chain _kg_nodes_values pins), encode_texts for vectors,
+    lsh_planes/lsh_bucket_matrix + bucket intersection for candidates,
+    the exact left-fold cosine for the ≥ τ re-check, and union-find with
     min-string canonical for components (connected_components'
-    specification). Pair counts are exact integers; precision/recall are
-    one IEEE division, Spark-ROUND-half-up to 6."""
+    specification). Returns (gold entity per surface, mention-occurrence
+    counts per surface, cluster label per surface)."""
     from cdrc_semantic_search_spark import fixtures
     from cdrc_semantic_search_spark.config import Settings
     from cdrc_semantic_search_spark.encoder import encode_texts, normalize_surface
@@ -1139,6 +1139,7 @@ def _kg_canon_quality_values() -> str:
     index = build_entity_index(fx.entities, settings)
     link_cache: dict[str, str | None] = {}
     golds: dict[str, set] = {}
+    counts: dict[str, int] = {}
     for r in fx.transcripts.itertuples():
         mentions, _ = extract_turn(r.text or "", matcher)
         for m in mentions:
@@ -1146,6 +1147,7 @@ def _kg_canon_quality_values() -> str:
                 link_cache[m.surface] = _link(m.surface, index, settings)[0]
             eid = link_cache[m.surface]
             s = normalize_surface(m.surface)
+            counts[s] = counts.get(s, 0) + 1
             bucket = golds.setdefault(s, set())
             if eid is not None:
                 bucket.add(eid)
@@ -1178,6 +1180,21 @@ def _kg_canon_quality_values() -> str:
                 # union by min keeps the root the component minimum
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
+
+    return gold, counts, {s: find(s) for s in surfaces}
+
+
+@_register("kg_canon_quality")
+def _kg_canon_quality_values() -> str:
+    """Twin of kg_canon_quality over the shared
+    :func:`_fixture_surface_clusters` derivation. Pair counts are exact
+    integers; precision/recall are one IEEE division,
+    Spark-ROUND-half-up to 6."""
+    gold, _counts, label_of = _fixture_surface_clusters()
+    surfaces = sorted(gold)
+
+    def find(s: str) -> str:
+        return label_of[s]
 
     cg: dict[tuple[str, str], int] = {}
     for s in surfaces:
@@ -1841,5 +1858,39 @@ def _kg_graph_diff_values() -> str:
             ("w_old", "BIGINT"),
             ("w_new", "BIGINT"),
             ("status", "VARCHAR"),
+        ],
+    )
+
+
+@_register("kg_cluster_representatives")
+def _kg_cluster_representatives_values() -> str:
+    """Twin of kg_cluster_representatives over the shared
+    _fixture_surface_clusters derivation: per cluster label, the member
+    with the most mention occurrences (ties → min surface), member and
+    occurrence totals — all integers plus string argmax."""
+    _gold, counts, label_of = _fixture_surface_clusters()
+    clusters: dict[str, list[str]] = {}
+    for s, lab in label_of.items():
+        clusters.setdefault(lab, []).append(s)
+    rows = []
+    for lab, members in clusters.items():
+        rep = min(members, key=lambda s: (-counts[s], s))
+        rows.append(
+            (
+                lab,
+                rep,
+                counts[rep],
+                len(members),
+                sum(counts[s] for s in members),
+            )
+        )
+    return values_sql(
+        sorted(rows),
+        [
+            ("canonical_surface", "VARCHAR"),
+            ("representative", "VARCHAR"),
+            ("rep_mentions", "BIGINT"),
+            ("n_members", "BIGINT"),
+            ("total_mentions", "BIGINT"),
         ],
     )
