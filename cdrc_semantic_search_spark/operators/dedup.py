@@ -23,7 +23,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdrc_semantic_search_spark.functions.observe import (
@@ -182,26 +182,39 @@ def _cap_buckets(
     """Shared bucket-size guard for the banded self-joins: drop rows whose
     ``keys``-group exceeds ``cap`` members BEFORE candidate generation.
 
-    Group size comes from a count window over the SAME keys the
-    downstream self-join shuffles on, so the guard's exchange IS the
-    join's exchange — the plan gains a sort+count within partitions and
-    zero extra shuffles (verified: the SortMergeJoin reuses the window's
-    hashpartitioning). A degenerate bucket lands on one task for the
-    count, but counting is O(n) — exactly the linear pass the guard
-    exists to keep things at. The dropped-row count rides the caller's
-    first action as an Observation and is logged lazily (never an eager
-    job at construction time, never silent)."""
+    Same plan shape as the shingle-DF guard in :func:`ngram_jaccard_pairs`:
+    aggregate oversized keys (``groupBy(keys).count().filter(> cap)`` —
+    map-side partial combine makes the shuffle payload one row per
+    DISTINCT key per map partition, and only keys over the cap survive,
+    so the built side is tiny by definition of "hot") → broadcast
+    mark-join against the tagged rows → filter. The probe side never
+    shuffles for the guard; the downstream self-join keeps its own
+    exchange untouched. An earlier implementation computed group size
+    with ``F.count().over(Window.partitionBy(*keys))`` to "reuse the
+    join's exchange" — that reuse was real but the full window SORT of
+    the banded table inside every partition cost ~1.9× warm on the
+    flagship minhash path even when nothing was over the cap (measured,
+    BENCH r5); the aggregate+broadcast shape pays a near-free partial
+    agg instead. The dropped-row count is observed on the JOIN OUTPUT
+    (a main-lineage node — observing the broadcast build side is lost
+    to AQE empty-relation pruning when no key is hot, measured r5) and
+    logged lazily on the caller's first action — never an eager job,
+    never silent."""
     if cap is None:
         return tagged
-    tagged = tagged.withColumn(
-        "_grp_n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    hot = (
+        tagged.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*keys)
+        .withColumn("_hot", F.lit(True))
     )
     obs = drop_observation(who)
-    tagged = tagged.observe(
-        obs, F.count_if(F.col("_grp_n") > cap).alias("dropped")
+    marked = tagged.join(F.broadcast(hot), keys, "left").observe(
+        obs, F.count_if(F.col("_hot")).alias("dropped")
     )
     log_dropped_on_first_action(obs, who, cap, "oversized-bucket member rows")
-    return tagged.filter(F.col("_grp_n") <= cap).drop("_grp_n")
+    return marked.filter(F.col("_hot").isNull()).drop("_hot")
 
 
 def _minhash_matrix(shingle_hashes: list[np.ndarray], n_perm: int, seed: int) -> np.ndarray:
@@ -278,23 +291,38 @@ def minhash_lsh_pairs(
     ``max_bucket_size``: the scale guard. A degenerate bucket (millions
     of near-empty docs sharing one signature band) explodes the
     self-join quadratically. (band, bucket) groups larger than the cap
-    are skipped for candidate generation via a count window that reuses
-    the self-join's own exchange (zero extra shuffles); the dropped-row
-    count is observed on the first action and logged — never silent,
-    never an eager job. Members of a skipped bucket can still pair
+    are skipped for candidate generation via the shared
+    aggregate+broadcast-mark guard (:func:`_cap_buckets` — a near-free
+    partial agg plus a map-side probe; no window sort, no extra
+    shuffle of the banded rows); the dropped-row count is observed on
+    the first action and logged — never silent, never an eager job. Members of a skipped bucket can still pair
     through their other n_bands−1 bands; true mass-duplicates should be
     collapsed by :func:`exact_duplicate_groups` FIRST, which is both
     cheaper and exact for that case. Default ``DEFAULT_MAX_BUCKET``
     (10k, ~5·10⁷ pairs bound per bucket); ``None`` is the explicit
     opt-out for exact runs.
 
-    An INTERNAL projection of the signature table is cached before the
-    self-join (never the caller's frame — persisting an input is a
-    visible side effect the caller may not want): both join branches
-    reference it, and Spark would otherwise run the signature UDF twice
-    (production shape: signatures land in a table once — they're ~500
-    bytes/doc vs the full text). ``cache_handle`` (a list) receives the
-    persisted frame for deterministic unpersist by the caller.
+    Shuffle discipline (the 100-TB plan): the banded table that feeds
+    the self-join carries ONLY ``(id, band, bucket)`` — 24 bytes/row —
+    never the signature array (~512 bytes at n_perm=64). Signatures are
+    attached AFTER candidate generation by joining the (few) surviving
+    ``(id_a, id_b)`` pairs back to the cached signature table, so the
+    wide arrays ride exactly two id-keyed joins over the pair table
+    instead of 2·n_bands shuffled copies per document. Band bucket ids
+    are ``xxhash64`` over the signature slice directly (arrays are
+    hashable in Spark ≥3.0) — measured ~30% cheaper than hashing a
+    string rendering, and only grouping equality matters for bucket ids
+    (the small-n twin oracle derives candidates by band-slice equality,
+    not by the hash value).
+
+    INTERNAL projections are cached, never the caller's frame
+    (persisting an input is a visible side effect the caller may not
+    want): the signature projection (both est-jaccard branches and the
+    banding read it; Spark would otherwise run the signature UDF three
+    times) and the narrow banded table (the cap guard's aggregate and
+    both self-join branches read it — one band-hash computation total).
+    ``cache_handle`` (a list) receives the persisted frames for
+    deterministic unpersist by the caller.
     """
     sigs = sigs.select(F.col(id_col), F.col("sig")).persist()
     if cache_handle is not None:
@@ -302,30 +330,35 @@ def minhash_lsh_pairs(
     r = n_perm // n_bands
     banded = sigs.select(
         F.col(id_col).alias("id"),
-        F.col("sig"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.xxhash64(F.concat_ws(",", F.transform(F.slice("sig", b * r + 1, r), lambda x: x.cast("string"))), b),
+                lambda b: F.xxhash64(F.slice("sig", b * r + 1, r), b),
             )
         ).alias("band", "bucket"),
-    )
+    ).persist()
+    if cache_handle is not None:
+        cache_handle.append(banded)
     banded = _cap_buckets(banded, ["band", "bucket"], max_bucket_size, "minhash_lsh_pairs")
-    a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"))
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     ) / F.lit(float(n_perm))
     return (
-        pairs.withColumn("est_jaccard", est)
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -466,8 +499,9 @@ def levenshtein_pairs_blocked(
     for documents; near-dup long text belongs to the minhash/simhash
     family). ``max_bucket_size`` caps degenerate blocking keys (e.g. the
     segment "aaa" in a corpus of repeated characters) with the shared
-    window guard + lazy drop logging; the window's exchange is the
-    join's exchange. Null texts are treated as empty strings.
+    aggregate+broadcast-mark guard + lazy drop logging; both guard sides
+    are map-only derivations of the same base scan, so the guard adds no
+    shuffle of the text rows. Null texts are treated as empty strings.
     """
     d = max_dist
     m = d + 1
