@@ -4445,35 +4445,6 @@ def dedup_semantic_keep(spark, sf_dir):
 
 
 @register(
-    "q13_customer_distribution",
-    """
-    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
-        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
-        FROM customer c LEFT OUTER JOIN orders o
-          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
-        GROUP BY c.c_custkey
-    ) GROUP BY c_count
-    ORDER BY custdist DESC, c_count DESC
-    """,
-)
-def q13_customer_distribution(spark, sf_dir):
-    """TPC-H Q13 shape: outer join with a join-side predicate, then a
-    distribution over group counts (two-level aggregation)."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
-    per_cust = (
-        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
-        .groupBy(c["c_custkey"])
-        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
-    )
-    return (
-        per_cust.groupBy("c_count")
-        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
-    )
-
-
-@register(
     "q18_large_volume_customer",
     """
     SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate,
@@ -4488,7 +4459,11 @@ def q13_customer_distribution(spark, sf_dir):
 )
 def q18_large_volume_customer(spark, sf_dir):
     """TPC-H Q18 shape: group-having subquery membership (left-semi join
-    against an aggregated key set)."""
+    against an aggregated key set). Deliberately coexists with
+    :func:`q18_large_volume_customers` (plural): this variant pins the
+    two-table semi-join kernel in isolation (orders+lineitem only, no
+    dimension), while the plural entry is the full three-table Q18 with
+    the customer rollup — two registry rows, two distinct plan shapes."""
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     big = (
@@ -4755,47 +4730,6 @@ def sql_surface_exists(spark, sf_dir):
 
 
 @register(
-    "q14_promo_revenue",
-    """
-    SELECT ROUND(
-        100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
-                   THEN CAST(l.l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l.l_discount AS DECIMAL(8,4))
-                   ELSE CAST(0 AS DECIMAL(24,8)) END) AS DOUBLE)
-        / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4)) * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE),
-        6) AS promo_revenue_pct
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= DATE '1996-09-01' AND l.l_shipdate < DATE '1996-10-01'
-    """,
-)
-def q14_promo_revenue(spark, sf_dir):
-    """TPC-H Q14 shape: conditional-aggregate ratio (promo share of
-    revenue). Both sums are exact decimals cast to double BEFORE the
-    division, so the ratio is engine-independent; the part dim
-    broadcasts into the date-pruned lineitem scan."""
-    li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
-    )
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice").cast("decimal(15,4)") * (
-        F.lit(1) - F.col("l_discount")
-    ).cast("decimal(8,4)")
-    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
-        F.lit(0).cast("decimal(24,8)")
-    )
-    return (
-        li.join(p, li["l_partkey"] == p["p_partkey"])
-        .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(promo).cast("double")
-                / F.sum(rev).cast("double"),
-                6,
-            ).alias("promo_revenue_pct")
-        )
-    )
-
-
-@register(
     "q22_dormant_rich_customers",
     """
     WITH avg_bal AS (
@@ -4819,7 +4753,11 @@ def q22_dormant_rich_customers(spark, sf_dir):
     balance, computed as exact-decimal-sum / count so the cutoff is
     engine-independent) + NOT EXISTS anti-join (customers without urgent
     orders — every synthetic customer has SOME order). The scalar joins
-    in as a broadcast cross join, not a driver collect."""
+    in as a broadcast cross join, not a driver collect. Deliberately
+    coexists with :func:`q22_global_sales_opportunity`: this variant
+    pins the division-free decimal threshold against a FILTERED customer
+    subset with a plain anti-join, while the other is the full Q22 with
+    the country-code grouping — two registry rows, two plan shapes."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 10)
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
