@@ -74,12 +74,46 @@ class ParquetTableCatalog:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._recover_interrupted_swaps()
         # retirement markers are immutable once written, so parsed records
         # are cached per table keyed by the filename set; only files not
         # yet seen are opened (retired_partitions sits on the per-commit
         # hot path — without this, G generations × P partitions means G·P
         # file opens + JSON parses on EVERY overwrite_partition call)
         self._retired_cache: dict[str, dict[str, tuple]] = {}
+
+    def _recover_interrupted_swaps(self) -> None:
+        """Roll back any ``replace_via_staging`` swap that crashed between
+        its two renames.  The crash window leaves ``<name>__old`` (the
+        last good table) next to a MISSING ``<name>``; rolling the old
+        directory back restores the pre-replace state automatically at
+        catalog open instead of requiring hand recovery.  If ``<name>``
+        EXISTS alongside ``__old``, the swap completed and only the
+        cleanup rmtree was lost — drop the leftover.  Orphaned
+        ``__staging`` dirs (crash during the staging write) are always
+        safe to drop: the live table was never touched."""
+        try:
+            entries = os.listdir(self.root)
+        except FileNotFoundError:
+            return
+        for e in entries:
+            p = os.path.join(self.root, e)
+            if not os.path.isdir(p):
+                continue
+            if e.endswith("__old"):
+                dst = os.path.join(self.root, e[: -len("__old")])
+                if os.path.exists(dst):
+                    shutil.rmtree(p, ignore_errors=True)
+                    log.info("catalog recovery: dropped completed-swap leftover %s", e)
+                else:
+                    os.rename(p, dst)
+                    log.warning(
+                        "catalog recovery: rolled back interrupted swap %s -> %s",
+                        e, os.path.basename(dst),
+                    )
+            elif e.endswith("__staging"):
+                shutil.rmtree(p, ignore_errors=True)
+                log.info("catalog recovery: dropped orphaned staging dir %s", e)
 
     # ---- paths -----------------------------------------------------------
     def table_path(self, name: str) -> str:
@@ -126,7 +160,10 @@ class ParquetTableCatalog:
         the only copy is gone. Here the plan materializes into a staging
         dir first, then swaps in by rename. A crash between the two
         renames leaves ``<name>__old`` intact next to a missing table —
-        recoverable by hand, unlike the destroyed-in-place state.
+        rolled back automatically by :meth:`_recover_interrupted_swaps`
+        at the next catalog open (single-writer assumption, same as the
+        rest of this file-based catalog: recovery at open must not race
+        a concurrent in-flight swap by another writer).
         """
         staging = self.table_path(f"{name}__staging")
         shutil.rmtree(staging, ignore_errors=True)

@@ -352,3 +352,43 @@ def test_malformed_retirement_marker_degrades_not_blocks(spark, tmp_path):
     assert cat.retired_partitions("t") == {"p0", "p1"}
     rec = cat.overwrite_partition(spark.range(2).selectExpr("id"), "t", "p9")
     assert rec.row_count == 2
+
+
+def test_interrupted_staging_swap_rolls_back_at_open(spark, tmp_path):
+    """replace_via_staging crash windows: (a) crash BETWEEN the two
+    renames leaves <name>__old + missing table — the next catalog open
+    must roll the old data back; (b) crash AFTER the second rename but
+    before cleanup leaves a completed swap + stale __old — open must
+    drop the leftover, never clobber the new table; (c) crash during
+    the staging write leaves an orphan __staging — dropped at open."""
+    import os as _os
+    import shutil as _shutil
+
+    root = str(tmp_path / "swapcat")
+    cat = ParquetTableCatalog(root)
+    spark.range(5).selectExpr("id").write.parquet(cat.table_path("t"))
+
+    # (a) mid-swap crash: table renamed away, staging never moved in
+    _os.rename(cat.table_path("t"), cat.table_path("t") + "__old")
+    cat2 = ParquetTableCatalog(root)
+    assert _os.path.exists(cat2.table_path("t"))
+    assert not _os.path.exists(cat2.table_path("t") + "__old")
+    assert spark.read.parquet(cat2.table_path("t")).count() == 5
+
+    # (b) post-swap crash: new table live, stale __old left behind
+    spark.range(2).selectExpr("id").write.parquet(cat.table_path("t__old"))
+    cat3 = ParquetTableCatalog(root)
+    assert not _os.path.exists(cat3.table_path("t") + "__old")
+    assert spark.read.parquet(cat3.table_path("t")).count() == 5  # kept the LIVE one
+
+    # (c) orphaned staging dir from a crashed write
+    spark.range(3).selectExpr("id").write.parquet(cat.table_path("t__staging"))
+    cat4 = ParquetTableCatalog(root)
+    assert not _os.path.exists(cat4.table_path("t") + "__staging")
+    assert spark.read.parquet(cat4.table_path("t")).count() == 5
+
+    # and a normal replace_via_staging still round-trips
+    new = spark.range(9).selectExpr("id")
+    cat4.replace_via_staging(new, "t")
+    assert spark.read.parquet(cat4.table_path("t")).count() == 9
+    _shutil.rmtree(root)
