@@ -77,6 +77,7 @@ FIXED = ["region", "nation"]
 # from the linearity gate. Value = the bounding filter, shown in the table.
 FIXED_SLICE = {
     "cc_components": "l_orderkey < 300",
+    "graph_label_prop": "l_orderkey < 300",
     "dedup_ngram_jaccard": "doc_id < 200",
     "ta_quality_features": "doc_id < 100",
     "v1_chunk_words": "doc_id < 20",
@@ -335,8 +336,94 @@ def main() -> None:
     spark.stop()
 
 
+def graph_main() -> None:
+    """Full-table scale-up for the ITERATIVE graph family (round-5
+    verdict #4): the headline cc_components / graph_label_prop registry
+    entries read a constant-key slice (ratio ~1 by design, annotated),
+    so this mode measures the same kernels over a graph that actually
+    grows with the input — the full supplier→part bipartite edge list
+    (no modulo folding: the 10x replica's key offsets keep its copies
+    DISJOINT subgraphs, so nodes and edges both grow 10x with identical
+    per-copy structure). Warm medians of 3 interleaved passes at sf0.1
+    and the 10x replica; splices '## Iterative graph scale-up'."""
+    k = 10
+    out_dir = os.path.join(REPO_ROOT, ".scaleup", f"x{k}")
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        t0 = time.time()
+        generate(out_dir, k)
+        print(f"generated {k}x set in {time.time() - t0:.1f}s -> {out_dir}")
+
+    from pyspark.sql import functions as F
+
+    from cdrc_semantic_search_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from cdrc_semantic_search_spark.operators.graph import label_propagation
+    from cdrc_semantic_search_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="cdrc-graph-scaleup", parallelism=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def edges_of(sf_dir: str):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        # distinct full-table bipartite edges; dst offset keeps the two
+        # node namespaces disjoint WITHOUT a modulo (a modulo would fold
+        # the replica's copies onto shared hubs and change the graph)
+        return li.select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(10_000_000) + F.col("l_partkey")).alias("dst"),
+        ).distinct()
+
+    def stats(sf_dir: str):
+        e = edges_of(sf_dir).localCheckpoint()  # materialize off the clock
+        n_edges = e.count()
+        runs = {"cc": [], "lpa": []}
+        cc = lambda: connected_components(e, "src", "dst").count()  # noqa: E731
+        lpa = lambda: label_propagation(e, n_rounds=4).count()  # noqa: E731
+        cc(); lpa()  # warm
+        for _ in range(3):
+            t0 = time.time(); cc(); runs["cc"].append(time.time() - t0)
+            t0 = time.time(); lpa(); runs["lpa"].append(time.time() - t0)
+        return n_edges, {k2: sorted(v)[1] for k2, v in runs.items()}
+
+    e1, base = stats(SRC)
+    e2, big = stats(out_dir)
+    lines = [
+        "## Iterative graph scale-up: full-table edges, 1x -> 10x",
+        "",
+        "The headline cc_components / graph_label_prop entries read a "
+        "constant-key slice (annotated 'fixed slice' above), so this "
+        "section measures the same iterative kernels over the FULL "
+        "supplier→part bipartite edge list, which grows with the input "
+        "(10x replica = 10 disjoint copies: 10x nodes, 10x edges, same "
+        "per-copy structure). Same local[32] session, warm median of 3 "
+        "interleaved passes; edge materialization off the clock.",
+        "",
+        "| kernel | edges 1x | wall 1x s | edges 10x | wall 10x s | ratio |",
+        "|---|---|---|---|---|---|",
+        f"| connected_components | {e1:,} | {base['cc']:.3f} | {e2:,} | "
+        f"{big['cc']:.3f} | {big['cc'] / base['cc']:.2f} |",
+        f"| label_propagation (4 rounds) | {e1:,} | {base['lpa']:.3f} | "
+        f"{e2:,} | {big['lpa']:.3f} | {big['lpa'] / base['lpa']:.2f} |",
+        "",
+        f"Edge growth {e2 / e1:.2f}x; ratios <= that growth = at-or-below-"
+        "linear (per-round fixed costs — scheduling, checkpoint barriers — "
+        "amortize as the graph grows).",
+    ]
+    replace_section("## Iterative graph scale-up", "\n".join(lines) + "\n")
+    print(json.dumps({
+        "edges_1x": e1, "edges_10x": e2,
+        "cc_ratio": round(big["cc"] / base["cc"], 2),
+        "lpa_ratio": round(big["lpa"] / base["lpa"], 2),
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--kg" in sys.argv:
         kg_main()
+    elif "--graph" in sys.argv:
+        graph_main()
     else:
         main()
