@@ -788,3 +788,58 @@ def semantic_dedup_keep(
     return tagged.groupBy("bucket", "shard").applyInPandas(
         scan, schema=f"id {id_type}, cluster int, kept boolean"
     )
+
+
+# ------------------------------------------------- span-level dedup
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Repeated token-span detection — the SPAN-level member of the dedup
+    family (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022 — public literature: duplicated SUBSTRINGS
+    matter even when documents as wholes are unique; memorized spans
+    come from repeated spans, not repeated documents).
+
+    Every ``span_tokens``-token sliding window of the normalized token
+    stream (functions.text.tokens — lowercase, [^a-z0-9]+ splits) is a
+    candidate; windows occurring ≥ ``min_occurrences`` times corpus-wide
+    are emitted as ``(span, n_docs, n_occurrences)``. Documents shorter
+    than ``span_tokens`` contribute nothing (no degenerate whole-doc
+    windows — a short doc is the DOCUMENT-level family's job).
+
+    Scale shape: windows explode map-side; the one shuffle groups by
+    ``xxhash64(span)`` — 8 bytes — with map-side partial aggregation
+    (within a partition, every occurrence of a hot boilerplate span
+    collapses to one row before the exchange); the span TEXT reaches the
+    reducer only as the ``min`` representative of each group, so a span
+    repeated a million times ships its bytes once per map partition, not
+    per occurrence. Consumers removing spans re-join on the hash, never
+    the text. Counting both total occurrences and distinct docs costs
+    one pass (count + count_distinct in the same aggregate).
+    """
+    from cdrc_semantic_search_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    win = F.transform(
+        F.sequence(F.lit(1), n - F.lit(span_tokens - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, span_tokens)),
+    )
+    spans = (
+        df.filter(n >= span_tokens)
+        .select(F.col(id_col).alias("id"), F.explode(win).alias("span"))
+    )
+    return (
+        spans.groupBy(F.xxhash64("span").alias("span_hash"))
+        .agg(
+            F.min("span").alias("span"),
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= min_occurrences)
+        .select("span", "n_docs", "n_occurrences")
+    )

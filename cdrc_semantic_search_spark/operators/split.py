@@ -202,3 +202,55 @@ def weighted_mix(
         .filter(F.col(rn) <= quota_col)
         .drop(rn)
     )
+
+
+def distribution_psi(
+    a: DataFrame, b: DataFrame, group_col: str
+) -> DataFrame:
+    """Population-stability-index terms between two snapshots of a
+    categorical distribution — the drift monitor a training-data mix
+    runs between refreshes (did the domain/source composition of the
+    corpus move under the sampler?).  Per category:
+    ``psi_term = (p_a − p_b) · ln(p_a / p_b)`` (≥ 0 always); the total
+    PSI is the sum (conventional gates: <0.1 stable, >0.25 shifted).
+
+    Categories present on only ONE side get a NULL psi_term rather than
+    an epsilon-smoothed fiction: ln(0) is undefined and any smoothing
+    constant is a policy choice the caller should make explicitly —
+    NULL surfaces the new/vanished category instead of hiding it inside
+    a magic number.
+
+    Scale shape: each side is one groupBy(category).count() (map-side
+    partials; category key spaces are tiny by definition), totals ride
+    as 1-row broadcast cross joins (never a driver collect), the final
+    full-outer join is category-keyed.  Proportions divide exactly the
+    same integer counts on any engine; the single ln() call is libm on
+    both sides and the term is rounded to 6 — the same determinism
+    budget as the BM25/RRF entries.
+    """
+    ca = a.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_a"))
+    cb = b.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_b"))
+    joined = (
+        ca.join(cb, group_col, "full_outer")
+        .select(
+            group_col,
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .crossJoin(F.broadcast(ca.agg(F.sum("n_a").alias("tot_a"))))
+        .crossJoin(F.broadcast(cb.agg(F.sum("n_b").alias("tot_b"))))
+    )
+    p_a = F.col("n_a") / F.col("tot_a")
+    p_b = F.col("n_b") / F.col("tot_b")
+    term = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (p_a - p_b) * F.log(p_a / p_b),
+    )
+    return joined.select(
+        F.col(group_col),
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(term, 6).alias("psi_term"),
+    )

@@ -5889,3 +5889,139 @@ def kg_collective_linking(spark, sf_dir):
     return collective_link_mentions(
         raw, pipe.bc_index, pipe.settings, k=3, beta=0.25
     )
+
+
+# =====================================================================
+# KG schema induction (operators/rules.py) — AMIE-style rule mining
+# =====================================================================
+
+def _fixture_kg_edges(spark):
+    """Shared loader: the fixture pipeline's materialized kg_edges rollup
+    (the table the schema-induction queries run on in production)."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities)
+    return pipe.kg_edges(pipe.triples(tdf))
+
+
+@register("kg_rule_confidence", value_oracles.lazy("kg_rule_confidence"))
+def kg_rule_confidence(spark, sf_dir):
+    """AMIE-style composition rules p1(a,x) ∧ p2(x,c) ⇒ p3(a,c) with
+    standard confidence over the fixture's kg_edges (operators/rules.
+    composition_rules) — the schema-discovery mining step downstream of
+    graph materialization. Twin: plain dict adjacency + set membership
+    (value_oracles)."""
+    from cdrc_semantic_search_spark.operators.rules import composition_rules
+
+    return composition_rules(_fixture_kg_edges(spark)).select(
+        "p1", "p2", "p3", "support", "body_pairs", "confidence"
+    )
+
+
+@register("kg_pred_functionality", value_oracles.lazy("kg_pred_functionality"))
+def kg_pred_functionality(spark, sf_dir):
+    """Per-predicate functionality profile (operators/rules.
+    predicate_functionality): distinct fact/subject/object counts and
+    the AMIE fun/inv-fun ratios — flags predicates safe to treat as
+    canonical single-valued attributes."""
+    from cdrc_semantic_search_spark.operators.rules import (
+        predicate_functionality,
+    )
+
+    return predicate_functionality(_fixture_kg_edges(spark))
+
+
+@register("kg_inverse_relations", value_oracles.lazy("kg_inverse_relations"))
+def kg_inverse_relations(spark, sf_dir):
+    """Inverse-predicate candidates (operators/rules.inverse_relations):
+    (p1, p2) pairs scored by mirrored-fact overlap and inclusion–
+    exclusion jaccard — the ontology-merge feed."""
+    from cdrc_semantic_search_spark.operators.rules import inverse_relations
+
+    return inverse_relations(_fixture_kg_edges(spark))
+
+
+@register(
+    "dedup_repeated_spans",
+    """
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT doc_id + 10000, text FROM documents WHERE doc_id < 30
+    ),
+    toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+        FROM base
+    ),
+    spans AS (
+        SELECT doc_id, array_to_string(t[i:i+7], ' ') AS span
+        FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS g(i)
+        WHERE len(t) >= 8
+    )
+    SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM spans GROUP BY span HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_repeated_spans(spark, sf_dir):
+    """Span-level dedup (operators/dedup.repeated_spans): 8-token sliding
+    windows occurring ≥2 times corpus-wide, with doc/occurrence counts —
+    the Lee-et-al exact-substring shape (memorized spans come from
+    repeated SPANS, not repeated documents). A shifted dup block
+    guarantees cross-doc repeats at test scale; the synthetic corpus
+    also repeats spans naturally. The oracle is pure SQL (token split +
+    lateral window enumeration), so the whole pipeline — normalization,
+    window extents, both counts — is value-hash-checked."""
+    from cdrc_semantic_search_spark.operators.dedup import repeated_spans
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter("doc_id < 300").unionByName(
+        d.filter("doc_id < 30").select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    return repeated_spans(base, "doc_id", "text", span_tokens=8, min_occurrences=2)
+
+
+@register(
+    "mix_drift_psi",
+    """
+    WITH a AS (SELECT source FROM documents WHERE doc_id % 2 = 0),
+    b AS (SELECT source FROM documents WHERE doc_id % 2 = 1 AND source <> 'src0'),
+    ca AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_a FROM a GROUP BY source),
+    cb AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_b FROM b GROUP BY source),
+    j AS (
+        SELECT COALESCE(ca.source, cb.source) AS source,
+               COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+        FROM ca FULL OUTER JOIN cb ON ca.source = cb.source
+    )
+    SELECT source, n_a, n_b,
+           ROUND(CAST(n_a AS DOUBLE) / (SELECT SUM(n_a) FROM ca), 6) AS p_a,
+           ROUND(CAST(n_b AS DOUBLE) / (SELECT SUM(n_b) FROM cb), 6) AS p_b,
+           ROUND(CASE WHEN n_a > 0 AND n_b > 0 THEN
+               (CAST(n_a AS DOUBLE) / (SELECT SUM(n_a) FROM ca)
+                - CAST(n_b AS DOUBLE) / (SELECT SUM(n_b) FROM cb))
+               * LN((CAST(n_a AS DOUBLE) / (SELECT SUM(n_a) FROM ca))
+                    / (CAST(n_b AS DOUBLE) / (SELECT SUM(n_b) FROM cb)))
+           END, 6) AS psi_term
+    FROM j
+    """,
+)
+def mix_drift_psi(spark, sf_dir):
+    """Domain-mix drift monitor (operators/split.distribution_psi):
+    PSI terms of the documents.source distribution between two
+    deterministic snapshots (even vs odd doc_ids, with one source
+    dropped from the second snapshot so the vanished-category NULL path
+    is exercised). Integer counts divide identically on both engines;
+    the single ln() is the BM25-class determinism budget (round 6)."""
+    from cdrc_semantic_search_spark.operators.split import distribution_psi
+
+    d = load(spark, sf_dir, "documents")
+    a = d.filter("doc_id % 2 = 0")
+    b = d.filter("doc_id % 2 = 1 AND source <> 'src0'")
+    return distribution_psi(a, b, "source")

@@ -1894,3 +1894,133 @@ def _kg_cluster_representatives_values() -> str:
             ("total_mentions", "BIGINT"),
         ],
     )
+
+
+# ------------------------------------------------------ KG schema induction
+def _fixture_edge_set() -> set[tuple[str, str, str]]:
+    """Distinct typed (s, p, o) edge set from the fixture triples — the
+    shared base of the three rule-mining twins (operators/rules.py
+    works on the same distinct projection of kg_edges)."""
+    pdf = _fixture_triples()
+    return {
+        (r.subj_entity_id, r.pred, r.obj_entity_id)
+        for r in pdf.itertuples(index=False)
+    }
+
+
+@_register("kg_rule_confidence")
+def _kg_rule_confidence_values() -> str:
+    """AMIE-composition-rule twin: body endpoint pairs per (p1, p2) via
+    plain dict adjacency, support via set membership, standard
+    confidence = support / body — integers plus one rounded division."""
+    edges = _fixture_edge_set()
+    out_adj: dict[str, list[tuple[str, str]]] = {}
+    for s, p, o in edges:
+        out_adj.setdefault(s, []).append((p, o))
+    body: dict[tuple[str, str], set] = {}
+    for a, p1, x in edges:
+        for p2, c in out_adj.get(x, []):
+            if a == c:
+                continue
+            body.setdefault((p1, p2), set()).add((a, c))
+    heads: dict[tuple[str, str], set] = {}
+    for s, p, o in edges:
+        heads.setdefault((s, o), set()).add(p)
+    rows = []
+    for (p1, p2), pairs in body.items():
+        sup: dict[str, int] = {}
+        for pair in pairs:
+            for p3 in heads.get(pair, ()):  # noqa: B020
+                sup[p3] = sup.get(p3, 0) + 1
+        for p3, s_n in sup.items():
+            rows.append(
+                (p1, p2, p3, s_n, len(pairs), round(s_n / len(pairs), 6))
+            )
+    return values_sql(
+        sorted(rows),
+        [
+            ("p1", "VARCHAR"),
+            ("p2", "VARCHAR"),
+            ("p3", "VARCHAR"),
+            ("support", "BIGINT"),
+            ("body_pairs", "BIGINT"),
+            ("confidence", "DOUBLE"),
+        ],
+    )
+
+
+@_register("kg_pred_functionality")
+def _kg_pred_functionality_values() -> str:
+    """Functionality-profile twin: per predicate, distinct fact/subject/
+    object counts and the two ratios — set sizes plus rounded
+    divisions."""
+    edges = _fixture_edge_set()
+    per: dict[str, tuple[set, set, set]] = {}
+    for s, p, o in edges:
+        facts, subs, objs = per.setdefault(p, (set(), set(), set()))
+        facts.add((s, o))
+        subs.add(s)
+        objs.add(o)
+    rows = [
+        (
+            p,
+            len(facts),
+            len(subs),
+            len(objs),
+            round(len(subs) / len(facts), 6),
+            round(len(objs) / len(facts), 6),
+        )
+        for p, (facts, subs, objs) in per.items()
+    ]
+    return values_sql(
+        sorted(rows),
+        [
+            ("pred", "VARCHAR"),
+            ("n_facts", "BIGINT"),
+            ("n_subjects", "BIGINT"),
+            ("n_objects", "BIGINT"),
+            ("functionality", "DOUBLE"),
+            ("inv_functionality", "DOUBLE"),
+        ],
+    )
+
+
+@_register("kg_inverse_relations")
+def _kg_inverse_relations_values() -> str:
+    """Inverse-candidate twin: overlap = #{(a,b): p1(a,b) ∧ p2(b,a)}
+    restricted to p1 ≤ p2, inclusion–exclusion jaccard over the
+    per-predicate fact counts."""
+    edges = _fixture_edge_set()
+    by_pair: dict[tuple[str, str], set] = {}
+    counts: dict[str, int] = {}
+    for s, p, o in edges:
+        by_pair.setdefault((s, o), set()).add(p)
+        counts[p] = counts.get(p, 0) + 1
+    overlap: dict[tuple[str, str], int] = {}
+    for (s, o), preds in by_pair.items():
+        for p2 in by_pair.get((o, s), ()):  # noqa: B020
+            for p1 in preds:
+                if p1 <= p2:
+                    overlap[(p1, p2)] = overlap.get((p1, p2), 0) + 1
+    rows = [
+        (
+            p1,
+            p2,
+            n,
+            counts[p1],
+            counts[p2],
+            round(n / (counts[p1] + counts[p2] - n), 6),
+        )
+        for (p1, p2), n in overlap.items()
+    ]
+    return values_sql(
+        sorted(rows),
+        [
+            ("p1", "VARCHAR"),
+            ("p2", "VARCHAR"),
+            ("overlap", "BIGINT"),
+            ("n1", "BIGINT"),
+            ("n2", "BIGINT"),
+            ("jaccard", "DOUBLE"),
+        ],
+    )
