@@ -1723,3 +1723,55 @@ def community_conductance(
             .alias("conductance"),
         )
     )
+
+
+def khop_ball_sizes(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+) -> DataFrame:
+    """Per-vertex k-hop neighborhood (ball) size over the UNDIRECTED
+    edge list → (id, ball_size) where ball_size = #distinct vertices
+    u ≠ v with dist(v, u) ≤ k — the pointwise neighborhood function
+    (the quantity HyperBall/ANF estimate with sketches; Boldi & Vigna,
+    "HyperBall: in-core per-node radius computation", 2013 — public
+    literature). KG consumer: entity influence radius — how much of the
+    graph an entity can reach in k relation hops, the locality feed for
+    sampling balanced subgraphs.
+
+    EXACT by construction: per round, the (v, u) reached-pair set joins
+    the symmetric edge list on the frontier key and re-distincts —
+    state is Σ_v |ball_k(v)| pairs, which is the honest cost of an
+    exact answer and explodes on small-diameter graphs (that's WHY the
+    literature sketches it). At 100 TB use the sketch path instead:
+    the same loop with per-vertex HLL registers (sketch_approx_distinct
+    shows the register algebra) keeps state O(|V|·register_width). This
+    operator is the exact small-k/medium-graph member and the oracle
+    for that sketch path. k is bounded (ValueError > 4) as a footgun
+    guard; each round localCheckpoints (lineage discipline shared with
+    connected_components).
+    """
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in [1, 4] (exact balls explode): {k}")
+    und = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    sym = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .persist()
+    )
+    reach = sym
+    for _ in range(k - 1):
+        nxt = (
+            reach.select("v", F.col("u").alias("m"))
+            .join(sym.select(F.col("v").alias("m"), "u"), "m")
+            .filter(F.col("v") != F.col("u"))
+            .select("v", "u")
+        )
+        reach = reach.unionAll(nxt).distinct().localCheckpoint()
+    return reach.groupBy(F.col("v").alias("id")).agg(
+        F.count(F.lit(1)).alias("ball_size")
+    )

@@ -14,7 +14,7 @@ folded observation multiplicity), and every aggregate below keys on
 predicates or (subject, object) pairs — predicate key spaces are tiny,
 the pair joins shuffle only ids.
 
-All three operators are pure DataFrame compositions (no UDFs) and
+All operators here are pure DataFrame compositions (no UDFs) and
 deterministic; the small-n oracles are plain-dict twins in
 plans/value_oracles.py.
 """
@@ -162,4 +162,60 @@ def inverse_relations(edges: DataFrame) -> DataFrame:
             ),
         )
         .select("p1", "p2", "overlap", "n1", "n2", "jaccard")
+    )
+
+
+def composition_rules_pca(
+    edges: DataFrame, min_body: int = 1
+) -> DataFrame:
+    """Composition rules under the PARTIAL COMPLETENESS ASSUMPTION
+    (AMIE's headline confidence): the denominator counts only body
+    endpoint pairs (a, c) where subject ``a`` has at least ONE p3 edge
+    to ANY object — a KB that lists some of a's p3 facts is assumed
+    complete FOR a, while a subject with no p3 facts at all is treated
+    as unknown rather than a counterexample.  PCA confidence therefore
+    ≥ standard confidence, and ranks rules better on incomplete KGs
+    (Galárraga et al. 2013, §4.2).
+
+    Scale shape: identical to :func:`composition_rules` plus one extra
+    semi-join-shaped aggregate — the (subject, p3) presence set is a
+    DISTINCT projection of the edge table (map-side partials), joined
+    to the body pairs on the subject id.
+    """
+    e = _typed_edges(edges)
+    e1 = e.select(
+        F.col("s").alias("a"), F.col("p").alias("p1"), F.col("o").alias("x")
+    )
+    e2 = e.select(
+        F.col("s").alias("x"), F.col("p").alias("p2"), F.col("o").alias("c")
+    )
+    body_pairs = (
+        e1.join(e2, "x")
+        .filter(F.col("a") != F.col("c"))
+        .select("p1", "p2", "a", "c")
+        .dropDuplicates(["p1", "p2", "a", "c"])
+    )
+    heads = e.select(
+        F.col("p").alias("p3"), F.col("s").alias("a"), F.col("o").alias("c")
+    )
+    support = (
+        body_pairs.join(heads, ["a", "c"])
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    # PCA denominator: body pairs whose subject has ANY p3 edge
+    subj_has = e.select(F.col("p").alias("p3"), F.col("s").alias("a")).distinct()
+    pca_body = (
+        body_pairs.join(subj_has, "a")
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("pca_body"))
+        .filter(F.col("pca_body") >= min_body)
+    )
+    return (
+        support.join(pca_body, ["p1", "p2", "p3"])
+        .withColumn(
+            "pca_confidence",
+            F.round(F.col("support") / F.col("pca_body"), 6),
+        )
+        .select("p1", "p2", "p3", "support", "pca_body", "pca_confidence")
     )

@@ -6025,3 +6025,53 @@ def mix_drift_psi(spark, sf_dir):
     a = d.filter("doc_id % 2 = 0")
     b = d.filter("doc_id % 2 = 1 AND source <> 'src0'")
     return distribution_psi(a, b, "source")
+
+
+@register(
+    "kg_rule_pca_confidence", value_oracles.lazy("kg_rule_pca_confidence")
+)
+def kg_rule_pca_confidence(spark, sf_dir):
+    """AMIE PCA confidence (operators/rules.composition_rules_pca): the
+    partial-completeness denominator counts only body pairs whose
+    subject asserts SOME p3 fact — the incomplete-KB-aware ranking the
+    AMIE paper advocates over standard confidence. Twin re-derives the
+    subject-predicate presence sets in plain dicts."""
+    from cdrc_semantic_search_spark.operators.rules import (
+        composition_rules_pca,
+    )
+
+    return composition_rules_pca(_fixture_kg_edges(spark))
+
+
+@register(
+    "graph_khop_ball",
+    """
+    WITH e AS (
+        SELECT DISTINCT LEAST(l_suppkey, 1000 + l_partkey % 100) AS a,
+               GREATEST(l_suppkey, 1000 + l_partkey % 100) AS b
+        FROM lineitem WHERE l_orderkey < 300
+    ),
+    sym AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
+    two AS (
+        SELECT v, u FROM sym
+        UNION
+        SELECT s1.v, s2.u FROM sym s1 JOIN sym s2 ON s1.u = s2.v
+        WHERE s1.v <> s2.u
+    )
+    SELECT v AS id, CAST(COUNT(*) AS BIGINT) AS ball_size
+    FROM two GROUP BY v
+    """,
+)
+def graph_khop_ball(spark, sf_dir):
+    """Exact 2-hop neighborhood sizes (operators/graph.khop_ball_sizes)
+    over the shared supplier↔bucket fixture graph — the pointwise
+    neighborhood function (HyperBall's target quantity, exact at
+    small k). Oracle: UNION-distinct closure of one self-join."""
+    from cdrc_semantic_search_spark.operators.graph import khop_ball_sizes
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    return khop_ball_sizes(edges, k=2)

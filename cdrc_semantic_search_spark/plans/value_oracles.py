@@ -2024,3 +2024,49 @@ def _kg_inverse_relations_values() -> str:
             ("jaccard", "DOUBLE"),
         ],
     )
+
+
+@_register("kg_rule_pca_confidence")
+def _kg_rule_pca_confidence_values() -> str:
+    """PCA-confidence twin: same body/support derivation as the standard
+    twin, but the denominator counts only body pairs whose SUBJECT has
+    some p3 edge (the partial-completeness assumption)."""
+    edges = _fixture_edge_set()
+    out_adj: dict[str, list[tuple[str, str]]] = {}
+    subj_preds: dict[str, set] = {}
+    for s, p, o in edges:
+        out_adj.setdefault(s, []).append((p, o))
+        subj_preds.setdefault(s, set()).add(p)
+    body: dict[tuple[str, str], set] = {}
+    for a, p1, x in edges:
+        for p2, c in out_adj.get(x, []):
+            if a == c:
+                continue
+            body.setdefault((p1, p2), set()).add((a, c))
+    heads: dict[tuple[str, str], set] = {}
+    for s, p, o in edges:
+        heads.setdefault((s, o), set()).add(p)
+    rows = []
+    for (p1, p2), pairs in body.items():
+        sup: dict[str, int] = {}
+        pca: dict[str, int] = {}
+        for a, c in pairs:
+            for p3 in heads.get((a, c), ()):
+                sup[p3] = sup.get(p3, 0) + 1
+            for p3 in subj_preds.get(a, ()):
+                pca[p3] = pca.get(p3, 0) + 1
+        for p3, s_n in sup.items():
+            rows.append(
+                (p1, p2, p3, s_n, pca[p3], round(s_n / pca[p3], 6))
+            )
+    return values_sql(
+        sorted(rows),
+        [
+            ("p1", "VARCHAR"),
+            ("p2", "VARCHAR"),
+            ("p3", "VARCHAR"),
+            ("support", "BIGINT"),
+            ("pca_body", "BIGINT"),
+            ("pca_confidence", "DOUBLE"),
+        ],
+    )
