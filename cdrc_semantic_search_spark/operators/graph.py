@@ -1775,3 +1775,87 @@ def khop_ball_sizes(
     return reach.groupBy(F.col("v").alias("id")).agg(
         F.count(F.lit(1)).alias("ball_size")
     )
+
+
+def hyperball_ball_estimates(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    m: int = 64,
+) -> DataFrame:
+    """HyperBall: per-vertex k-hop neighborhood-size ESTIMATES via
+    HyperLogLog register max-propagation (Boldi & Vigna 2013) — the
+    100-TB path :func:`khop_ball_sizes`' docstring points at.  State is
+    O(|V| · registers) regardless of ball sizes, vs the exact
+    operator's O(Σ|ball|): on a small-diameter 10¹²-edge graph the
+    exact pair set is the whole V×V square by hop 4, while registers
+    never grow.
+
+    Mechanics, all Catalyst (no UDF, no RNG): each vertex hashes itself
+    once (crc32 → register index, second crc32 → rho = leading-zero
+    rank via ``33 − length(bin(h))``, an INTEGER derivation — no
+    float log2 whose boundary rounding could diverge from the twin);
+    registers live SPARSE as (v, j, rho) rows (one row per vertex
+    initially — zeros are never materialized); each round every
+    vertex max-merges its neighbors' registers (edge join + groupBy
+    (v, j) max — map-side combinable, hub skew collapses in the
+    partial).  After k rounds a vertex's registers are exactly the
+    max over its ball's members' initial registers, so the standard
+    HLL estimator (α_m·m²/Σ2^−rho, linear-counting correction below
+    2.5·m) reads the ball size.  Σ2^−rho over ≤64 power-of-two terms
+    ≥2^−33 is EXACT in a double in any order, so the only rounding
+    budget is the final division/ln (round 6) — the VALUES twin
+    re-derives registers and estimator bit-for-bit.
+
+    KG consumer: entity influence radius over the materialized graph at
+    sizes where exact balls are unpayable; ``ball_est`` ≈ |ball_k(v)|+1
+    (HLL counts the vertex itself — the twin matches, callers subtract
+    1 if they want the open ball).
+    """
+    assert m == 64, "register count fixed at 64 (alpha constant below)"
+    alpha = 0.709  # HLL alpha_m for m=64 (Flajolet et al. 2007)
+    und = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    sym = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .persist()
+    )
+    verts = sym.select("v").distinct()
+    h1 = F.crc32(F.col("v").cast("string").cast("binary"))
+    h2 = F.crc32(F.concat(F.col("v").cast("string"), F.lit("|rho")).cast("binary"))
+    regs = verts.select(
+        "v",
+        (h1 % m).cast("int").alias("j"),
+        F.when(h2 == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(h2)))
+        .cast("int")
+        .alias("rho"),
+    ).localCheckpoint()
+    for _ in range(k):
+        flowed = (
+            sym.join(regs.select(F.col("v").alias("n"), "j", "rho"), "n")
+            .select("v", "j", "rho")
+        )
+        regs = (
+            regs.unionAll(flowed)
+            .groupBy("v", "j")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint()
+        )
+    per_v = regs.groupBy("v").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("present_sum"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    denom = F.col("present_sum") + (F.lit(m) - F.col("n_regs"))
+    zeros = (F.lit(m) - F.col("n_regs")).cast("double")
+    raw = F.lit(alpha * m * m) / denom
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    ).otherwise(raw)
+    return per_v.select(
+        F.col("v").alias("id"), F.round(est, 6).alias("ball_est")
+    )

@@ -6075,3 +6075,22 @@ def graph_khop_ball(spark, sf_dir):
         (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
     )
     return khop_ball_sizes(edges, k=2)
+
+
+@register("graph_hyperball", value_oracles.lazy("graph_hyperball"))
+def graph_hyperball(spark, sf_dir):
+    """HyperBall 2-hop ball-size estimates (operators/graph.
+    hyperball_ball_estimates) over the shared supplier↔bucket graph —
+    the O(|V|·registers) sketch path whose exact small-graph oracle is
+    graph_khop_ball. Twin re-derives balls by BFS and the crc32
+    register algebra + HLL estimator bit-for-bit (value_oracles)."""
+    from cdrc_semantic_search_spark.operators.graph import (
+        hyperball_ball_estimates,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    return hyperball_ball_estimates(edges, k=2)

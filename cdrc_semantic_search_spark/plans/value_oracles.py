@@ -2070,3 +2070,56 @@ def _kg_rule_pca_confidence_values() -> str:
             ("pca_confidence", "DOUBLE"),
         ],
     )
+
+
+@_register("graph_hyperball")
+def _graph_hyperball_values() -> str:
+    """HyperBall twin: exact k-hop balls by BFS over the fixture graph,
+    then the IDENTICAL register derivation (crc32 bucket, crc32 rho via
+    33 − bit_length) and HLL estimator (α=0.709, m=64, linear-counting
+    correction) in plain Python floats — Σ2^−rho over ≤64 power-of-two
+    terms is exact in a double in any order, so twin and engine agree
+    bit-for-bit before the shared round-6."""
+    import math
+    import zlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows_e = con.sql(
+        f"""
+        SELECT DISTINCT l_suppkey AS a, 1000 + l_partkey % 100 AS b
+        FROM '{ORACLE_SF_DIR}/lineitem.parquet' WHERE l_orderkey < 300
+        """
+    ).fetchall()
+    con.close()
+    adj: dict[int, set[int]] = {}
+    for a, b in rows_e:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    m, alpha, k = 64, 0.709, 2
+    out = []
+    for v in adj:
+        ball = {v}
+        frontier = {v}
+        for _ in range(k):
+            frontier = {u for f in frontier for u in adj.get(f, ())} - set()
+            ball |= frontier
+        regs = [0] * m
+        for u in ball:
+            h1 = zlib.crc32(str(u).encode())
+            h2 = zlib.crc32((str(u) + "|rho").encode())
+            rho = 33 if h2 == 0 else 33 - h2.bit_length()
+            j = h1 % m
+            regs[j] = max(regs[j], rho)
+        denom = sum(2.0 ** -r for r in regs)
+        zeros = float(sum(1 for r in regs if r == 0))
+        raw = alpha * m * m / denom
+        est = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+        out.append((v, round(est, 6)))
+    return values_sql(
+        sorted(out), [("id", "BIGINT"), ("ball_est", "DOUBLE")]
+    )
