@@ -6094,3 +6094,53 @@ def graph_hyperball(spark, sf_dir):
         (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
     )
     return hyperball_ball_estimates(edges, k=2)
+
+
+@register("kg_linking_ambiguity", value_oracles.lazy("kg_linking_ambiguity"))
+def kg_linking_ambiguity(spark, sf_dir):
+    """Surface-form ambiguity profile over COLLECTIVE linking output:
+    per normalized surface — mention/conversation counts, distinct
+    final entities (context-free linking is a pure function of the
+    surface, so any n_entities > 1 is coherence reranking at work), and
+    the modal entity. The disambiguation-pressure dashboard a KG
+    curator reads before tightening the linker. One groupBy(surface)
+    over the linked mention stream; the mode is a max-of-struct
+    aggregate, not a window sort."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.operators.extraction import extract_mentions
+    from cdrc_semantic_search_spark.operators.linking import (
+        collective_link_mentions,
+    )
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities)
+    raw = extract_mentions(tdf, pipe.bc_catalogue)
+    linked = collective_link_mentions(
+        raw, pipe.bc_index, pipe.settings, k=3, beta=0.25
+    )
+    per_ent = linked.groupBy("surface", "entity_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_ent.join(
+            linked.groupBy("surface").agg(
+                F.count(F.lit(1)).alias("n_mentions"),
+                F.count_distinct("conv_id").alias("n_convs"),
+            ),
+            "surface",
+        )
+        .groupBy("surface", "n_mentions", "n_convs")
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.min(
+                F.struct((-F.col("c")).alias("negc"), F.col("entity_id").alias("e"))
+            ).alias("t"),
+        )
+        .select(
+            "surface", "n_mentions", "n_convs", "n_entities",
+            F.col("t.e").alias("top_entity"),
+            (-F.col("t.negc")).alias("top_count"),
+        )
+    )

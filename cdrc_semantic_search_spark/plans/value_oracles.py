@@ -1523,15 +1523,16 @@ def _graph_walk_pairs_values() -> str:
     )
 
 
-@_register("kg_collective_linking")
-def _kg_collective_linking_values() -> str:
-    """Twin of kg_collective_linking: single-process mention extraction
-    (extract_turn — the specification kernel), one _topk_blend batch over
-    ALL distinct normalized surfaces (k=3; scores rounded half-up to 4,
-    absorbing ~1e-7 BLAS batch-composition noise), then the identical
-    double arithmetic: final = score + 0.25·(support−1)/max(n−1, 1),
-    argmax by (−final, entity_id). Support counts and the per-conv
-    mention totals are re-derived with plain dicts, never Spark."""
+def _fixture_collective_rows() -> list[tuple]:
+    """Shared derivation for the collective-linking twins: single-process
+    mention extraction (extract_turn — the specification kernel), one
+    _topk_blend batch over ALL distinct normalized surfaces (k=3; scores
+    rounded half-up to 4, absorbing ~1e-7 BLAS batch-composition noise),
+    then the identical double arithmetic:
+    final = score + 0.25·(support−1)/max(n−1, 1), argmax by
+    (−final, entity_id). Support counts and the per-conv mention totals
+    are re-derived with plain dicts, never Spark. Returns (conv_id,
+    turn_idx, mention_idx, surface, entity_id, support, final_score)."""
     from cdrc_semantic_search_spark import fixtures
     from cdrc_semantic_search_spark.config import Settings
     from cdrc_semantic_search_spark.encoder import normalize_surface
@@ -1598,8 +1599,14 @@ def _kg_collective_linking_values() -> str:
         rows.append(
             (conv_id, ti, mi, surf, best[1], best[2], _round_half_up(-best[0], 6))
         )
+    return rows
+
+
+@_register("kg_collective_linking")
+def _kg_collective_linking_values() -> str:
+    """Twin of kg_collective_linking — see _fixture_collective_rows."""
     return values_sql(
-        sorted(rows),
+        sorted(_fixture_collective_rows()),
         [
             ("conv_id", "VARCHAR"),
             ("turn_idx", "INTEGER"),
@@ -2122,4 +2129,36 @@ def _graph_hyperball_values() -> str:
         out.append((v, round(est, 6)))
     return values_sql(
         sorted(out), [("id", "BIGINT"), ("ball_est", "DOUBLE")]
+    )
+
+
+@_register("kg_linking_ambiguity")
+def _kg_linking_ambiguity_values() -> str:
+    """Ambiguity-profile twin: rolls the shared collective-linking rows
+    up per surface — mention/conversation counts, distinct FINAL
+    entities (how often conversation coherence sent the same surface to
+    different entities), and the modal entity (ties → min id)."""
+    rows = _fixture_collective_rows()
+    per: dict[str, dict] = {}
+    for conv_id, _ti, _mi, surf, eid, _sup, _fs in rows:
+        d = per.setdefault(surf, {"n": 0, "convs": set(), "ents": {}})
+        d["n"] += 1
+        d["convs"].add(conv_id)
+        d["ents"][eid] = d["ents"].get(eid, 0) + 1
+    out = []
+    for surf, d in per.items():
+        top = min((-c, e) for e, c in d["ents"].items())
+        out.append(
+            (surf, d["n"], len(d["convs"]), len(d["ents"]), top[1], -top[0])
+        )
+    return values_sql(
+        sorted(out),
+        [
+            ("surface", "VARCHAR"),
+            ("n_mentions", "BIGINT"),
+            ("n_convs", "BIGINT"),
+            ("n_entities", "BIGINT"),
+            ("top_entity", "VARCHAR"),
+            ("top_count", "BIGINT"),
+        ],
     )
