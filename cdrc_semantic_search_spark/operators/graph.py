@@ -1859,3 +1859,48 @@ def hyperball_ball_estimates(
     return per_v.select(
         F.col("v").alias("id"), F.round(est, 6).alias("ball_est")
     )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the undirected edge list →
+    one row (n_edges, r). Positive r = hubs attach to hubs (social
+    shape); negative = hubs attach to leaves (hub-and-spoke — the
+    typical KG entity graph). Curators read it to pick between the
+    hub-capped and plain variants of the wedge/walk operators.
+
+    Exactness: every sum in the Pearson formula (Σxy, Σx, Σx², over
+    both edge directions) is an INTEGER aggregate of degree products —
+    only the final correlation is float (3 exact ops + 1 division),
+    the same hoisting discipline as graph_modularity. Scale shape: one
+    degree aggregate (|V| rows), one join back to edges on each
+    endpoint (id-keyed), one global aggregate to a single row.
+    """
+    und = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    sym = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    paired = (
+        sym.join(deg.select(F.col("v"), F.col("d").alias("dx")), "v")
+        .join(deg.select(F.col("v").alias("u"), F.col("d").alias("dy")), "u")
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).alias("m2"),  # 2·|E| directed endpoint pairs
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    # over the symmetric pair list x and y are exchangeable, so
+    # Σx = Σy and Σx² = Σy² — one pass carries every Pearson term
+    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.round((num.cast("double") / den.cast("double")), 6).alias("assortativity"),
+    )

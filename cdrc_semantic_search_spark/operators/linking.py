@@ -391,3 +391,53 @@ def collective_link_mentions(
         )
     )
     return best
+
+
+def reciprocal_best_match(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Entity ALIGNMENT between two KG snapshots by reciprocal nearest
+    neighbor: a pair (x ∈ A, y ∈ B) aligns iff y is x's cosine top-1 in
+    B AND x is y's top-1 in A — the standard mutual-NN criterion
+    embedding-based KG merge pipelines gate on (one-directional top-1
+    produces many-to-one collapses; reciprocity is the cheap filter
+    that kills them). Ties break by smallest candidate id — fully
+    deterministic, same ordering contract as topk_cosine_exact.
+
+    → (id_a, id_b, score) with score the shared cosine, rounded 6.
+
+    Scale shape: two :func:`~cdrc_semantic_search_spark.operators.
+    similarity.topk_cosine_exact` passes (each broadcasts ONE side —
+    alignment runs catalogue-vs-catalogue, both entity dims, not fact
+    tables) and an equi-join of the two 1-row-per-id result tables on
+    the agreeing pair. For catalogues too big to broadcast, swap the
+    exact kernel for the IVF/PQ path (operators/similarity) — the
+    reciprocity join is unchanged.
+    """
+    from cdrc_semantic_search_spark.operators.similarity import (
+        topk_cosine_exact,
+    )
+
+    ab = topk_cosine_exact(
+        a.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        b.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        k=1,
+    )
+    ba = topk_cosine_exact(
+        b.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")),
+        a.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")),
+        k=1,
+    )
+    fwd = ab.select(
+        F.col("q_id").alias("id_a"), F.col("c_id").alias("id_b"),
+        F.col("score").alias("score"),
+    )
+    rev = ba.select(
+        F.col("c_id").alias("id_a"), F.col("q_id").alias("id_b"),
+    )
+    return fwd.join(rev, ["id_a", "id_b"]).select(
+        "id_a", "id_b", F.round("score", 6).alias("score")
+    )

@@ -6144,3 +6144,91 @@ def kg_linking_ambiguity(spark, sf_dir):
             (-F.col("t.negc")).alias("top_count"),
         )
     )
+
+
+@register(
+    "graph_assortativity",
+    """
+    WITH e AS (
+        SELECT DISTINCT LEAST(l_suppkey, 1000 + l_partkey % 100) AS a,
+               GREATEST(l_suppkey, 1000 + l_partkey % 100) AS b
+        FROM lineitem WHERE l_orderkey < 300
+    ),
+    sym AS (SELECT a AS v, b AS u FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT v, COUNT(*) AS d FROM sym GROUP BY v),
+    paired AS (
+        SELECT dx.d AS dx, dy.d AS dy
+        FROM sym JOIN deg dx ON sym.v = dx.v JOIN deg dy ON sym.u = dy.v
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+               CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+               CAST(SUM(dx) AS BIGINT) AS sx,
+               CAST(SUM(dx * dx) AS BIGINT) AS sxx
+        FROM paired
+    )
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           ROUND(CAST(m2 * sxy - sx * sx AS DOUBLE)
+                 / CAST(m2 * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/graph.degree_assortativity) over
+    the shared supplier↔bucket graph — integer Pearson sums hoisted so
+    the float tail is 3 exact ops + 1 division (the graph_modularity
+    discipline)."""
+    from cdrc_semantic_search_spark.operators.graph import degree_assortativity
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    return degree_assortativity(edges)
+
+
+@register(
+    "kg_entity_alignment",
+    """
+    WITH a AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id % 2 = 0 AND vec_id < 400),
+    b AS (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id % 2 = 1 AND vec_id < 400),
+    scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS score
+        FROM a, b
+    ),
+    fwd AS (
+        SELECT id_a, id_b, score FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a ORDER BY score DESC, id_b ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    rev AS (
+        SELECT id_a, id_b FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT fwd.id_a, fwd.id_b, ROUND(fwd.score, 6) AS score
+    FROM fwd JOIN rev ON fwd.id_a = rev.id_a AND fwd.id_b = rev.id_b
+    """,
+)
+def kg_entity_alignment(spark, sf_dir):
+    """Reciprocal-nearest-neighbor entity alignment (operators/linking.
+    reciprocal_best_match) between two embedding snapshots (even/odd
+    vec_ids) — the mutual-top-1 gate a KG merge runs before fusing two
+    catalogues. Oracle: brute-force cosine + two ROW_NUMBER windows +
+    reciprocity join in pure SQL."""
+    from cdrc_semantic_search_spark.operators.linking import (
+        reciprocal_best_match,
+    )
+
+    e = load(spark, sf_dir, "embeddings").filter("vec_id < 400")
+    a = e.filter("vec_id % 2 = 0")
+    b = e.filter("vec_id % 2 = 1")
+    return reciprocal_best_match(a, b, "vec_id", "embedding")
