@@ -6232,3 +6232,23 @@ def kg_entity_alignment(spark, sf_dir):
     a = e.filter("vec_id % 2 = 0")
     b = e.filter("vec_id % 2 = 1")
     return reciprocal_best_match(a, b, "vec_id", "embedding")
+
+
+@register(
+    "dedup_blocking_quality", value_oracles.lazy("dedup_blocking_quality")
+)
+def dedup_blocking_quality(spark, sf_dir):
+    """Pair completeness + reduction ratio of the MinHash blocking vs
+    exact shingle-Jaccard truth (operators/dedup.blocking_quality) on
+    200 docs + 30 shifted clones — the grade a band/permutation config
+    earns before running at corpus scale. Twin recomputes truth
+    all-pairs and candidates by band-slice equality in plain Python."""
+    from cdrc_semantic_search_spark.operators.dedup import blocking_quality
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter("doc_id < 200").unionByName(
+        d.filter("doc_id < 30").select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    return blocking_quality(base, "doc_id", "text")

@@ -2162,3 +2162,76 @@ def _kg_linking_ambiguity_values() -> str:
             ("top_count", "BIGINT"),
         ],
     )
+
+
+@_register("dedup_blocking_quality")
+def _dedup_blocking_quality_values() -> str:
+    """Blocking-evaluation twin: exact all-pairs distinct-shingle
+    Jaccard (tokens/word_shingles twins) for truth, the shared MinHash
+    twin kernel's band-slice-equality pairs (NO estimate filter, no
+    cap) for candidates, then the PC/RR arithmetic in plain ints."""
+    docs = [
+        (i, t) for i, t in _docs_with_shift(30, 10_000)
+        if i < 200 or i >= 10_000
+    ]
+    # truth: exact Jaccard over DISTINCT k=3 shingles
+    sets = {i: set(_word_shingles(t, 3)) for i, t in docs}
+    ids = sorted(sets)
+    truth = set()
+    for xi, ia in enumerate(ids):
+        for ib in ids[xi + 1:]:
+            sa, sb = sets[ia], sets[ib]
+            if not sa and not sb:
+                continue
+            u = len(sa | sb)
+            if u and len(sa & sb) / u >= 0.5:
+                truth.add((ia, ib))
+    # candidates: band-slice equality, uncapped, unfiltered
+    n_perm, n_bands = 64, 16
+    r = n_perm // n_bands
+    P = np.uint64((1 << 61) - 1)
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, P, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, P, size=n_perm, dtype=np.uint64)
+    buckets: dict[tuple, list[int]] = {}
+    for doc_id, text in docs:
+        words = _words(text)
+        sh = {
+            " ".join(words[i : i + 3])
+            for i in range(max(len(words) - 2, 1))
+        }
+        hs = np.array(
+            sorted(zlib.crc32(s.encode()) for s in sh if s), dtype=np.uint64
+        )
+        if len(hs):
+            sig = ((hs[:, None] * a[None, :] + b[None, :]) % P).min(axis=0)
+        else:
+            sig = np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        sig = sig.astype(np.int64)
+        for band in range(n_bands):
+            buckets.setdefault(
+                (band, tuple(sig[band * r : (band + 1) * r])), []
+            ).append(doc_id)
+    cand = _pairs_from_buckets(buckets, None)
+    n = len(docs)
+    allp = n * (n - 1) / 2.0
+    n_hit = len(truth & set(cand))
+    row = (
+        n,
+        len(truth),
+        len(cand),
+        n_hit,
+        round(n_hit / len(truth), 6),
+        round(1.0 - len(cand) / allp, 6),
+    )
+    return values_sql(
+        [row],
+        [
+            ("n_docs", "BIGINT"),
+            ("n_truth", "BIGINT"),
+            ("n_cand", "BIGINT"),
+            ("n_hit", "BIGINT"),
+            ("pair_completeness", "DOUBLE"),
+            ("reduction_ratio", "DOUBLE"),
+        ],
+    )
