@@ -1904,3 +1904,155 @@ def degree_assortativity(
         (F.col("m2") / 2).cast("long").alias("n_edges"),
         F.round((num.cast("double") / den.cast("double")), 6).alias("assortativity"),
     )
+
+
+def wl_refinement(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 2,
+) -> DataFrame:
+    """Weisfeiler–Leman color refinement over the undirected edge list →
+    (id, wl_color) after ``n_rounds`` rounds — the 1-WL structural
+    signature (Weisfeiler & Leman 1968; Shervashidze et al., "WL graph
+    kernels", JMLR 2011 — public literature). Two vertices share a
+    color iff their k-hop neighborhood TREES are indistinguishable:
+    the role-discovery primitive (all leaf entities of star-shaped
+    relations land in one color class regardless of which hub they
+    hang off), and the per-graph color histogram is the classic
+    graph-dedup fingerprint for repeated substructures.
+
+    Deterministic mechanics: initial color = degree; each round
+    ``color' = crc32(color | sorted multiset of neighbor colors)``
+    rendered canonically ("c|n1,n2,..." with numerically sorted
+    neighbors, crc32 = the process-stable hash discipline of this
+    module).  The multiset sort happens INSIDE a per-vertex aggregate
+    (collect_list → array_sort — bounded by degree, the same per-key
+    memory contract as the rollup operators; cap hub degrees upstream
+    with sparsify_topk_edges if a 10⁸-degree hub exists).  One
+    label-join + one aggregate per round, localCheckpoint lineage
+    discipline shared with label_propagation.
+    """
+    und = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    sym = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .persist()
+    )
+    colors = sym.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint()
+    for _ in range(n_rounds):
+        neigh = sym.join(
+            colors.select(F.col("v").alias("n"), F.col("c").alias("cn")), "n"
+        ).select("v", "cn")
+        multisets = neigh.groupBy("v").agg(
+            F.array_sort(F.collect_list("cn")).alias("ns")
+        )
+        colors = (
+            colors.join(multisets, "v")
+            .select(
+                "v",
+                F.crc32(
+                    F.concat_ws(
+                        "|",
+                        F.col("c").cast("string"),
+                        F.concat_ws(
+                            ",",
+                            F.transform(F.col("ns"), lambda x: x.cast("string")),
+                        ),
+                    ).cast("binary")
+                ).cast("long").alias("c"),
+            )
+            .localCheckpoint()
+        )
+    return colors.select(F.col("v").alias("id"), F.col("c").alias("wl_color"))
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_t: int = 3,
+    m: int = 64,
+) -> DataFrame:
+    """The neighborhood function N(t) = Σ_v |ball_t(v)| estimated with
+    the :func:`hyperball_ball_estimates` register algebra, one row per
+    t ∈ [0, max_t] — the curve whose 90% crossing is the EFFECTIVE
+    DIAMETER (the headline statistic ANF/HyperANF compute on web-scale
+    graphs; Palmer et al. 2002, Boldi & Vigna 2011).
+
+    → (t, n_est_millionths, n_est): per-vertex estimates are rounded
+    half-up to 6 decimals and summed as INTEGER millionths — a float
+    Σ over |V| doubles is summation-order-dependent and would diverge
+    from the twin in the low bits, while the integer sum is exact in
+    any order (the dyadic-sum discipline of the temporal operators);
+    ``n_est`` is the one final division back to a double.
+
+    Per round: one register flow join + (v, j) max aggregate (the
+    HyperBall loop) plus one global estimate rollup. State stays
+    O(|V|·m) at every t — the property that makes the curve computable
+    where exact balls (:func:`khop_ball_sizes`) are unpayable.
+    """
+    alpha = 0.709
+    und = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    sym = (
+        und.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .persist()
+    )
+    verts = sym.select("v").distinct()
+    h1 = F.crc32(F.col("v").cast("string").cast("binary"))
+    h2 = F.crc32(F.concat(F.col("v").cast("string"), F.lit("|rho")).cast("binary"))
+    regs = verts.select(
+        "v",
+        (h1 % m).cast("int").alias("j"),
+        F.when(h2 == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(h2)))
+        .cast("int")
+        .alias("rho"),
+    ).localCheckpoint()
+
+    def est_sum(r: DataFrame, t: int) -> DataFrame:
+        per_v = r.groupBy("v").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("ps"),
+            F.count(F.lit(1)).alias("nr"),
+        )
+        denom = F.col("ps") + (F.lit(m) - F.col("nr"))
+        zeros = (F.lit(m) - F.col("nr")).cast("double")
+        raw = F.lit(alpha * m * m) / denom
+        est = F.when(
+            (raw <= 2.5 * m) & (zeros > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+        ).otherwise(raw)
+        return per_v.select(
+            F.round(est * 1e6).cast("long").alias("e6")
+        ).agg(
+            F.lit(t).alias("t"),
+            F.sum("e6").alias("n_est_millionths"),
+        )
+
+    out = est_sum(regs, 0)
+    for t in range(1, max_t + 1):
+        flowed = (
+            sym.join(regs.select(F.col("v").alias("n"), "j", "rho"), "n")
+            .select("v", "j", "rho")
+        )
+        regs = (
+            regs.unionAll(flowed)
+            .groupBy("v", "j")
+            .agg(F.max("rho").alias("rho"))
+            .localCheckpoint()
+        )
+        out = out.unionAll(est_sum(regs, t))
+    return out.select(
+        "t",
+        "n_est_millionths",
+        F.round(F.col("n_est_millionths") / 1e6, 6).alias("n_est"),
+    )

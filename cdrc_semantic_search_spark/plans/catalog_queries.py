@@ -6252,3 +6252,42 @@ def dedup_blocking_quality(spark, sf_dir):
         )
     )
     return blocking_quality(base, "doc_id", "text")
+
+
+@register("graph_wl_colors", value_oracles.lazy("graph_wl_colors"))
+def graph_wl_colors(spark, sf_dir):
+    """Two rounds of Weisfeiler–Leman color refinement (operators/graph.
+    wl_refinement) over the shared supplier↔bucket graph — per-vertex
+    structural signatures (role discovery / substructure dedup
+    fingerprints). Twin re-derives the degree seeds and the canonical
+    crc32 renderings in plain dicts."""
+    from cdrc_semantic_search_spark.operators.graph import wl_refinement
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    return wl_refinement(edges, n_rounds=2)
+
+
+@register(
+    "graph_neighborhood_fn", value_oracles.lazy("graph_neighborhood_fn")
+)
+def graph_neighborhood_fn(spark, sf_dir):
+    """HyperBall neighborhood function N(t) for t ∈ [0, 3]
+    (operators/graph.neighborhood_function) over the shared
+    supplier↔bucket graph — the effective-diameter curve, with
+    per-vertex estimates summed as integer millionths so the global
+    rollup is summation-order-independent. Twin: exact BFS balls +
+    identical register/estimator arithmetic."""
+    from cdrc_semantic_search_spark.operators.graph import (
+        neighborhood_function,
+    )
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    return neighborhood_function(edges, max_t=3)

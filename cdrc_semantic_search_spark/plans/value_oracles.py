@@ -2235,3 +2235,98 @@ def _dedup_blocking_quality_values() -> str:
             ("reduction_ratio", "DOUBLE"),
         ],
     )
+
+
+@_register("graph_wl_colors")
+def _graph_wl_colors_values() -> str:
+    """1-WL refinement twin: adjacency dicts, degree seed colors, two
+    rounds of crc32("c|n1,n2,...") with numerically sorted neighbor
+    multisets — the identical canonical rendering the engine hashes."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows_e = con.sql(
+        f"""
+        SELECT DISTINCT l_suppkey AS a, 1000 + l_partkey % 100 AS b
+        FROM '{ORACLE_SF_DIR}/lineitem.parquet' WHERE l_orderkey < 300
+        """
+    ).fetchall()
+    con.close()
+    adj: dict[int, set[int]] = {}
+    for a, b in rows_e:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    colors = {v: len(ns) for v, ns in adj.items()}
+    for _ in range(2):
+        nxt = {}
+        for v, ns in adj.items():
+            ms = sorted(colors[u] for u in ns)
+            s = f"{colors[v]}|{','.join(str(x) for x in ms)}"
+            nxt[v] = zlib.crc32(s.encode())
+        colors = nxt
+    return values_sql(
+        sorted(colors.items()),
+        [("id", "BIGINT"), ("wl_color", "BIGINT")],
+    )
+
+
+@_register("graph_neighborhood_fn")
+def _graph_neighborhood_fn_values() -> str:
+    """Neighborhood-function twin: exact BFS balls per t, the shared
+    HyperBall register/estimator arithmetic per vertex, half-up rounding
+    to millionths, exact integer sum — bit-identical to the engine's
+    dyadic rollup."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows_e = con.sql(
+        f"""
+        SELECT DISTINCT l_suppkey AS a, 1000 + l_partkey % 100 AS b
+        FROM '{ORACLE_SF_DIR}/lineitem.parquet' WHERE l_orderkey < 300
+        """
+    ).fetchall()
+    con.close()
+    adj: dict[int, set[int]] = {}
+    for a, b in rows_e:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    import math
+
+    m, alpha, max_t = 64, 0.709, 3
+
+    def reg_of(u: int) -> tuple[int, int]:
+        h1 = zlib.crc32(str(u).encode())
+        h2 = zlib.crc32((str(u) + "|rho").encode())
+        return h1 % m, (33 if h2 == 0 else 33 - h2.bit_length())
+
+    def est_of(ball: set) -> float:
+        regs = [0] * m
+        for u in ball:
+            j, rho = reg_of(u)
+            regs[j] = max(regs[j], rho)
+        denom = sum(2.0 ** -r for r in regs)
+        zeros = float(sum(1 for r in regs if r == 0))
+        raw = alpha * m * m / denom
+        return m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+
+    balls = {v: {v} for v in adj}
+    frontiers = {v: {v} for v in adj}
+    rows = []
+    for t in range(0, max_t + 1):
+        if t > 0:
+            for v in adj:
+                nf = {u for f in frontiers[v] for u in adj.get(f, ())}
+                frontiers[v] = nf - balls[v]
+                balls[v] |= nf
+        tot = sum(int(_round_half_up(est_of(balls[v]) * 1e6, 0)) for v in adj)
+        rows.append((t, tot, round(tot / 1e6, 6)))
+    return values_sql(
+        rows,
+        [("t", "INTEGER"), ("n_est_millionths", "BIGINT"), ("n_est", "DOUBLE")],
+    )
