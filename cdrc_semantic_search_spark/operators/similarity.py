@@ -1061,3 +1061,70 @@ def topk_pq_adc_index(
         spark, queries, None, books, k,
         q_id=q_id, c_id=c_id, q_vec=q_vec, encoded=encoded,
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    q_label: str = "q_label",
+    c_label: str = "c_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus items whose LABEL differs — the negatives
+    that actually move a bi-encoder (random negatives are trivially
+    separable; the near-miss neighbors define the decision boundary:
+    Karpukhin et al., "Dense Passage Retrieval", EMNLP 2020 — public
+    literature).
+
+    → (q_id, c_id, score, rank) with rank 1..k by (score desc, c_id
+    asc) AMONG the label-mismatched corpus — the label filter applies
+    BEFORE ranking (a filter after top-k would under-fill: a query
+    whose true top-k are all same-label would get zero negatives).
+
+    Scale shape: identical to :func:`topk_cosine_exact` (broadcast
+    query side, two-stage window top-k) with the label-mismatch
+    predicate fused into the scored cross join, so mismatched pairs
+    never enter the rank windows. For corpora beyond broadcast, the
+    IVF/PQ shortlist kernels compose the same way — shortlist, filter
+    labels, exact rescore.
+    """
+    taken = {q_id, c_id, q_vec, c_vec, q_label, c_label, "score", "rank"}
+    nq = internal_col(taken, "__qnorm")
+    nc = internal_col(taken | {nq}, "__cnorm")
+    q = queries.select(F.col(q_id), F.col(q_vec), F.col(q_label)).withColumn(
+        nq, V.norm(F.col(q_vec))
+    )
+    c = corpus.select(F.col(c_id), F.col(c_vec), F.col(c_label)).withColumn(
+        nc, V.norm(F.col(c_vec))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col(q_label) != F.col(c_label))
+        .select(
+            q_id,
+            c_id,
+            (V.dot(F.col(q_vec), F.col(c_vec)) / (F.col(nq) * F.col(nc))).alias(
+                "score"
+            ),
+        )
+    )
+    part = internal_col(taken | {nq, nc}, "__part")
+    prank = internal_col(taken | {nq, nc, part}, "__prank")
+    pw = Window.partitionBy(q_id, part).orderBy(F.desc("score"), F.asc(c_id))
+    partial = (
+        scored.withColumn(part, F.spark_partition_id())
+        .withColumn(prank, F.row_number().over(pw))
+        .filter(F.col(prank) <= k)
+        .drop(part, prank)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

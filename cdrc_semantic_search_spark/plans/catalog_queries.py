@@ -6291,3 +6291,47 @@ def graph_neighborhood_fn(spark, sf_dir):
         (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
     )
     return neighborhood_function(edges, max_t=3)
+
+
+@register(
+    "train_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id, embedding, label FROM embeddings
+          WHERE vec_id >= 50 AND vec_id < 450),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS score
+        FROM q, c WHERE q.label <> c.label
+    )
+    SELECT q_id, c_id, ROUND(score, 6) AS score, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY score DESC, c_id ASC) AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def train_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.hard_negatives): per
+    query vector, the 3 most-similar DIFFERENT-label corpus vectors —
+    the DPR-style negatives a bi-encoder trains against. Label filter
+    fused before the rank windows. Oracle: brute-force + window."""
+    from cdrc_semantic_search_spark.operators.similarity import hard_negatives
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter("vec_id < 50").select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    c = e.filter("vec_id >= 50 AND vec_id < 450").select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("label").alias("c_label"),
+    )
+    out = hard_negatives(q, c, k=3)
+    return out.select(
+        "q_id", "c_id", F.round("score", 6).alias("score"), "rank"
+    )
