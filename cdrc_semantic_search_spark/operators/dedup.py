@@ -278,7 +278,7 @@ def minhash_lsh_pairs(
     id_col: str,
     n_perm: int = 64,
     n_bands: int = 16,
-    min_est_jaccard: float = 0.5,
+    min_est_jaccard: float | None = 0.5,
     cache_handle: list | None = None,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
@@ -287,6 +287,9 @@ def minhash_lsh_pairs(
     rows-per-band = n_perm/n_bands; a pair collides in ≥1 band with
     probability 1-(1-j^r)^b. Estimated Jaccard = matching-component
     fraction of the two signatures (zip_with equality mean).
+    ``min_est_jaccard=None`` returns the RAW candidate pairs
+    (id_a, id_b) without attaching signatures or the estimate — the
+    blocking output itself, for graders/post-processors.
 
     ``max_bucket_size``: the scale guard. A degenerate bucket (millions
     of near-empty docs sharing one signature band) explodes the
@@ -348,6 +351,12 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    if min_est_jaccard is None:
+        # raw blocking output: (id_a, id_b) candidates only. Callers that
+        # grade or post-process the BLOCKING itself (blocking_quality)
+        # don't pay the two signature re-joins and the zip_with estimate
+        # for a column they'd discard.
+        return pairs
     sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(
@@ -854,6 +863,7 @@ def blocking_quality(
     truth_threshold: float = 0.5,
     n_perm: int = 64,
     n_bands: int = 16,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Pair-completeness / reduction-ratio evaluation of the MinHash+LSH
     BLOCKING against exact shingle-Jaccard ground truth — the two
@@ -873,17 +883,20 @@ def blocking_quality(
     hits = an equi-join of the two pair tables; every count lands as a
     1-row aggregate cross-joined broadcast (no driver collect, no eager
     job at construction). The doc count rides the same way for the
-    C(n,2) denominator.
+    C(n,2) denominator. ``cache_handle`` receives the composed
+    operators' persisted internals (posting list, signatures, banded
+    table) for deterministic unpersist after the row is consumed.
     """
     truth = ngram_jaccard_pairs(
         df, id_col, text_col, k=k, threshold=truth_threshold,
-        max_shingle_df=None,
+        max_shingle_df=None, cache_handle=cache_handle,
     ).select("id_a", "id_b")
     sigs = minhash_signatures(df, id_col, text_col, k=k, n_perm=n_perm)
     cand = minhash_lsh_pairs(
         sigs, id_col, n_perm=n_perm, n_bands=n_bands,
-        min_est_jaccard=0.0, max_bucket_size=None,
-    ).select("id_a", "id_b")
+        min_est_jaccard=None, max_bucket_size=None,
+        cache_handle=cache_handle,
+    )
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))

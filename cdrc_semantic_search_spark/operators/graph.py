@@ -1725,6 +1725,59 @@ def community_conductance(
     )
 
 
+def _sym_undirected(
+    edges: DataFrame, src: str, dst: str, v: str = "v", n: str = "n"
+) -> DataFrame:
+    """Canonical undirected symmetrization shared by the structural
+    operators: distinct (least, greatest) edge set, self-loops dropped,
+    emitted in both directions as (v, n). Edge-normalization semantics
+    live in ONE place — every new structural operator symmetrizes here."""
+    und = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    ).filter(F.col("a") != F.col("b")).distinct()
+    return und.select(F.col("a").alias(v), F.col("b").alias(n)).unionAll(
+        und.select(F.col("b").alias(v), F.col("a").alias(n))
+    )
+
+
+def _hll_init_registers(verts: DataFrame, m: int) -> DataFrame:
+    """Per-vertex HLL register seed rows (v, j, rho): crc32 bucket,
+    second-crc32 leading-zero rank via the INTEGER 33 − length(bin(h))
+    derivation (no float log2). Shared by hyperball_ball_estimates and
+    neighborhood_function — the register algebra the twins mirror lives
+    in ONE place."""
+    h1 = F.crc32(F.col("v").cast("string").cast("binary"))
+    h2 = F.crc32(F.concat(F.col("v").cast("string"), F.lit("|rho")).cast("binary"))
+    return verts.select(
+        "v",
+        (h1 % m).cast("int").alias("j"),
+        F.when(h2 == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(h2)))
+        .cast("int")
+        .alias("rho"),
+    )
+
+
+def _hll_vertex_estimates(regs: DataFrame, m: int, alpha: float) -> DataFrame:
+    """(v, j, rho) sparse registers → (v, est): the HLL estimator with
+    linear-counting correction below 2.5·m. The harmonic Σ2^−rho over
+    ≤m power-of-two terms is exact in a double in any order; callers
+    apply their own final rounding (6 decimals / integer millionths)."""
+    per_v = regs.groupBy("v").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("ps"),
+        F.count(F.lit(1)).alias("nr"),
+    )
+    denom = F.col("ps") + (F.lit(m) - F.col("nr"))
+    zeros = (F.lit(m) - F.col("nr")).cast("double")
+    raw = F.lit(alpha * m * m) / denom
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return per_v.select("v", est.alias("est"))
+
+
 def khop_ball_sizes(
     edges: DataFrame,
     src: str = "src",
@@ -1754,15 +1807,7 @@ def khop_ball_sizes(
     """
     if not 1 <= k <= 4:
         raise ValueError(f"k must be in [1, 4] (exact balls explode): {k}")
-    und = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("a"),
-        F.greatest(F.col(src), F.col(dst)).alias("b"),
-    ).filter(F.col("a") != F.col("b")).distinct()
-    sym = (
-        und.select(F.col("a").alias("v"), F.col("b").alias("u"))
-        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("u")))
-        .persist()
-    )
+    sym = _sym_undirected(edges, src, dst, v="v", n="u").persist()
     reach = sym
     for _ in range(k - 1):
         nxt = (
@@ -1813,28 +1858,13 @@ def hyperball_ball_estimates(
     (HLL counts the vertex itself — the twin matches, callers subtract
     1 if they want the open ball).
     """
-    assert m == 64, "register count fixed at 64 (alpha constant below)"
+    if m != 64:
+        # alpha below is the m=64 constant; a bare assert would vanish
+        # under python -O and silently bias every estimate
+        raise ValueError(f"register count fixed at 64 (alpha constant): {m}")
     alpha = 0.709  # HLL alpha_m for m=64 (Flajolet et al. 2007)
-    und = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("a"),
-        F.greatest(F.col(src), F.col(dst)).alias("b"),
-    ).filter(F.col("a") != F.col("b")).distinct()
-    sym = (
-        und.select(F.col("a").alias("v"), F.col("b").alias("n"))
-        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
-        .persist()
-    )
-    verts = sym.select("v").distinct()
-    h1 = F.crc32(F.col("v").cast("string").cast("binary"))
-    h2 = F.crc32(F.concat(F.col("v").cast("string"), F.lit("|rho")).cast("binary"))
-    regs = verts.select(
-        "v",
-        (h1 % m).cast("int").alias("j"),
-        F.when(h2 == 0, F.lit(33))
-        .otherwise(F.lit(33) - F.length(F.bin(h2)))
-        .cast("int")
-        .alias("rho"),
-    ).localCheckpoint()
+    sym = _sym_undirected(edges, src, dst).persist()
+    regs = _hll_init_registers(sym.select("v").distinct(), m).localCheckpoint()
     for _ in range(k):
         flowed = (
             sym.join(regs.select(F.col("v").alias("n"), "j", "rho"), "n")
@@ -1846,18 +1876,8 @@ def hyperball_ball_estimates(
             .agg(F.max("rho").alias("rho"))
             .localCheckpoint()
         )
-    per_v = regs.groupBy("v").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("present_sum"),
-        F.count(F.lit(1)).alias("n_regs"),
-    )
-    denom = F.col("present_sum") + (F.lit(m) - F.col("n_regs"))
-    zeros = (F.lit(m) - F.col("n_regs")).cast("double")
-    raw = F.lit(alpha * m * m) / denom
-    est = F.when(
-        (raw <= 2.5 * m) & (zeros > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
-    ).otherwise(raw)
-    return per_v.select(
-        F.col("v").alias("id"), F.round(est, 6).alias("ball_est")
+    return _hll_vertex_estimates(regs, m, alpha).select(
+        F.col("v").alias("id"), F.round("est", 6).alias("ball_est")
     )
 
 
@@ -1878,13 +1898,7 @@ def degree_assortativity(
     degree aggregate (|V| rows), one join back to edges on each
     endpoint (id-keyed), one global aggregate to a single row.
     """
-    und = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("a"),
-        F.greatest(F.col(src), F.col(dst)).alias("b"),
-    ).filter(F.col("a") != F.col("b")).distinct()
-    sym = und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
-        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
-    )
+    sym = _sym_undirected(edges, src, dst, v="v", n="u")
     deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
     paired = (
         sym.join(deg.select(F.col("v"), F.col("d").alias("dx")), "v")
@@ -1933,15 +1947,7 @@ def wl_refinement(
     label-join + one aggregate per round, localCheckpoint lineage
     discipline shared with label_propagation.
     """
-    und = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("a"),
-        F.greatest(F.col(src), F.col(dst)).alias("b"),
-    ).filter(F.col("a") != F.col("b")).distinct()
-    sym = (
-        und.select(F.col("a").alias("v"), F.col("b").alias("n"))
-        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
-        .persist()
-    )
+    sym = _sym_undirected(edges, src, dst).persist()
     colors = sym.groupBy("v").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     ).localCheckpoint()
@@ -1997,42 +2003,15 @@ def neighborhood_function(
     O(|V|·m) at every t — the property that makes the curve computable
     where exact balls (:func:`khop_ball_sizes`) are unpayable.
     """
-    alpha = 0.709
-    und = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("a"),
-        F.greatest(F.col(src), F.col(dst)).alias("b"),
-    ).filter(F.col("a") != F.col("b")).distinct()
-    sym = (
-        und.select(F.col("a").alias("v"), F.col("b").alias("n"))
-        .unionAll(und.select(F.col("b").alias("v"), F.col("a").alias("n")))
-        .persist()
-    )
-    verts = sym.select("v").distinct()
-    h1 = F.crc32(F.col("v").cast("string").cast("binary"))
-    h2 = F.crc32(F.concat(F.col("v").cast("string"), F.lit("|rho")).cast("binary"))
-    regs = verts.select(
-        "v",
-        (h1 % m).cast("int").alias("j"),
-        F.when(h2 == 0, F.lit(33))
-        .otherwise(F.lit(33) - F.length(F.bin(h2)))
-        .cast("int")
-        .alias("rho"),
-    ).localCheckpoint()
+    alpha = 0.709  # m=64 constant; _hll guards below share the contract
+    if m != 64:
+        raise ValueError(f"register count fixed at 64 (alpha constant): {m}")
+    sym = _sym_undirected(edges, src, dst).persist()
+    regs = _hll_init_registers(sym.select("v").distinct(), m).localCheckpoint()
 
     def est_sum(r: DataFrame, t: int) -> DataFrame:
-        per_v = r.groupBy("v").agg(
-            F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("ps"),
-            F.count(F.lit(1)).alias("nr"),
-        )
-        denom = F.col("ps") + (F.lit(m) - F.col("nr"))
-        zeros = (F.lit(m) - F.col("nr")).cast("double")
-        raw = F.lit(alpha * m * m) / denom
-        est = F.when(
-            (raw <= 2.5 * m) & (zeros > 0),
-            F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
-        ).otherwise(raw)
-        return per_v.select(
-            F.round(est * 1e6).cast("long").alias("e6")
+        return _hll_vertex_estimates(r, m, alpha).select(
+            F.round(F.col("est") * 1e6).cast("long").alias("e6")
         ).agg(
             F.lit(t).alias("t"),
             F.sum("e6").alias("n_est_millionths"),

@@ -34,6 +34,36 @@ def _typed_edges(edges: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def _body_and_support(e: DataFrame):
+    """Shared composition-rule derivation: (body_pairs, support) frames.
+    body_pairs = distinct (p1, p2, a, c) endpoint pairs of a→[p1]→x→[p2]→c
+    paths (a ≠ c), deduped BEFORE the head join so path multiplicity never
+    reaches the second shuffle; support = per-(p1,p2,p3) count of body
+    pairs that also carry a direct p3 edge. Both confidence variants rank
+    through here — body semantics live in ONE place."""
+    e1 = e.select(
+        F.col("s").alias("a"), F.col("p").alias("p1"), F.col("o").alias("x")
+    )
+    e2 = e.select(
+        F.col("s").alias("x"), F.col("p").alias("p2"), F.col("o").alias("c")
+    )
+    body_pairs = (
+        e1.join(e2, "x")
+        .filter(F.col("a") != F.col("c"))
+        .select("p1", "p2", "a", "c")
+        .dropDuplicates(["p1", "p2", "a", "c"])
+    )
+    heads = e.select(
+        F.col("p").alias("p3"), F.col("s").alias("a"), F.col("o").alias("c")
+    )
+    support = (
+        body_pairs.join(heads, ["a", "c"])
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return body_pairs, support
+
+
 def composition_rules(
     edges: DataFrame, min_body: int = 1
 ) -> DataFrame:
@@ -61,29 +91,10 @@ def composition_rules(
     (a rule over 2 pairs is noise at any scale).
     """
     e = _typed_edges(edges)
-    e1 = e.select(
-        F.col("s").alias("a"), F.col("p").alias("p1"), F.col("o").alias("x")
-    )
-    e2 = e.select(
-        F.col("s").alias("x"), F.col("p").alias("p2"), F.col("o").alias("c")
-    )
-    body_pairs = (
-        e1.join(e2, "x")
-        .filter(F.col("a") != F.col("c"))
-        .select("p1", "p2", "a", "c")
-        .dropDuplicates(["p1", "p2", "a", "c"])
-    )
+    body_pairs, support = _body_and_support(e)
     body_n = body_pairs.groupBy("p1", "p2").agg(
         F.count(F.lit(1)).alias("body_pairs")
     ).filter(F.col("body_pairs") >= min_body)
-    heads = e.select(
-        F.col("p").alias("p3"), F.col("s").alias("a"), F.col("o").alias("c")
-    )
-    support = (
-        body_pairs.join(heads, ["a", "c"])
-        .groupBy("p1", "p2", "p3")
-        .agg(F.count(F.lit(1)).alias("support"))
-    )
     return (
         support.join(body_n, ["p1", "p2"])
         .withColumn(
@@ -183,26 +194,7 @@ def composition_rules_pca(
     to the body pairs on the subject id.
     """
     e = _typed_edges(edges)
-    e1 = e.select(
-        F.col("s").alias("a"), F.col("p").alias("p1"), F.col("o").alias("x")
-    )
-    e2 = e.select(
-        F.col("s").alias("x"), F.col("p").alias("p2"), F.col("o").alias("c")
-    )
-    body_pairs = (
-        e1.join(e2, "x")
-        .filter(F.col("a") != F.col("c"))
-        .select("p1", "p2", "a", "c")
-        .dropDuplicates(["p1", "p2", "a", "c"])
-    )
-    heads = e.select(
-        F.col("p").alias("p3"), F.col("s").alias("a"), F.col("o").alias("c")
-    )
-    support = (
-        body_pairs.join(heads, ["a", "c"])
-        .groupBy("p1", "p2", "p3")
-        .agg(F.count(F.lit(1)).alias("support"))
-    )
+    body_pairs, support = _body_and_support(e)
     # PCA denominator: body pairs whose subject has ANY p3 edge
     subj_has = e.select(F.col("p").alias("p3"), F.col("s").alias("a")).distinct()
     pca_body = (

@@ -33,6 +33,30 @@ from cdrc_semantic_search_spark.functions import vector as V
 from cdrc_semantic_search_spark.functions.names import internal_col
 
 
+def _two_stage_topk(scored: DataFrame, q_id: str, c_id: str, k: int) -> DataFrame:
+    """Shared rank kernel: top-k of a scored (q_id, c_id, score) frame by
+    (score desc, c_id asc) — a per-scan-partition rank first, so the
+    global (q_id)-window (whose parallelism is only |queries|) sorts at
+    most n_partitions·k rows per query instead of the whole corpus.
+    Both topk_cosine_exact and hard_negatives rank through here — the
+    tie-break and two-stage contract live in ONE place."""
+    taken = {q_id, c_id, "score", "rank"}
+    part = internal_col(taken, "__part")
+    prank = internal_col(taken | {part}, "__prank")
+    pw = Window.partitionBy(q_id, part).orderBy(F.desc("score"), F.asc(c_id))
+    partial = (
+        scored.withColumn(part, F.spark_partition_id())
+        .withColumn(prank, F.row_number().over(pw))
+        .filter(F.col(prank) <= k)
+        .drop(part, prank)
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def topk_cosine_exact(
     queries: DataFrame,
     corpus: DataFrame,
@@ -65,23 +89,7 @@ def topk_cosine_exact(
         c_id,
         (V.dot(F.col(q_vec), F.col(c_vec)) / (F.col(nq) * F.col(nc))).alias("score"),
     )
-    # Two-stage top-k: a per-scan-partition rank first, so the global
-    # (q_id)-window — whose parallelism is only |queries| — sorts at most
-    # n_partitions·k rows per query instead of the whole corpus.
-    part = internal_col(taken | {nq, nc}, "__part")
-    pw = Window.partitionBy(q_id, part).orderBy(F.desc("score"), F.asc(c_id))
-    prank = internal_col(taken | {nq, nc, part}, "__prank")
-    partial = (
-        scored.withColumn(part, F.spark_partition_id())
-        .withColumn(prank, F.row_number().over(pw))
-        .filter(F.col(prank) <= k)
-        .drop(part, prank)
-    )
-    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _two_stage_topk(scored, q_id, c_id, k)
 
 
 def topk_cosine_broadcast(
@@ -1114,17 +1122,4 @@ def hard_negatives(
             ),
         )
     )
-    part = internal_col(taken | {nq, nc}, "__part")
-    prank = internal_col(taken | {nq, nc, part}, "__prank")
-    pw = Window.partitionBy(q_id, part).orderBy(F.desc("score"), F.asc(c_id))
-    partial = (
-        scored.withColumn(part, F.spark_partition_id())
-        .withColumn(prank, F.row_number().over(pw))
-        .filter(F.col(prank) <= k)
-        .drop(part, prank)
-    )
-    w = Window.partitionBy(q_id).orderBy(F.desc("score"), F.asc(c_id))
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _two_stage_topk(scored, q_id, c_id, k)

@@ -247,11 +247,12 @@ def _docs_with_shift(id_bound: int, shift: int):
     return rows
 
 
-def _minhash_lsh_twin(docs: list[tuple], cap: int | None = None) -> list[tuple]:
-    """Shared MinHash+LSH twin kernel: signatures by the
-    affine-permutation spec, candidates by direct band-slice EQUALITY
-    (no hashing, no join), optional bucket-size cap mirroring the
-    engine's ``max_bucket_size`` guard."""
+def _minhash_sigs_buckets(docs: list[tuple]) -> tuple[dict, dict]:
+    """Shared MinHash twin kernel: (sigs, buckets) by the engine's
+    affine-permutation spec (seed 42, n_perm 64, 16 bands, k=3 shingles,
+    crc32 base hashes) — band membership by direct slice EQUALITY.
+    Every minhash-derived twin (pairs, capped pairs, blocking quality)
+    derives from here, so a seed/constant change desyncs NOTHING."""
     n_perm, n_bands, k = 64, 16, 3
     r = n_perm // n_bands
     P = np.uint64((1 << 61) - 1)
@@ -274,6 +275,14 @@ def _minhash_lsh_twin(docs: list[tuple], cap: int | None = None) -> list[tuple]:
             buckets.setdefault(
                 (band, tuple(sig[band * r : (band + 1) * r])), []
             ).append(doc_id)
+    return sigs, buckets
+
+
+def _minhash_lsh_twin(docs: list[tuple], cap: int | None = None) -> list[tuple]:
+    """MinHash+LSH pair twin over the shared kernel, est ≥ 0.9 filter and
+    optional bucket-size cap mirroring the engine guard."""
+    n_perm = 64
+    sigs, buckets = _minhash_sigs_buckets(docs)
     pairs = _pairs_from_buckets(buckets, cap)
     rows = []
     for ia, ib in sorted(pairs):
@@ -1941,7 +1950,7 @@ def _kg_rule_confidence_values() -> str:
                 sup[p3] = sup.get(p3, 0) + 1
         for p3, s_n in sup.items():
             rows.append(
-                (p1, p2, p3, s_n, len(pairs), round(s_n / len(pairs), 6))
+                (p1, p2, p3, s_n, len(pairs), _round_half_up(s_n / len(pairs), 6))
             )
     return values_sql(
         sorted(rows),
@@ -1974,8 +1983,8 @@ def _kg_pred_functionality_values() -> str:
             len(facts),
             len(subs),
             len(objs),
-            round(len(subs) / len(facts), 6),
-            round(len(objs) / len(facts), 6),
+            _round_half_up(len(subs) / len(facts), 6),
+            _round_half_up(len(objs) / len(facts), 6),
         )
         for p, (facts, subs, objs) in per.items()
     ]
@@ -2016,7 +2025,7 @@ def _kg_inverse_relations_values() -> str:
             n,
             counts[p1],
             counts[p2],
-            round(n / (counts[p1] + counts[p2] - n), 6),
+            _round_half_up(n / (counts[p1] + counts[p2] - n), 6),
         )
         for (p1, p2), n in overlap.items()
     ]
@@ -2064,7 +2073,7 @@ def _kg_rule_pca_confidence_values() -> str:
                 pca[p3] = pca.get(p3, 0) + 1
         for p3, s_n in sup.items():
             rows.append(
-                (p1, p2, p3, s_n, pca[p3], round(s_n / pca[p3], 6))
+                (p1, p2, p3, s_n, pca[p3], _round_half_up(s_n / pca[p3], 6))
             )
     return values_sql(
         sorted(rows),
@@ -2079,17 +2088,10 @@ def _kg_rule_pca_confidence_values() -> str:
     )
 
 
-@_register("graph_hyperball")
-def _graph_hyperball_values() -> str:
-    """HyperBall twin: exact k-hop balls by BFS over the fixture graph,
-    then the IDENTICAL register derivation (crc32 bucket, crc32 rho via
-    33 − bit_length) and HLL estimator (α=0.709, m=64, linear-counting
-    correction) in plain Python floats — Σ2^−rho over ≤64 power-of-two
-    terms is exact in a double in any order, so twin and engine agree
-    bit-for-bit before the shared round-6."""
-    import math
-    import zlib
-
+def _supplier_bucket_adj() -> dict[int, set[int]]:
+    """Shared graph-twin loader: the supplier↔bucket fixture graph
+    (l_orderkey < 300) as an undirected adjacency dict — the hyperball /
+    WL / neighborhood-function twins all read the same edges."""
     import duckdb
 
     con = duckdb.connect()
@@ -2107,26 +2109,54 @@ def _graph_hyperball_values() -> str:
             continue
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
-    m, alpha, k = 64, 0.709, 2
+    return adj
+
+
+_HLL_M, _HLL_ALPHA = 64, 0.709
+
+
+def _hll_reg_of(u: int) -> tuple[int, int]:
+    """Engine register derivation twin: crc32 bucket, crc32 rho via
+    33 − bit_length (the integer leading-zero rank)."""
+    h1 = zlib.crc32(str(u).encode())
+    h2 = zlib.crc32((str(u) + "|rho").encode())
+    return h1 % _HLL_M, (33 if h2 == 0 else 33 - h2.bit_length())
+
+
+def _hll_est_of(ball: set) -> float:
+    """Engine HLL estimator twin (α=0.709, m=64, linear-counting
+    correction) — shared by the hyperball and neighborhood twins."""
+    import math
+
+    m = _HLL_M
+    regs = [0] * m
+    for u in ball:
+        j, rho = _hll_reg_of(u)
+        regs[j] = max(regs[j], rho)
+    denom = sum(2.0 ** -r for r in regs)
+    zeros = float(sum(1 for r in regs if r == 0))
+    raw = _HLL_ALPHA * m * m / denom
+    return m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
+
+
+@_register("graph_hyperball")
+def _graph_hyperball_values() -> str:
+    """HyperBall twin: exact k-hop balls by BFS over the fixture graph,
+    then the IDENTICAL register derivation (crc32 bucket, crc32 rho via
+    33 − bit_length) and HLL estimator (α=0.709, m=64, linear-counting
+    correction) in plain Python floats — Σ2^−rho over ≤64 power-of-two
+    terms is exact in a double in any order, so twin and engine agree
+    bit-for-bit before the shared round-6."""
+    adj = _supplier_bucket_adj()
+    k = 2
     out = []
     for v in adj:
         ball = {v}
         frontier = {v}
         for _ in range(k):
-            frontier = {u for f in frontier for u in adj.get(f, ())} - set()
+            frontier = {u for f in frontier for u in adj.get(f, ())}
             ball |= frontier
-        regs = [0] * m
-        for u in ball:
-            h1 = zlib.crc32(str(u).encode())
-            h2 = zlib.crc32((str(u) + "|rho").encode())
-            rho = 33 if h2 == 0 else 33 - h2.bit_length()
-            j = h1 % m
-            regs[j] = max(regs[j], rho)
-        denom = sum(2.0 ** -r for r in regs)
-        zeros = float(sum(1 for r in regs if r == 0))
-        raw = alpha * m * m / denom
-        est = m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
-        out.append((v, round(est, 6)))
+        out.append((v, _round_half_up(_hll_est_of(ball), 6)))
     return values_sql(
         sorted(out), [("id", "BIGINT"), ("ball_est", "DOUBLE")]
     )
@@ -2186,32 +2216,9 @@ def _dedup_blocking_quality_values() -> str:
             u = len(sa | sb)
             if u and len(sa & sb) / u >= 0.5:
                 truth.add((ia, ib))
-    # candidates: band-slice equality, uncapped, unfiltered
-    n_perm, n_bands = 64, 16
-    r = n_perm // n_bands
-    P = np.uint64((1 << 61) - 1)
-    rng = np.random.default_rng(42)
-    a = rng.integers(1, P, size=n_perm, dtype=np.uint64)
-    b = rng.integers(0, P, size=n_perm, dtype=np.uint64)
-    buckets: dict[tuple, list[int]] = {}
-    for doc_id, text in docs:
-        words = _words(text)
-        sh = {
-            " ".join(words[i : i + 3])
-            for i in range(max(len(words) - 2, 1))
-        }
-        hs = np.array(
-            sorted(zlib.crc32(s.encode()) for s in sh if s), dtype=np.uint64
-        )
-        if len(hs):
-            sig = ((hs[:, None] * a[None, :] + b[None, :]) % P).min(axis=0)
-        else:
-            sig = np.full(n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        sig = sig.astype(np.int64)
-        for band in range(n_bands):
-            buckets.setdefault(
-                (band, tuple(sig[band * r : (band + 1) * r])), []
-            ).append(doc_id)
+    # candidates: the shared kernel's band-slice buckets, uncapped,
+    # unfiltered
+    _sigs, buckets = _minhash_sigs_buckets(docs)
     cand = _pairs_from_buckets(buckets, None)
     n = len(docs)
     allp = n * (n - 1) / 2.0
@@ -2221,8 +2228,8 @@ def _dedup_blocking_quality_values() -> str:
         len(truth),
         len(cand),
         n_hit,
-        round(n_hit / len(truth), 6),
-        round(1.0 - len(cand) / allp, 6),
+        _round_half_up(n_hit / len(truth), 6),
+        _round_half_up(1.0 - len(cand) / allp, 6),
     )
     return values_sql(
         [row],
@@ -2242,23 +2249,7 @@ def _graph_wl_colors_values() -> str:
     """1-WL refinement twin: adjacency dicts, degree seed colors, two
     rounds of crc32("c|n1,n2,...") with numerically sorted neighbor
     multisets — the identical canonical rendering the engine hashes."""
-    import duckdb
-
-    con = duckdb.connect()
-    rows_e = con.sql(
-        f"""
-        SELECT DISTINCT l_suppkey AS a, 1000 + l_partkey % 100 AS b
-        FROM '{ORACLE_SF_DIR}/lineitem.parquet' WHERE l_orderkey < 300
-        """
-    ).fetchall()
-    con.close()
-    adj: dict[int, set[int]] = {}
-    for a, b in rows_e:
-        a, b = int(a), int(b)
-        if a == b:
-            continue
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
+    adj = _supplier_bucket_adj()
     colors = {v: len(ns) for v, ns in adj.items()}
     for _ in range(2):
         nxt = {}
@@ -2279,42 +2270,9 @@ def _graph_neighborhood_fn_values() -> str:
     HyperBall register/estimator arithmetic per vertex, half-up rounding
     to millionths, exact integer sum — bit-identical to the engine's
     dyadic rollup."""
-    import duckdb
-
-    con = duckdb.connect()
-    rows_e = con.sql(
-        f"""
-        SELECT DISTINCT l_suppkey AS a, 1000 + l_partkey % 100 AS b
-        FROM '{ORACLE_SF_DIR}/lineitem.parquet' WHERE l_orderkey < 300
-        """
-    ).fetchall()
-    con.close()
-    adj: dict[int, set[int]] = {}
-    for a, b in rows_e:
-        a, b = int(a), int(b)
-        if a == b:
-            continue
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-    import math
-
-    m, alpha, max_t = 64, 0.709, 3
-
-    def reg_of(u: int) -> tuple[int, int]:
-        h1 = zlib.crc32(str(u).encode())
-        h2 = zlib.crc32((str(u) + "|rho").encode())
-        return h1 % m, (33 if h2 == 0 else 33 - h2.bit_length())
-
-    def est_of(ball: set) -> float:
-        regs = [0] * m
-        for u in ball:
-            j, rho = reg_of(u)
-            regs[j] = max(regs[j], rho)
-        denom = sum(2.0 ** -r for r in regs)
-        zeros = float(sum(1 for r in regs if r == 0))
-        raw = alpha * m * m / denom
-        return m * math.log(m / zeros) if (raw <= 2.5 * m and zeros > 0) else raw
-
+    adj = _supplier_bucket_adj()
+    max_t = 3
+    est_of = _hll_est_of
     balls = {v: {v} for v in adj}
     frontiers = {v: {v} for v in adj}
     rows = []
@@ -2325,7 +2283,7 @@ def _graph_neighborhood_fn_values() -> str:
                 frontiers[v] = nf - balls[v]
                 balls[v] |= nf
         tot = sum(int(_round_half_up(est_of(balls[v]) * 1e6, 0)) for v in adj)
-        rows.append((t, tot, round(tot / 1e6, 6)))
+        rows.append((t, tot, _round_half_up(tot / 1e6, 6)))
     return values_sql(
         rows,
         [("t", "INTEGER"), ("n_est_millionths", "BIGINT"), ("n_est", "DOUBLE")],

@@ -101,9 +101,18 @@ class ParquetTableCatalog:
             if not os.path.isdir(p):
                 continue
             if e.endswith("__old"):
-                dst = os.path.join(self.root, e[: -len("__old")])
+                name = e[: -len("__old")]
+                dst = os.path.join(self.root, name)
                 if os.path.exists(dst):
+                    # swap completed but the post-rename cleanup was lost:
+                    # finish ALL of replace_via_staging's postconditions,
+                    # not just the __old rmtree — the stale ledger/history
+                    # still describe the REPLACED bytes, and resume logic
+                    # would treat those partitions as committed against
+                    # the new table
                     shutil.rmtree(p, ignore_errors=True)
+                    shutil.rmtree(self._ledger_dir(name), ignore_errors=True)
+                    shutil.rmtree(self._history_dir(name), ignore_errors=True)
                     log.info("catalog recovery: dropped completed-swap leftover %s", e)
                 else:
                     os.rename(p, dst)

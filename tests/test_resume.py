@@ -375,11 +375,24 @@ def test_interrupted_staging_swap_rolls_back_at_open(spark, tmp_path):
     assert not _os.path.exists(cat2.table_path("t") + "__old")
     assert spark.read.parquet(cat2.table_path("t")).count() == 5
 
-    # (b) post-swap crash: new table live, stale __old left behind
+    # (b) post-swap crash: new table live, stale __old AND stale ledger
+    # left behind — recovery must finish ALL of replace_via_staging's
+    # postconditions (the stale markers describe the replaced bytes)
+    import json as _json
+
     spark.range(2).selectExpr("id").write.parquet(cat.table_path("t__old"))
+    _os.makedirs(cat._ledger_dir("t"), exist_ok=True)
+    with open(cat._marker_path("t", "stale"), "w") as f:
+        _json.dump(
+            {"table": "t", "partition": "stale", "source_snapshot": "s",
+             "row_count": 1, "metrics": {}, "committed_at": 1.0,
+             "status": "committed"},
+            f,
+        )
     cat3 = ParquetTableCatalog(root)
     assert not _os.path.exists(cat3.table_path("t") + "__old")
     assert spark.read.parquet(cat3.table_path("t")).count() == 5  # kept the LIVE one
+    assert cat3.committed_partitions("t") == set()
 
     # (c) orphaned staging dir from a crashed write
     spark.range(3).selectExpr("id").write.parquet(cat.table_path("t__staging"))
