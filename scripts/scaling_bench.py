@@ -117,6 +117,7 @@ def spawn(pin: str, cores: int) -> subprocess.Popen:
 
 
 def main() -> None:
+    busy = steal = None
     if "--force" not in sys.argv:
         busy = host_busy_cores()
         if busy > QUIET_BUSY_CORES:
@@ -176,16 +177,32 @@ def main() -> None:
         for i, r in enumerate(r_n_all)
     )
     stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
-    # preserve sections owned by benches that splice at RUN time rather
-    # than caching a json (scaleup_bench) — and anything else a future
-    # bench adds — so this rewrite never silently drops measurements
+    # preserve EVERY section this rewrite does not itself regenerate and
+    # that no sibling bench re-appends from a cached json below — an
+    # allowlist of known markers silently dropped the next bench's new
+    # section (r6: '## Iterative graph scale-up' vanished because it
+    # didn't startswith an allowlisted prefix); a denylist of OWNED
+    # headings fails safe: worst case a stale section survives, never
+    # a measurement lost
+    owned = (
+        "## Methodology",      # regenerated by the template below
+        "## Results",
+        "## Cross-checks",
+        "## Skew lessons",
+        "## Connected components at",       # re-appended from cached jsons
+        "## Bucketed fanout",
+        "## Hot-component skew",
+        "## Bucketed embedding base",
+        "## Incremental canonicalization",
+        "## ANN scan",
+    )
     preserved: list[str] = []
     try:
         old = open("/root/repo/BENCH.md").read()
         chunks = ["## " + c for c in old.split("\n## ")[1:]]
         for c in chunks:
             head = c.splitlines()[0]
-            if head.startswith(("## Scale-up", "## KG pipeline scale-up")):
+            if not head.startswith(owned):
                 preserved.append(c.rstrip() + "\n")
     except FileNotFoundError:
         pass
@@ -232,6 +249,10 @@ transcript fixture (seed 42, {N_CONV:,} conversations,
 mean N rate = {mean_rate_n:,.0f} turns/sec →
 **speedup N→4N: {speedup:.2f}×; scaling efficiency: {eff:.3f}**
 (target ≥ 0.8 — {'PASS' if eff >= 0.8 else 'FAIL'}).
+
+Preflight: {'--force (NOT gated)' if busy is None else
+f'{busy:.1f} idle-window busy cores, {steal:.1f}% hypervisor steal under full load'}
+— the in-window noise context every wall number above carries.
 
 All levels produce identical triple counts ({r_4n['n_triples']:,}) —
 results are parallelism-independent (asserted in tests/test_resume.py).
