@@ -6335,3 +6335,37 @@ def train_hard_negatives(spark, sf_dir):
     return out.select(
         "q_id", "c_id", F.round("score", 6).alias("score"), "rank"
     )
+
+
+@register("tr_conv_near_dup", value_oracles.lazy("tr_conv_near_dup"))
+def tr_conv_near_dup(spark, sf_dir):
+    """CONVERSATION-level near-dup detection: per-conversation ordered
+    turn assembly (operators/assembly.assemble_conversations — the W5
+    ordering contract) fed into MinHash+LSH (operators/dedup) with 20
+    cloned conversations guaranteeing true positives — the dedup shape a
+    10^12-turn transcript table needs (whole conversations recur via
+    retries/reposts far more often than individual documents). Twin
+    re-derives the ordered concat and the shared MinHash kernel in
+    plain Python."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.operators.assembly import (
+        assemble_conversations,
+    )
+    from cdrc_semantic_search_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    fx = fixtures.generate(seed=42, n_conversations=200, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    conv = assemble_conversations(tdf).select("conv_id", "conversation_text")
+    first20 = sorted(fx.transcripts.conv_id.unique().tolist())[:20]
+    clones = conv.filter(F.col("conv_id").isin(first20)).select(
+        F.concat(F.lit("dup_"), F.col("conv_id")).alias("conv_id"),
+        "conversation_text",
+    )
+    uni = conv.unionByName(clones)
+    sigs = minhash_signatures(uni, "conv_id", "conversation_text", k=3, n_perm=64)
+    return minhash_lsh_pairs(
+        sigs, "conv_id", n_perm=64, n_bands=16, min_est_jaccard=0.9
+    )

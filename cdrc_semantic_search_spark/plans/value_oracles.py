@@ -2288,3 +2288,26 @@ def _graph_neighborhood_fn_values() -> str:
         rows,
         [("t", "INTEGER"), ("n_est_millionths", "BIGINT"), ("n_est", "DOUBLE")],
     )
+
+
+@_register("tr_conv_near_dup")
+def _tr_conv_near_dup_values() -> str:
+    """Conversation-level near-dup twin: per-conversation ordered
+    turn-concat ('\\n' separator, turn_idx order — the assembly-kernel
+    contract pinned by a1b/W5), 20 cloned conversations appended, then
+    the shared MinHash kernel's band-slice pairs at est ≥ 0.9."""
+    from cdrc_semantic_search_spark import fixtures
+
+    fx = fixtures.generate(seed=42, n_conversations=200, n_entities=100)
+    pdf = fx.transcripts.sort_values(["conv_id", "turn_idx"])
+    texts = {
+        conv: "\n".join(g.text.fillna("").tolist())
+        for conv, g in pdf.groupby("conv_id")
+    }
+    docs = [(c, t) for c, t in sorted(texts.items())]
+    clones = [(f"dup_{c}", t) for c, t in docs[:20]]
+    rows = _minhash_lsh_twin(docs + clones)
+    return values_sql(
+        sorted(rows),
+        [("id_a", "VARCHAR"), ("id_b", "VARCHAR"), ("est_jaccard", "DOUBLE")],
+    )
