@@ -2035,3 +2035,76 @@ def neighborhood_function(
         "n_est_millionths",
         F.round(F.col("n_est_millionths") / 1e6, 6).alias("n_est"),
     )
+
+
+def linkpred_auc(
+    edges: DataFrame,
+    pos_pairs: DataFrame,
+    neg_pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """AUC of the common-neighbor link-prediction score: P(score(pos) >
+    score(neg)) with ties counted half — the standard evaluation of a
+    link predictor (Hand & Till 2001 rank formulation). → one row
+    (n_pos, n_neg, auc_num_x2, auc).
+
+    EXACT arithmetic: common-neighbor counts are integers, so the AUC
+    numerator 2·(wins + ties/2) = 2·wins + ties is an INTEGER
+    (``auc_num_x2``), accumulated via a cumulative-count window over the
+    distinct score values — never a pairwise pos×neg join. The only
+    float is the final division by 2·n_pos·n_neg.
+
+    Scale shape: scores for both pair sets come from two id-keyed joins
+    against the symmetric edge list (|pairs|·avg-degree intermediate,
+    the wedge-join class — cap degrees upstream with
+    sparsify_topk_edges on hub-heavy graphs); pairs without common
+    neighbors default to score 0 via a left join. The AUC rollup keys
+    on DISTINCT SCORE VALUES (tiny — CN counts), windows over that
+    value table, and lands on one row.
+    """
+    sym = _sym_undirected(edges, src, dst).persist()
+
+    def cn_scores(pairs: DataFrame) -> DataFrame:
+        p = pairs.select(F.col("a"), F.col("b"))
+        na = sym.select(F.col("v").alias("a"), F.col("n").alias("cn"))
+        nb = sym.select(F.col("v").alias("b"), F.col("n").alias("cn"))
+        counted = (
+            p.join(na, "a").join(nb, ["b", "cn"])
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("score"))
+        )
+        return p.join(counted, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("score", F.lit(0)).cast("long").alias("score")
+        )
+
+    pos = cn_scores(pos_pairs).groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_pos_s")
+    )
+    neg = cn_scores(neg_pairs).groupBy("score").agg(
+        F.count(F.lit(1)).alias("n_neg_s")
+    )
+    both = pos.join(neg, "score", "full_outer").select(
+        "score",
+        F.coalesce("n_pos_s", F.lit(0)).alias("np"),
+        F.coalesce("n_neg_s", F.lit(0)).alias("nn"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    scored = both.withColumn(
+        "neg_below", F.coalesce(F.sum("nn").over(w), F.lit(0))
+    )
+    return scored.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        (2 * F.sum(F.col("np") * F.col("neg_below"))
+         + F.sum(F.col("np") * F.col("nn"))).cast("long").alias("auc_num_x2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc_num_x2",
+        F.round(
+            F.col("auc_num_x2")
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )

@@ -6369,3 +6369,53 @@ def tr_conv_near_dup(spark, sf_dir):
     return minhash_lsh_pairs(
         sigs, "conv_id", n_perm=64, n_bands=16, min_est_jaccard=0.9
     )
+
+
+@register("graph_linkpred_auc", value_oracles.lazy("graph_linkpred_auc"))
+def graph_linkpred_auc(spark, sf_dir):
+    """Link-prediction AUC (operators/graph.linkpred_auc): positives =
+    the fixture graph's own edges, negatives = md5-corrupted endpoints
+    (join-picked from the row-numbered node table — no driver collect),
+    common-neighbor scores, exact integer rank-sum AUC. Twin mirrors
+    every step including the corruption hash."""
+    from cdrc_semantic_search_spark.operators.graph import linkpred_auc
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    wn = Window.orderBy("v")
+    numbered = nodes.withColumn("rn", F.row_number().over(wn))
+    n_nodes = numbered.agg(F.max("rn").alias("n"))
+    hexpart = F.substring(
+        F.md5(F.concat_ws("|", F.lit("neg"), F.col("a"), F.col("b"))), 1, 8
+    )
+    cand_idx = F.pmod(
+        F.conv(hexpart, 16, 10).cast("long"), F.col("n")
+    ).cast("int")
+    neg = (
+        und.crossJoin(F.broadcast(n_nodes))
+        .withColumn("rn", cand_idx + 1)
+        .join(F.broadcast(numbered.select("rn", F.col("v").alias("cand"))), "rn")
+        .filter(F.col("cand") != F.col("a"))
+        .select(
+            F.least("a", "cand").alias("a"),
+            F.greatest("a", "cand").alias("b2"),
+        )
+        .select(F.col("a"), F.col("b2").alias("b"))
+        .join(und, ["a", "b"], "left_anti")
+    )
+    return linkpred_auc(edges, und, neg)

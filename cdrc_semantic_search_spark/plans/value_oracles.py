@@ -2311,3 +2311,54 @@ def _tr_conv_near_dup_values() -> str:
         sorted(rows),
         [("id_a", "VARCHAR"), ("id_b", "VARCHAR"), ("est_jaccard", "DOUBLE")],
     )
+
+
+@_register("graph_linkpred_auc")
+def _graph_linkpred_auc_values() -> str:
+    """Link-prediction AUC twin: common-neighbor scores over the shared
+    fixture adjacency for positives (the edges) and md5-corrupted
+    negatives, then the exact integer rank-sum AUC (2·wins + ties in the
+    numerator; one final division)."""
+    import hashlib
+
+    adj = _supplier_bucket_adj()
+    edges = sorted(
+        {(min(a, b), max(a, b)) for a, ns in adj.items() for b in ns}
+    )
+    eset = set(edges)
+    nodes = sorted(adj)
+    n = len(nodes)
+    negs = []
+    for a, b in edges:
+        h = int(hashlib.md5(f"neg|{a}|{b}".encode()).hexdigest()[:8], 16)
+        cand = nodes[h % n]
+        if cand == a:
+            continue
+        pair = (min(a, cand), max(a, cand))
+        if pair in eset:
+            continue
+        negs.append(pair)
+
+    def cn(pair):
+        a, b = pair
+        return len(adj.get(a, set()) & adj.get(b, set()))
+
+    pos_s = [cn(p) for p in edges]
+    neg_s = [cn(p) for p in negs]
+    from collections import Counter
+
+    cp, cn_ = Counter(pos_s), Counter(neg_s)
+    num_x2 = 0
+    for s, np_ in cp.items():
+        below = sum(v for s2, v in cn_.items() if s2 < s)
+        num_x2 += 2 * np_ * below + np_ * cn_.get(s, 0)
+    auc = _round_half_up(num_x2 / (2.0 * len(pos_s) * len(neg_s)), 6)
+    return values_sql(
+        [(len(pos_s), len(neg_s), num_x2, auc)],
+        [
+            ("n_pos", "BIGINT"),
+            ("n_neg", "BIGINT"),
+            ("auc_num_x2", "BIGINT"),
+            ("auc", "DOUBLE"),
+        ],
+    )
