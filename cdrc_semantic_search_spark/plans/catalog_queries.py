@@ -6419,3 +6419,63 @@ def graph_linkpred_auc(spark, sf_dir):
         .join(und, ["a", "b"], "left_anti")
     )
     return linkpred_auc(edges, und, neg)
+
+
+@register(
+    "w10_distribution_ranks",
+    """
+    SELECT o_custkey,
+           o_orderkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM orders WHERE o_custkey < 80
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def w10_distribution_ranks(spark, sf_dir):
+    """Distribution-rank window family: percent_rank / cume_dist /
+    ntile over a deterministic (o_custkey, o_orderkey) window — both
+    ranks are exact rationals of integer row counts, ntile integer, so
+    the cross-engine agreement is exact after the shared round-6."""
+    o = load(spark, sf_dir, "orders").filter("o_custkey < 80")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "a10_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS gid
+    FROM orders WHERE o_custkey < 500
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def a10_grouping_sets(spark, sf_dir):
+    """GROUPING SETS with grouping_id — the one multi-granularity
+    aggregation idiom a8 (ROLLUP) and a9 (pivot) don't cover: an
+    explicit lattice of group-bys in ONE pass (Spark expands to a
+    single expand+aggregate, not four scans)."""
+    o = load(spark, sf_dir, "orders").filter("o_custkey < 500")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                    AS BIGINT) AS gid
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        """,
+        o=o,
+    )
