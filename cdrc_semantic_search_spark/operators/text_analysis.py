@@ -523,3 +523,42 @@ def bigram_cross_entropy(
             -F.sum("term").cast("double") / F.count(F.lit(1)), 6
         ).alias("ce"),
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_ref: DataFrame,
+    source_ref: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", NeurIPS
+    2023 — public literature): per document,
+    ``importance = mean log P_target(bigram) − mean log P_source(bigram)``
+    under two add-one bigram LMs — documents that look more like the
+    TARGET distribution than the raw SOURCE score high and win the
+    resampling lottery. Expressed as the difference of the two
+    :func:`bigram_cross_entropy` scores (ce = −mean log P, so
+    importance = ce_source − ce_target).
+
+    → (id, n_bigrams, ce_target, ce_source, importance round 6).
+
+    Scale shape inherits from bigram_cross_entropy twice: both reference
+    LMs are bounded samples (broadcast count tables), the corpus bigram
+    stream scores map-side against each, and the join of the two per-doc
+    score tables keys on the doc id.
+    """
+    t = bigram_cross_entropy(df, target_ref, id_col, text_col).select(
+        id_col, "n_bigrams", F.col("ce").alias("ce_target")
+    )
+    s = bigram_cross_entropy(df, source_ref, id_col, text_col).select(
+        id_col, F.col("ce").alias("ce_source")
+    )
+    return t.join(s, id_col).select(
+        id_col,
+        "n_bigrams",
+        "ce_target",
+        "ce_source",
+        F.round(F.col("ce_source") - F.col("ce_target"), 6).alias("importance"),
+    )

@@ -6479,3 +6479,71 @@ def a10_grouping_sets(spark, sf_dir):
         """,
         o=o,
     )
+
+
+@register(
+    "train_dsir_importance",
+    f"""
+    WITH t AS (
+        SELECT doc_id, toks FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+        WHERE len(toks) >= 2
+    ),
+    bi AS (
+        SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> {{'w1': toks[i], 'w2': toks[i+1]}})) AS bg
+              FROM t)
+    ),
+    tref AS (SELECT * FROM bi WHERE doc_id < 150),
+    tcb AS (SELECT w1, w2, COUNT(*) AS cb FROM tref GROUP BY w1, w2),
+    tcu AS (SELECT w1, COUNT(*) AS cu FROM tref GROUP BY w1),
+    tv AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+        SELECT unnest({_SQL_TOKS}) AS tok FROM documents WHERE doc_id < 150)),
+    sref AS (SELECT * FROM bi WHERE doc_id >= 150 AND doc_id < 300),
+    scb AS (SELECT w1, w2, COUNT(*) AS cb FROM sref GROUP BY w1, w2),
+    scu AS (SELECT w1, COUNT(*) AS cu FROM sref GROUP BY w1),
+    sv AS (SELECT COUNT(DISTINCT tok) AS v FROM (
+        SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+        WHERE doc_id >= 150 AND doc_id < 300)),
+    tsc AS (
+        SELECT bi.doc_id,
+               CAST(ROUND(ln((COALESCE(tcb.cb, 0) + 1.0) / (COALESCE(tcu.cu, 0) + tv.v)), 7)
+                    AS DECIMAL(18,7)) AS term
+        FROM bi LEFT JOIN tcb USING (w1, w2) LEFT JOIN tcu USING (w1) CROSS JOIN tv
+    ),
+    ssc AS (
+        SELECT bi.doc_id,
+               CAST(ROUND(ln((COALESCE(scb.cb, 0) + 1.0) / (COALESCE(scu.cu, 0) + sv.v)), 7)
+                    AS DECIMAL(18,7)) AS term
+        FROM bi LEFT JOIN scb USING (w1, w2) LEFT JOIN scu USING (w1) CROSS JOIN sv
+    ),
+    ta AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  ROUND(-CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS ce_target
+           FROM tsc GROUP BY doc_id),
+    sa AS (SELECT doc_id, ROUND(-CAST(SUM(term) AS DOUBLE) / COUNT(*), 6) AS ce_source
+           FROM ssc GROUP BY doc_id)
+    SELECT ta.doc_id, n_bigrams, ce_target, ce_source,
+           ROUND(ce_source - ce_target, 6) AS importance
+    FROM ta JOIN sa ON ta.doc_id = sa.doc_id
+    """,
+)
+def train_dsir_importance(spark, sf_dir):
+    """DSIR data-selection importance weights (operators/text_analysis.
+    dsir_importance): target LM trained on doc_id<150, source LM on
+    150..299, every document scored against both — the importance-
+    resampling selector a pretraining mix runs before sampling. Pure-SQL
+    oracle reuses the ta_lm_cross_entropy determinism discipline
+    (round-7 decimal terms, order-independent sums) twice."""
+    from cdrc_semantic_search_spark.operators.text_analysis import (
+        dsir_importance,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    return dsir_importance(
+        d,
+        d.filter("doc_id < 150"),
+        d.filter("doc_id >= 150 AND doc_id < 300"),
+        "doc_id",
+        "text",
+    )
