@@ -136,3 +136,54 @@ def label_centroids(
             ).alias("centroid"),
         )
     )
+
+
+def centroid_drift(
+    a: DataFrame,
+    b: DataFrame,
+    label_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-label embedding-space drift between two snapshots: the cosine
+    between each label's centroid in ``a`` and in ``b`` — the monitor an
+    embedding-backed linker runs between index refreshes (a label whose
+    prototype moved is a label whose members were re-written or whose
+    encoder changed). → (label, n_a, n_b, cos_drift round 6); cosine 1.0
+    = no movement.
+
+    Exactness chain: centroids come from :func:`label_centroids`
+    (order-independent DECIMAL sums, round-6 components — exactly
+    representable doubles); the dot/norm sums over those components run
+    in DECIMAL again (products of round-6 values are exact in
+    DECIMAL(38,12), so the 64-term sums are order-independent too); one
+    sqrt/division tail in double, round 6. Scale shape: centroids are
+    |labels|-row tables; everything after them is broadcast-sized.
+    """
+    ca = label_centroids(a, label_col, vec_col).select(
+        "label", F.col("n").alias("n_a"), F.col("centroid").alias("ca")
+    )
+    cb = label_centroids(b, label_col, vec_col).select(
+        "label", F.col("n").alias("n_b"), F.col("centroid").alias("cb")
+    )
+    j = ca.join(cb, "label")
+    ex = j.select(
+        "label", "n_a", "n_b",
+        F.posexplode(F.arrays_zip("ca", "cb")).alias("dim", "p"),
+    ).select(
+        "label", "n_a", "n_b",
+        F.col("p.ca").cast("decimal(19,6)").alias("xa"),
+        F.col("p.cb").cast("decimal(19,6)").alias("xb"),
+    )
+    agg = ex.groupBy("label", "n_a", "n_b").agg(
+        F.sum(F.col("xa") * F.col("xb")).alias("dot"),
+        F.sum(F.col("xa") * F.col("xa")).alias("naa"),
+        F.sum(F.col("xb") * F.col("xb")).alias("nbb"),
+    )
+    return agg.select(
+        "label", "n_a", "n_b",
+        F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("naa").cast("double")) * F.sqrt(F.col("nbb").cast("double"))),
+            6,
+        ).alias("cos_drift"),
+    )

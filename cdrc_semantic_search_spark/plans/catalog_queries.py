@@ -6547,3 +6547,54 @@ def train_dsir_importance(spark, sf_dir):
         "doc_id",
         "text",
     )
+
+
+@register(
+    "emb_centroid_drift",
+    """
+    WITH ex AS (
+        SELECT vec_id, label,
+               UNNEST(range(len(embedding))) AS dim,
+               UNNEST(embedding) AS x
+        FROM embeddings
+    ),
+    ca AS (
+        SELECT label, dim,
+               ROUND(CAST(ROUND(SUM(CAST(x AS DECIMAL(38,18))), 8) AS DOUBLE)
+                     / COUNT(*), 6) AS m,
+               COUNT(*) AS n
+        FROM ex WHERE vec_id % 2 = 0 GROUP BY label, dim
+    ),
+    cb AS (
+        SELECT label, dim,
+               ROUND(CAST(ROUND(SUM(CAST(x AS DECIMAL(38,18))), 8) AS DOUBLE)
+                     / COUNT(*), 6) AS m,
+               COUNT(*) AS n
+        FROM ex WHERE vec_id % 2 = 1 GROUP BY label, dim
+    ),
+    p AS (
+        SELECT ca.label, ca.n AS n_a, cb.n AS n_b,
+               CAST(ca.m AS DECIMAL(19,6)) AS xa,
+               CAST(cb.m AS DECIMAL(19,6)) AS xb
+        FROM ca JOIN cb ON ca.label = cb.label AND ca.dim = cb.dim
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(SUM(xa * xb) AS DOUBLE)
+                 / (sqrt(CAST(SUM(xa * xa) AS DOUBLE))
+                    * sqrt(CAST(SUM(xb * xb) AS DOUBLE))), 6) AS cos_drift
+    FROM p GROUP BY label, n_a, n_b
+    """,
+)
+def emb_centroid_drift(spark, sf_dir):
+    """Embedding-space drift monitor (operators/rollup.centroid_drift):
+    per-label centroid cosine between two snapshots (even/odd vec_ids)
+    — the refresh gate for an embedding-backed linker. Decimal sums at
+    every float reduction keep both engines bit-agreed."""
+    from cdrc_semantic_search_spark.operators.rollup import centroid_drift
+
+    e = load(spark, sf_dir, "embeddings")
+    return centroid_drift(
+        e.filter("vec_id % 2 = 0"), e.filter("vec_id % 2 = 1"),
+        "label", "embedding",
+    )
