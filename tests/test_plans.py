@@ -233,3 +233,84 @@ def test_collective_linking_candidates_broadcast(spark):
     plan = plan_of(collective_link_mentions(mentions, bc, settings))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repeated_spans_shuffles_hash_not_span_text(spark):
+    """The span-dedup aggregate must key its exchange on xxhash64(span)
+    (8 bytes), with the span text entering the aggregate only as the
+    min() representative — never as the grouping key."""
+    from cdrc_semantic_search_spark.operators.dedup import repeated_spans
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(repeated_spans(df, "doc_id", "text"))
+    assert "xxhash64(span" in plan
+    # the exchange partitions on the hash column, not the span string
+    import re as _re
+
+    exch = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert exch and all("span_hash" in ln for ln in exch if "span" in ln)
+    assert all(not _re.search(r"hashpartitioning\(span#", ln) for ln in exch)
+
+
+def test_hard_negatives_filter_precedes_rank_windows(spark):
+    """The label-mismatch predicate must sit BELOW the two-stage rank
+    windows (fused into the broadcast join), so same-label pairs never
+    enter a sort."""
+    from cdrc_semantic_search_spark.operators.similarity import hard_negatives
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.limit(4).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("label").alias("c_label"),
+    )
+    plan = plan_of(hard_negatives(q, c, k=3))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the join's condition carries the label mismatch — a post-window
+    # Filter on labels would appear ABOVE the Window operators instead
+    join_pos = plan.index("BroadcastNestedLoopJoin")
+    win_pos = plan.index("Window")
+    assert "NOT (q_label" in plan[join_pos:] or "(q_label" in plan[join_pos:]
+    assert join_pos > win_pos  # executed plans print consumers first
+
+
+def test_composition_rules_no_cartesian(spark, spark_fixture):
+    """Rule mining is equi-joins + predicate-keyed aggregates — no
+    cartesian product may appear for any input."""
+    from cdrc_semantic_search_spark.operators.rules import (
+        composition_rules,
+        composition_rules_pca,
+        inverse_relations,
+    )
+
+    e = spark.createDataFrame(
+        [("a", "p", "x"), ("x", "q", "c"), ("a", "r", "c")],
+        "subj_entity_id string, pred string, obj_entity_id string",
+    )
+    for fn in (composition_rules, composition_rules_pca, inverse_relations):
+        plan = plan_of(fn(e))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hyperball_state_is_register_rows_not_pairs(spark):
+    """The HyperBall loop's per-round aggregate keys on (v, j) —
+    register rows — never on reached-pair sets; the plan must show the
+    (v, j) exchange and no pair-set distinct."""
+    from cdrc_semantic_search_spark.operators.graph import (
+        hyperball_ball_estimates,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = hyperball_ball_estimates(e, k=2)
+    plan = plan_of(out)
+    # final estimate aggregate keys on v alone
+    assert "hashpartitioning(v#" in plan
+    out.count()  # executes: checkpointed rounds ran with (v, j) aggregates
