@@ -44,6 +44,11 @@ HEADLINE = [
     # and the deterministic CMS — measured per-round alongside the rest
     "graph_label_prop",
     "sketch_count_min",
+    # r6 additions (sf-bound, full-table): DSIR importance scoring (two
+    # broadcast LMs over every document) and per-label centroid drift
+    # (decimal-exact reductions over every embedding)
+    "train_dsir_importance",
+    "emb_centroid_drift",
 ]
 
 
