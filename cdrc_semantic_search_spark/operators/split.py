@@ -254,3 +254,117 @@ def distribution_psi(
         F.round(p_b, 6).alias("p_b"),
         F.round(term, 6).alias("psi_term"),
     )
+
+
+def bottom_k_sample(
+    df: DataFrame, key: Column, k: int, salt: str = "bk"
+) -> DataFrame:
+    """Deterministic uniform sample WITHOUT a shuffle-the-world sort: the
+    k rows whose ``md5(salt|key)`` is smallest — the classic bottom-k
+    sketch (Cohen & Kaplan 2007). Because the hash is a pure function of
+    the key, the sample is (a) reproducible across runs/engines/
+    partitionings, (b) MERGEABLE: bottom-k of a union = bottom-k of the
+    per-partition bottom-ks, which is exactly how the two-stage plan
+    below computes it (per-partition top-k window first, global window
+    over ≤ n_partitions·k survivors — the topk_cosine_exact discipline),
+    and (c) coordinated: two tables sampled with the same salt keep
+    JOINABLE keys (the estimator basis for bottom-k Jaccard).
+
+    → input columns + ``__bk_rank`` (1..k by hash asc, key asc).
+    """
+    from cdrc_semantic_search_spark.functions.names import internal_col
+
+    taken = set(df.columns) | {"__bk_rank"}
+    h = internal_col(taken, "__bk_hash")
+    part = internal_col(taken | {h}, "__bk_part")
+    prank = internal_col(taken | {h, part}, "__bk_prank")
+    hashed = df.withColumn(h, F.md5(F.concat(F.lit(salt + "|"), key.cast("string"))))
+    pw = Window.partitionBy(F.col(part)).orderBy(F.col(h).asc(), key.asc())
+    partial = (
+        hashed.withColumn(part, F.spark_partition_id())
+        .withColumn(prank, F.row_number().over(pw))
+        .filter(F.col(prank) <= k)
+        .drop(part, prank)
+    )
+    w = Window.orderBy(F.col(h).asc(), key.asc())
+    return (
+        partial.withColumn("__bk_rank", F.row_number().over(w))
+        .filter(F.col("__bk_rank") <= k)
+        .drop(h)
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: apply a batch of keyed
+    updates to a versioned history table, closing superseded rows
+    instead of overwriting them — the KG node/edge ATTRIBUTE history
+    pattern (an entity whose canonical name changes must keep the old
+    name queryable as-of its era; kg time travel covers partitions,
+    SCD2 covers row attributes).
+
+    ``history``: key_cols + value_cols + (valid_from, valid_to) with
+    valid_to NULL on current rows. ``updates``: key_cols + value_cols +
+    ``ts_col``, at most one row per key per batch (enforce upstream).
+    Per key: a changed value closes the current row at the update's ts
+    and inserts a new current row; an identical value is a no-op (no
+    spurious version); a new key inserts. Closed history always passes
+    through untouched.
+
+    Declarative shape: one full-outer join of the CURRENT slice against
+    the updates on the keys (closed rows never join), struct-packed
+    value comparison, and a union — the logical plan Iceberg/Delta
+    MERGE compiles to for the classic SCD2 WHEN MATCHED/NOT MATCHED
+    template; write through catalog.replace_via_staging for the
+    copy-on-write commit.
+    """
+    vt, vf = "valid_to", "valid_from"
+    closed = history.filter(F.col(vt).isNotNull())
+    current = history.filter(F.col(vt).isNull())
+    pack = lambda cols: F.struct(*[F.col(c) for c in cols])  # noqa: E731
+    c = current.select(
+        *key_cols, pack(value_cols).alias("__cv"), F.col(vf).alias("__cfrom")
+    )
+    u = updates.select(
+        *key_cols, pack(value_cols).alias("__uv"), F.col(ts_col).alias("__uts")
+    )
+    j = c.join(u, key_cols, "full_outer")
+    unchanged = (
+        j.filter(F.col("__uv").isNull() | (F.col("__uv") == F.col("__cv")))
+        .filter(F.col("__cv").isNotNull())
+        .select(
+            *key_cols,
+            *[F.col("__cv").getField(v).alias(v) for v in value_cols],
+            F.col("__cfrom").alias(vf),
+            F.lit(None).cast(history.schema[vt].dataType).alias(vt),
+        )
+    )
+    changed = j.filter(
+        F.col("__uv").isNotNull()
+        & F.col("__cv").isNotNull()
+        & (F.col("__uv") != F.col("__cv"))
+    )
+    closed_now = changed.select(
+        *key_cols,
+        *[F.col("__cv").getField(v).alias(v) for v in value_cols],
+        F.col("__cfrom").alias(vf),
+        F.col("__uts").alias(vt),
+    )
+    inserted = (
+        j.filter(F.col("__uv").isNotNull())
+        .filter(F.col("__cv").isNull() | (F.col("__uv") != F.col("__cv")))
+        .select(
+            *key_cols,
+            *[F.col("__uv").getField(v).alias(v) for v in value_cols],
+            F.col("__uts").alias(vf),
+            F.lit(None).cast(history.schema[vt].dataType).alias(vt),
+        )
+    )
+    return closed.unionByName(unchanged).unionByName(closed_now).unionByName(
+        inserted
+    )

@@ -6598,3 +6598,82 @@ def emb_centroid_drift(spark, sf_dir):
         e.filter("vec_id % 2 = 0"), e.filter("vec_id % 2 = 1"),
         "label", "embedding",
     )
+
+
+@register(
+    "sample_bottom_k",
+    """
+    SELECT doc_id, source, CAST(rk AS INTEGER) AS __bk_rank FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (ORDER BY md5('bk|' || CAST(doc_id AS VARCHAR)) ASC,
+                                  doc_id ASC) AS rk
+        FROM documents
+    ) WHERE rk <= 50
+    """,
+)
+def sample_bottom_k(spark, sf_dir):
+    """Deterministic bottom-k uniform sample (operators/split.
+    bottom_k_sample): the 50 documents with the smallest md5(salt|key)
+    — reproducible on any engine/partitioning and mergeable (bottom-k
+    of per-partition bottom-ks). The oracle is the same order statistic
+    in plain SQL."""
+    from cdrc_semantic_search_spark.operators.split import bottom_k_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return bottom_k_sample(d, F.col("doc_id"), k=50)
+
+
+@register(
+    "scd2_doc_sources",
+    """
+    WITH hist AS (
+        SELECT doc_id, source, DATE '2026-01-01' AS valid_from,
+               CAST(NULL AS DATE) AS valid_to
+        FROM documents WHERE doc_id < 400
+    ),
+    upd AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN source || '_v2' ELSE source END AS source,
+               DATE '2026-02-01' AS ts
+        FROM documents WHERE doc_id >= 200 AND doc_id < 600
+    ),
+    cur AS (SELECT * FROM hist WHERE valid_to IS NULL),
+    j AS (
+        SELECT COALESCE(cur.doc_id, upd.doc_id) AS doc_id,
+               cur.source AS cv, cur.valid_from AS cfrom,
+               upd.source AS uv, upd.ts AS uts
+        FROM cur FULL OUTER JOIN upd ON cur.doc_id = upd.doc_id
+    )
+    SELECT doc_id, cv AS source, cfrom AS valid_from,
+           CAST(NULL AS DATE) AS valid_to
+    FROM j WHERE cv IS NOT NULL AND (uv IS NULL OR uv = cv)
+    UNION ALL
+    SELECT doc_id, cv, cfrom, uts
+    FROM j WHERE cv IS NOT NULL AND uv IS NOT NULL AND uv <> cv
+    UNION ALL
+    SELECT doc_id, uv, uts, CAST(NULL AS DATE)
+    FROM j WHERE uv IS NOT NULL AND (cv IS NULL OR uv <> cv)
+    """,
+)
+def scd2_doc_sources(spark, sf_dir):
+    """Type-2 SCD merge (operators/split.scd2_apply): a document-source
+    dimension at two snapshots — overlapping keys with every third
+    update changing the value exercise all four paths (no-op identical,
+    close+insert changed, insert new, pass-through absent). Oracle:
+    the same WHEN MATCHED/NOT MATCHED logic in plain SQL."""
+    from cdrc_semantic_search_spark.operators.split import scd2_apply
+
+    d = load(spark, sf_dir, "documents")
+    hist = d.filter("doc_id < 400").select(
+        "doc_id", "source",
+        F.lit("2026-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    upd = d.filter("doc_id >= 200 AND doc_id < 600").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("source"), F.lit("_v2"))
+        ).otherwise(F.col("source")).alias("source"),
+        F.lit("2026-02-01").cast("date").alias("ts"),
+    )
+    return scd2_apply(hist, upd, ["doc_id"], ["source"], "ts")
