@@ -6677,3 +6677,65 @@ def scd2_doc_sources(spark, sf_dir):
         F.lit("2026-02-01").cast("date").alias("ts"),
     )
     return scd2_apply(hist, upd, ["doc_id"], ["source"], "ts")
+
+
+@register("kg_popularity_drift", value_oracles.lazy("kg_popularity_drift"))
+def kg_popularity_drift(spark, sf_dir):
+    """Entity-popularity drift: PSI terms of the entity-mention
+    distribution (subject + object occurrences of the fixture's
+    triples) between the two observation windows kg_graph_diff splits
+    at — the monitor that tells a curator WHICH entities moved, not
+    just that the edge set changed. Composes the triple stream with
+    operators/split.distribution_psi; twin re-derives occurrences and
+    the PSI arithmetic in plain dicts."""
+    from cdrc_semantic_search_spark import fixtures
+    from cdrc_semantic_search_spark.operators.split import distribution_psi
+    from cdrc_semantic_search_spark.plans.kg_pipeline import KGPipeline
+
+    fx = fixtures.generate(seed=42, n_conversations=40, n_entities=100)
+    tdf, _ = fixtures.to_spark(spark, fx)
+    pipe = KGPipeline(spark, fx.entities)
+    tr = pipe.triples(tdf)
+    ents = tr.select(
+        "ts", F.explode(F.array("subj_entity_id", "obj_entity_id")).alias("entity_id")
+    )
+    a = ents.filter(F.col("ts") < "2026-05-01")
+    b = ents.filter(F.col("ts") >= "2026-05-01")
+    return distribution_psi(a, b, "entity_id")
+
+
+@register("ann_ivf_recall", value_oracles.lazy("ann_ivf_recall"))
+def ann_ivf_recall(spark, sf_dir):
+    """Recall@5 of the IVF index against the exact scan, per query —
+    the acceptance gate an ANN rollout runs before swapping indexes
+    (pytest pins a recall floor; this entry makes the full per-query
+    report a first-class, oracle-checked query). Pure counting on top
+    of the two existing top-k operators: one (q_id, c_id) equi-join of
+    their outputs."""
+    from cdrc_semantic_search_spark.operators.similarity import (
+        topk_cosine_exact,
+        topk_cosine_ivf,
+        train_centroids,
+    )
+
+    sample, q, c = _ann_fixture(spark, sf_dir)
+    cent = train_centroids(sample, n_centroids=16, seed=42)
+    exact = topk_cosine_exact(q, c, k=5).select("q_id", "c_id")
+    ivf = topk_cosine_ivf(spark, q, c, cent, k=5, n_probe=4).select(
+        "q_id", "c_id"
+    )
+    hits = exact.join(ivf, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    per_q = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        per_q.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.col("k").cast("long").alias("k"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("k"), 6).alias(
+                "recall"
+            ),
+        )
+    )

@@ -2362,3 +2362,100 @@ def _graph_linkpred_auc_values() -> str:
             ("auc", "DOUBLE"),
         ],
     )
+
+
+@_register("kg_popularity_drift")
+def _kg_popularity_drift_values() -> str:
+    """Entity-popularity drift twin: subject+object occurrences per
+    entity in the two observation windows split at 2026-05-01 (the
+    kg_graph_diff boundary), then the distribution_psi arithmetic —
+    exact integer proportions, one ln per two-sided category, NULL for
+    one-sided ones, all _round_half_up(6)."""
+    import math
+
+    import pandas as pd
+
+    pdf = _fixture_triples_with_ts()
+    cut = pd.Timestamp("2026-05-01")
+    counts: dict[str, list[int]] = {}
+    for r in pdf.itertuples(index=False):
+        side = 0 if r.ts < cut else 1
+        for ent in (r.subj_entity_id, r.obj_entity_id):
+            counts.setdefault(ent, [0, 0])[side] += 1
+    tot_a = sum(v[0] for v in counts.values())
+    tot_b = sum(v[1] for v in counts.values())
+    rows = []
+    for ent, (na, nb) in counts.items():
+        p_a = na / tot_a
+        p_b = nb / tot_b
+        term = (
+            _round_half_up((p_a - p_b) * math.log(p_a / p_b), 6)
+            if na > 0 and nb > 0
+            else None
+        )
+        rows.append(
+            (ent, na, nb, _round_half_up(p_a, 6), _round_half_up(p_b, 6), term)
+        )
+    return values_sql(
+        sorted(rows),
+        [
+            ("entity_id", "VARCHAR"),
+            ("n_a", "BIGINT"),
+            ("n_b", "BIGINT"),
+            ("p_a", "DOUBLE"),
+            ("p_b", "DOUBLE"),
+            ("psi_term", "DOUBLE"),
+        ],
+    )
+
+
+@_register("ann_ivf_recall")
+def _ann_ivf_recall_values() -> str:
+    """IVF recall@5 twin: exact top-5 by brute-force fold-cosine and the
+    IVF candidate top-5 via the SAME shared kernels the ann_ivf_topk
+    twin uses (_probe_sets/_unit_rows/train_centroids), intersected per
+    query — recall is an exact rational of small integers."""
+    from cdrc_semantic_search_spark.operators.similarity import (
+        _probe_sets,
+        _unit_rows,
+        train_centroids,
+    )
+
+    t = _read("embeddings", ["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()]
+    order = np.argsort(np.array(ids))
+    sample = np.stack([vecs[i] for i in order if ids[i] < 256])
+    cent = train_centroids(sample, n_centroids=16, seed=42)
+    corpus = _unit_rows(np.stack(vecs).astype(np.float32))
+    assign = (corpus.astype(np.float64) @ cent.astype(np.float64).T).argmax(axis=1)
+    bucket_members: dict[int, list[int]] = {}
+    for idx, b in enumerate(assign):
+        bucket_members.setdefault(int(b), []).append(idx)
+    k = 5
+    rows = []
+    for qi, qid in enumerate(ids):
+        if qid >= 10:
+            continue
+        exact = sorted(
+            (-_fold_cosine(vecs[qi], vecs[ci]), ids[ci]) for ci in range(len(ids))
+        )[:k]
+        exact_ids = {cid for _, cid in exact}
+        q = _unit_rows(vecs[qi].astype(np.float32).reshape(1, -1))
+        probed = _probe_sets(q, cent, 4)[0]
+        cand = sorted(
+            (-_fold_cosine(vecs[qi], vecs[ci]), ids[ci])
+            for b in probed
+            for ci in bucket_members.get(int(b), [])
+        )[:k]
+        hit = len(exact_ids & {cid for _, cid in cand})
+        rows.append((qid, k, hit, _round_half_up(hit / k, 6)))
+    return values_sql(
+        sorted(rows),
+        [
+            ("q_id", "BIGINT"),
+            ("k", "BIGINT"),
+            ("n_hit", "BIGINT"),
+            ("recall", "DOUBLE"),
+        ],
+    )
