@@ -82,3 +82,52 @@ def test_minhash_estimates_jaccard(sa, sb):
 def test_normalize_surface_idempotent():
     for s in ["A  B", " a b ", "AB\tc", ""]:
         assert normalize_surface(normalize_surface(s)) == normalize_surface(s)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(max_size=300))
+def test_ascii_translate_tokenization_equals_per_token_lower(t):
+    """The extract_turn hot-path optimization (whole-text ASCII
+    translate instead of per-token str.lower) must be EXACTLY
+    equivalent on arbitrary input, including non-ASCII: the token regex
+    matches only [A-Za-z0-9'], so per-token lower() touches only ASCII
+    letters, and the translate table touches exactly A-Z — same token
+    text, same spans (translate is length-preserving where str.lower()
+    on the whole text is not: 'İ'.lower() grows)."""
+    from cdrc_semantic_search_spark.operators.extraction_core import (
+        _ASCII_LOWER,
+        _WORD_RE,
+    )
+
+    fast = [
+        (m.span(), m.group())
+        for m in _WORD_RE.finditer(t.translate(_ASCII_LOWER))
+    ]
+    ref = [(m.span(), m.group().lower()) for m in _WORD_RE.finditer(t)]
+    assert fast == ref
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=8
+    )
+)
+def test_extract_turn_independent_of_catalogue_insert_order(parts):
+    """AliasMatcher output must not depend on the order entities were
+    inserted (longest-match-first is sorted per first-token, ambiguous
+    aliases tie-break to the smallest entity id)."""
+    from cdrc_semantic_search_spark.operators.extraction_core import (
+        AliasMatcher,
+        extract_turn,
+    )
+
+    cat = [("E2", ["a b", "b"]), ("E1", ["a", "a b a"]), ("E3", ["b a"])]
+    text = " ".join(parts)
+    m1 = AliasMatcher(cat)
+    m2 = AliasMatcher(list(reversed(cat)))
+    r1 = extract_turn(text, m1)
+    r2 = extract_turn(text, m2)
+    assert [(m.start, m.end, m.surface) for m in r1[0]] == [
+        (m.start, m.end, m.surface) for m in r2[0]
+    ]
