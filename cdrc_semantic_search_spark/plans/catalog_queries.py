@@ -6739,3 +6739,53 @@ def ann_ivf_recall(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "curation_quality_tiers",
+    f"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS q_n_tokens,
+               ROUND(CASE WHEN len(toks) > 0
+                     THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END, 4) AS score
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    tiered AS (
+        SELECT q.*, NTILE(4) OVER (ORDER BY score DESC, doc_id ASC) AS tier
+        FROM q
+    )
+    SELECT CAST(tier AS INTEGER) AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q_n_tokens) AS BIGINT) AS total_tokens,
+           MIN(score) AS min_score, MAX(score) AS max_score
+    FROM tiered GROUP BY tier
+    """,
+)
+def curation_quality_tiers(spark, sf_dir):
+    """The data-pyramid report: documents bucketed into quality
+    quartiles (ntile over the round-4 distinct-token ratio, doc_id
+    tie-break — fully deterministic) with doc and TOKEN totals per tier
+    — the table a curator reads to decide how many tokens each quality
+    band can contribute to a mix. Composes quality_features with the
+    w10 window family; the rounded score is an exact rational so both
+    engines tier identically."""
+    from cdrc_semantic_search_spark.operators.text_analysis import (
+        quality_features,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    q = quality_features(d, "text").select(
+        "doc_id",
+        "q_n_tokens",
+        F.round("q_distinct_ratio", 4).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    tiered = q.withColumn("tier", F.ntile(4).over(w))
+    return tiered.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("q_n_tokens").cast("long").alias("total_tokens"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )
