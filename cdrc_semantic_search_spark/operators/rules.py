@@ -24,6 +24,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cdrc_semantic_search_spark.functions.observe import (
+    drop_observation,
+    log_dropped_on_first_action,
+)
+
 
 def _typed_edges(edges: DataFrame) -> DataFrame:
     """Distinct (s, p, o) projection — rule semantics are set-based."""
@@ -34,19 +39,71 @@ def _typed_edges(edges: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def _body_and_support(e: DataFrame):
+#: Hot-midpoint guard default: a midpoint x contributes in(x)·out(x)
+#: body paths; 10⁶ bounds one midpoint's fan-out at the same order the
+#: dedup family's DEFAULT_MAX_BUCKET allows a bucket (the KG super-hub
+#: — "the", a country, a megacorp entity — is exactly the degenerate
+#: key class those guards exist for). ``None`` = exact opt-out.
+DEFAULT_MAX_MID_PATHS = 1_000_000
+
+
+def _body_and_support(e: DataFrame, max_mid_paths: int | None = None):
     """Shared composition-rule derivation: (body_pairs, support) frames.
     body_pairs = distinct (p1, p2, a, c) endpoint pairs of a→[p1]→x→[p2]→c
     paths (a ≠ c), deduped BEFORE the head join so path multiplicity never
     reaches the second shuffle; support = per-(p1,p2,p3) count of body
     pairs that also carry a direct p3 edge. Both confidence variants rank
-    through here — body semantics live in ONE place."""
+    through here — body semantics live in ONE place.
+
+    ``max_mid_paths``: the scale guard. A super-hub midpoint x produces
+    in(x)·out(x) body paths — quadratic in the hub's degree, the same
+    blow-up class as a degenerate LSH bucket. Midpoints whose
+    fan-in·fan-out exceeds the cap are dropped BEFORE the path join via
+    the aggregate + broadcast-mark shape shared with the dedup guards
+    (per-midpoint degree aggregates are map-side-partial tiny; only hot
+    midpoints build the broadcast side); the dropped-edge count rides
+    the caller's first action as an Observation, logged lazily — never
+    silent, never an eager job. Rules THROUGH a hub are lost (a curator
+    treats hub-mediated compositions as noise anyway); rules whose
+    endpoints merely touch the hub survive via other midpoints.
+    """
     e1 = e.select(
         F.col("s").alias("a"), F.col("p").alias("p1"), F.col("o").alias("x")
     )
     e2 = e.select(
         F.col("s").alias("x"), F.col("p").alias("p2"), F.col("o").alias("c")
     )
+    if max_mid_paths is not None:
+        out_deg = e.groupBy(F.col("s").alias("x")).agg(
+            F.count(F.lit(1)).alias("_od")
+        )
+        in_deg = e.groupBy(F.col("o").alias("x")).agg(
+            F.count(F.lit(1)).alias("_id")
+        )
+        hot = (
+            in_deg.join(out_deg, "x")
+            .filter(F.col("_id") * F.col("_od") > max_mid_paths)
+            .select("x")
+            .withColumn("_hot", F.lit(True))
+        )
+        obs = drop_observation("composition_rules")
+        e1 = e1.join(F.broadcast(hot), "x", "left").observe(
+            obs, F.count_if(F.col("_hot")).alias("dropped")
+        )
+        log_dropped_on_first_action(
+            obs, "composition_rules", max_mid_paths,
+            "p1-edges into hot midpoints",
+        )
+        e1 = e1.filter(F.col("_hot").isNull()).drop("_hot")
+        obs2 = drop_observation("composition_rules_out")
+        e2 = e2.join(F.broadcast(hot), "x", "left").observe(
+            obs2, F.count_if(F.col("_hot")).alias("dropped")
+        )
+        log_dropped_on_first_action(
+            obs2, "composition_rules", max_mid_paths,
+            "p2-edges out of hot midpoints",
+        )
+        e2 = e2.filter(F.col("_hot").isNull()).drop("_hot")
     body_pairs = (
         e1.join(e2, "x")
         .filter(F.col("a") != F.col("c"))
@@ -65,7 +122,9 @@ def _body_and_support(e: DataFrame):
 
 
 def composition_rules(
-    edges: DataFrame, min_body: int = 1
+    edges: DataFrame,
+    min_body: int = 1,
+    max_mid_paths: int | None = DEFAULT_MAX_MID_PATHS,
 ) -> DataFrame:
     """AMIE-style composition rules p1(a,x) ∧ p2(x,c) ⇒ p3(a,c) with
     standard confidence.
@@ -91,7 +150,7 @@ def composition_rules(
     (a rule over 2 pairs is noise at any scale).
     """
     e = _typed_edges(edges)
-    body_pairs, support = _body_and_support(e)
+    body_pairs, support = _body_and_support(e, max_mid_paths)
     body_n = body_pairs.groupBy("p1", "p2").agg(
         F.count(F.lit(1)).alias("body_pairs")
     ).filter(F.col("body_pairs") >= min_body)
@@ -177,7 +236,9 @@ def inverse_relations(edges: DataFrame) -> DataFrame:
 
 
 def composition_rules_pca(
-    edges: DataFrame, min_body: int = 1
+    edges: DataFrame,
+    min_body: int = 1,
+    max_mid_paths: int | None = DEFAULT_MAX_MID_PATHS,
 ) -> DataFrame:
     """Composition rules under the PARTIAL COMPLETENESS ASSUMPTION
     (AMIE's headline confidence): the denominator counts only body
@@ -194,7 +255,7 @@ def composition_rules_pca(
     to the body pairs on the subject id.
     """
     e = _typed_edges(edges)
-    body_pairs, support = _body_and_support(e)
+    body_pairs, support = _body_and_support(e, max_mid_paths)
     # PCA denominator: body pairs whose subject has ANY p3 edge
     subj_has = e.select(F.col("p").alias("p3"), F.col("s").alias("a")).distinct()
     pca_body = (

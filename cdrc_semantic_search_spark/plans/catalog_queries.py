@@ -6789,3 +6789,33 @@ def curation_quality_tiers(spark, sf_dir):
         F.min("score").alias("min_score"),
         F.max("score").alias("max_score"),
     )
+
+
+@register(
+    "kg_rule_confidence_capped",
+    value_oracles.lazy("kg_rule_confidence_capped"),
+)
+def kg_rule_confidence_capped(spark, sf_dir):
+    """The rule miner's hot-midpoint guard, oracle-pinned ACTIVE: a
+    synthetic hub (4 fan-in × 3 fan-out = 12 > cap 9) is dropped from
+    the midpoint role while every fixture rule survives — the VALUES
+    twin models the identical drop, so capped output is value-hash-
+    checked, not just row-counted (the dedup_minhash_lsh_capped
+    discipline)."""
+    from cdrc_semantic_search_spark.operators.rules import composition_rules
+
+    base = _fixture_kg_edges(spark).select(
+        "subj_entity_id", "pred", "obj_entity_id"
+    )
+    hub_in = spark.createDataFrame(
+        [(f"S{i}", "feeds", "HUB") for i in range(4)],
+        "subj_entity_id string, pred string, obj_entity_id string",
+    )
+    hub_out = spark.createDataFrame(
+        [("HUB", "emits", f"T{j}") for j in range(3)],
+        "subj_entity_id string, pred string, obj_entity_id string",
+    )
+    e = base.unionByName(hub_in).unionByName(hub_out)
+    return composition_rules(e, max_mid_paths=9).select(
+        "p1", "p2", "p3", "support", "body_pairs", "confidence"
+    )

@@ -2459,3 +2459,63 @@ def _ann_ivf_recall_values() -> str:
             ("recall", "DOUBLE"),
         ],
     )
+
+
+@_register("kg_rule_confidence_capped")
+def _kg_rule_confidence_capped_values() -> str:
+    """Hot-midpoint guard twin: fixture edges plus a synthetic hub
+    (4 fan-in × 3 fan-out = 12 paths > cap 9), body derivation skipping
+    edges through midpoints whose in·out exceeds the cap — the same
+    drop the engine's broadcast-mark guard performs."""
+    edges = set(_fixture_edge_set())
+    for i in range(4):
+        edges.add((f"S{i}", "feeds", "HUB"))
+    for j in range(3):
+        edges.add(("HUB", "emits", f"T{j}"))
+    cap = 9
+    in_deg: dict[str, int] = {}
+    out_deg: dict[str, int] = {}
+    for s, p, o in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+        in_deg[o] = in_deg.get(o, 0) + 1
+    hot = {
+        x
+        for x in set(in_deg) & set(out_deg)
+        if in_deg[x] * out_deg[x] > cap
+    }
+    out_adj: dict[str, list[tuple[str, str]]] = {}
+    for s, p, o in edges:
+        if s not in hot:
+            out_adj.setdefault(s, []).append((p, o))
+    body: dict[tuple[str, str], set] = {}
+    for a, p1, x in edges:
+        if x in hot:
+            continue
+        for p2, c in out_adj.get(x, []):
+            if a == c:
+                continue
+            body.setdefault((p1, p2), set()).add((a, c))
+    heads: dict[tuple[str, str], set] = {}
+    for s, p, o in edges:
+        heads.setdefault((s, o), set()).add(p)
+    rows = []
+    for (p1, p2), pairs in body.items():
+        sup: dict[str, int] = {}
+        for pair in pairs:
+            for p3 in heads.get(pair, ()):
+                sup[p3] = sup.get(p3, 0) + 1
+        for p3, s_n in sup.items():
+            rows.append(
+                (p1, p2, p3, s_n, len(pairs), _round_half_up(s_n / len(pairs), 6))
+            )
+    return values_sql(
+        sorted(rows),
+        [
+            ("p1", "VARCHAR"),
+            ("p2", "VARCHAR"),
+            ("p3", "VARCHAR"),
+            ("support", "BIGINT"),
+            ("body_pairs", "BIGINT"),
+            ("confidence", "DOUBLE"),
+        ],
+    )
