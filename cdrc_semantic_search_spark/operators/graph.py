@@ -2108,3 +2108,47 @@ def linkpred_auc(
             6,
         ).alias("auc"),
     )
+
+
+def effective_diameter(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_t: int = 4,
+    quantile_millionths: int = 900_000,
+) -> DataFrame:
+    """Effective diameter from the HyperBall neighborhood function: the
+    smallest t whose N(t) reaches ``quantile`` (default 0.9) of
+    N(max_t) — THE one-number connectivity summary web-graph papers
+    report (Leskovec et al.'s "shrinking diameters" is this statistic
+    over time; on a KG it tells a curator how many relation hops cover
+    most entity pairs). → one row (eff_diameter, n_max_est, plus the
+    crossing N(t)).
+
+    All comparison arithmetic stays in INTEGER MILLIONTHS (the
+    neighborhood function's dyadic rollup): the threshold is
+    ``n_max_millionths · quantile_millionths`` vs ``n_t · 10⁶`` — exact
+    long multiplication on both engines, no float boundary. The
+    smallest crossing t falls out of a min-of-struct aggregate over the
+    (t, N) table (max_t+1 rows — driver-free, broadcast-free).
+    """
+    nf = neighborhood_function(edges, src, dst, max_t=max_t)
+    nmax = nf.agg(F.max("n_est_millionths").alias("n_max"))
+    crossed = (
+        nf.crossJoin(F.broadcast(nmax))
+        .filter(
+            F.col("n_est_millionths") * F.lit(1_000_000)
+            >= F.col("n_max") * F.lit(quantile_millionths)
+        )
+        .agg(
+            F.min(
+                F.struct(F.col("t").alias("t"), F.col("n_est_millionths").alias("n"))
+            ).alias("c"),
+            F.max("n_max").alias("n_max"),
+        )
+    )
+    return crossed.select(
+        F.col("c.t").alias("eff_diameter"),
+        F.col("c.n").alias("n_at_diameter_millionths"),
+        F.round(F.col("n_max") / 1e6, 6).alias("n_max_est"),
+    )

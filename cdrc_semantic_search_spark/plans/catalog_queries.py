@@ -6819,3 +6819,19 @@ def kg_rule_confidence_capped(spark, sf_dir):
     return composition_rules(e, max_mid_paths=9).select(
         "p1", "p2", "p3", "support", "body_pairs", "confidence"
     )
+
+
+@register("graph_eff_diameter", value_oracles.lazy("graph_eff_diameter"))
+def graph_eff_diameter(spark, sf_dir):
+    """Effective diameter (operators/graph.effective_diameter): the
+    0.9-quantile crossing of the HyperBall neighborhood function, with
+    the comparison in exact integer millionths. Twin shares the
+    register/estimator kernels end-to-end."""
+    from cdrc_semantic_search_spark.operators.graph import effective_diameter
+
+    li = load(spark, sf_dir, "lineitem").filter("l_orderkey < 300")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
+    )
+    return effective_diameter(edges, max_t=4)

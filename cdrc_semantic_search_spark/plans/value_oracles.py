@@ -2519,3 +2519,36 @@ def _kg_rule_confidence_capped_values() -> str:
             ("confidence", "DOUBLE"),
         ],
     )
+
+
+@_register("graph_eff_diameter")
+def _graph_eff_diameter_values() -> str:
+    """Effective-diameter twin: the neighborhood-function twin's exact
+    integer-millionth curve, 0.9-quantile crossing by the same long
+    arithmetic."""
+    adj = _supplier_bucket_adj()
+    max_t, q_m = 4, 900_000
+    balls = {v: {v} for v in adj}
+    frontiers = {v: {v} for v in adj}
+    curve = []
+    for t in range(0, max_t + 1):
+        if t > 0:
+            for v in adj:
+                nf = {u for f in frontiers[v] for u in adj.get(f, ())}
+                frontiers[v] = nf - balls[v]
+                balls[v] |= nf
+        curve.append(
+            (t, sum(int(_round_half_up(_hll_est_of(balls[v]) * 1e6, 0)) for v in adj))
+        )
+    n_max = max(n for _, n in curve)
+    t_star, n_star = min(
+        (t, n) for t, n in curve if n * 1_000_000 >= n_max * q_m
+    )
+    return values_sql(
+        [(t_star, n_star, _round_half_up(n_max / 1e6, 6))],
+        [
+            ("eff_diameter", "INTEGER"),
+            ("n_at_diameter_millionths", "BIGINT"),
+            ("n_max_est", "DOUBLE"),
+        ],
+    )
