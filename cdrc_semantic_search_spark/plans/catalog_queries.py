@@ -6835,3 +6835,35 @@ def graph_eff_diameter(spark, sf_dir):
         (F.lit(1000) + F.col("l_partkey") % 100).alias("dst"),
     )
     return effective_diameter(edges, max_t=4)
+
+
+@register("ann_pq_recall", value_oracles.lazy("ann_pq_recall"))
+def ann_pq_recall(spark, sf_dir):
+    """Recall@5 of the PQ-ADC scan against the exact scan, per query —
+    the 32×-compression acceptance gate beside ann_ivf_recall's
+    candidate-cut gate; one equi-join of the two top-k outputs."""
+    from cdrc_semantic_search_spark.operators.similarity import (
+        topk_cosine_exact,
+        topk_pq_adc,
+        train_pq_codebooks,
+    )
+
+    sample, q, c = _ann_fixture(spark, sf_dir)
+    books = train_pq_codebooks(sample, m=8, k=16, seed=42)
+    exact = topk_cosine_exact(q, c, k=5).select("q_id", "c_id")
+    adc = topk_pq_adc(spark, q, c, books, k=5).select("q_id", "c_id")
+    hits = exact.join(adc, ["q_id", "c_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    per_q = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        per_q.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.col("k").cast("long").alias("k"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("k"), 6).alias(
+                "recall"
+            ),
+        )
+    )

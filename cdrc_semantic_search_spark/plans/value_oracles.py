@@ -2552,3 +2552,57 @@ def _graph_eff_diameter_values() -> str:
             ("n_max_est", "DOUBLE"),
         ],
     )
+
+
+@_register("ann_pq_recall")
+def _ann_pq_recall_values() -> str:
+    """PQ-ADC recall@5 twin: exact top-5 by fold-cosine vs the ADC
+    top-5 via the shared codebook/LUT kernels, intersected per query."""
+    from cdrc_semantic_search_spark.operators.similarity import (
+        _pq_codes,
+        _pq_luts,
+        _unit_rows,
+        train_pq_codebooks,
+    )
+
+    t = _read("embeddings", ["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    vecs = [np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()]
+    order = np.argsort(np.array(ids))
+    sample = np.stack([vecs[i] for i in order if ids[i] < 256])
+    books = train_pq_codebooks(sample, m=8, k=16, seed=42)
+    corpus = _unit_rows(np.stack(vecs).astype(np.float32))
+    codes = _pq_codes(corpus, books)
+    m = books.shape[0]
+    k = 5
+    rows = []
+    for qi, qid in enumerate(ids):
+        if qid >= 10:
+            continue
+        exact_ids = {
+            cid
+            for _, cid in sorted(
+                (-_fold_cosine(vecs[qi], vecs[ci]), ids[ci])
+                for ci in range(len(ids))
+            )[:k]
+        }
+        q = _unit_rows(vecs[qi].astype(np.float32).reshape(1, -1))
+        lut = _pq_luts(q, books)[0]
+        scored = []
+        for ci in range(len(corpus)):
+            s = np.float32(0.0)
+            for j in range(m):
+                s += lut[j][codes[ci, j]]
+            scored.append((-float(s), ids[ci]))
+        adc_ids = {cid for _, cid in sorted(scored)[:k]}
+        hit = len(exact_ids & adc_ids)
+        rows.append((qid, k, hit, _round_half_up(hit / k, 6)))
+    return values_sql(
+        sorted(rows),
+        [
+            ("q_id", "BIGINT"),
+            ("k", "BIGINT"),
+            ("n_hit", "BIGINT"),
+            ("recall", "DOUBLE"),
+        ],
+    )
