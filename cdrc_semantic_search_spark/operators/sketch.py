@@ -17,10 +17,9 @@ elementwise ADDITION.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
 
 
 def _cms_col(key, row: int, width: int, seed: int):
@@ -46,25 +45,31 @@ def count_min_sketch(
     of ``depth`` hash rows, cnt = number of input rows whose key hashes
     to (row, col). Zero counters are simply absent.
 
-    100-TB shape: the per-row hash is Catalyst-only; the ``depth``-way
-    unionAll multiplies the pre-combine stream by d, but the map-side
-    partial aggregation collapses every task's contribution to ≤ d·w
-    rows, so the exchange carries O(tasks · d · w) — input-size
-    independent, the whole point of a sketch. Merging two sketches
-    (two time windows, two table shards, batch ⊕ stream) is
-    ``unionAll → groupBy(row, col) → sum`` — additive, associative,
-    exact: CMS(A ∪ B) == CMS(A) ⊕ CMS(B) bit-for-bit (pinned in
-    test_count_min_merge_property).
+    100-TB shape: the per-row hash is Catalyst-only and all ``depth``
+    hash rows come out of ONE scan via an array explode (a ``depth``-way
+    unionAll would re-scan the input d times — Spark does not share scan
+    subtrees across union branches; measured 4 lineage scans → 1 on the
+    bench entry, guide §2.3 "don't compute things you throw away"). The
+    d-fold explode happens before the map-side partial aggregation,
+    which collapses every task's contribution to ≤ d·w rows, so the
+    exchange carries O(tasks · d · w) — input-size independent, the
+    whole point of a sketch. Merging two sketches (two time windows, two
+    table shards, batch ⊕ stream) is ``unionAll → groupBy(row, col) →
+    sum`` — additive, associative, exact: CMS(A ∪ B) == CMS(A) ⊕ CMS(B)
+    bit-for-bit (pinned in test_count_min_merge_property).
     """
-    parts = [
-        df.select(
-            F.lit(i).alias("row"),
-            _cms_col(F.col(key_col), i, width, seed).alias("col"),
-        )
-        for i in range(depth)
-    ]
+    rc = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cms_col(F.col(key_col), i, width, seed).alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
     return (
-        reduce(DataFrame.unionAll, parts)
+        df.select(F.explode(rc).alias("__rc"))
+        .select(F.col("__rc.row").alias("row"), F.col("__rc.col").alias("col"))
         .groupBy("row", "col")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -83,21 +88,24 @@ def cms_estimate(
     est ≥ true count; overestimate bounded by collisions (≤ ⌈e·N/w⌉ with
     probability 1 − e^−d on adversary-free input).
 
-    Plan: the probe side fans out ``depth`` rows per key, joins the
-    sketch on (row, col) — at scale the sketch side is ≤ d·w rows and
-    broadcasts; the probe side never shuffles beyond its own
+    Plan: the probe side fans out ``depth`` rows per key (one scan, an
+    array explode — same single-pass shape as the sketch build), joins
+    the sketch on (row, col) — at scale the sketch side is ≤ d·w rows
+    and broadcasts; the probe side never shuffles beyond its own
     per-key min aggregation.
     """
-    probes = reduce(
-        DataFrame.unionAll,
-        [
-            keys.select(
-                F.col(key_col).alias("key"),
+    rc = F.array(
+        *[
+            F.struct(
                 F.lit(i).alias("row"),
                 _cms_col(F.col(key_col), i, width, seed).alias("col"),
             )
             for i in range(depth)
-        ],
+        ]
+    )
+    probes = (
+        keys.select(F.col(key_col).alias("key"), F.explode(rc).alias("__rc"))
+        .select("key", F.col("__rc.row").alias("row"), F.col("__rc.col").alias("col"))
     )
     hit = probes.join(F.broadcast(sketch), ["row", "col"], "left").select(
         "key", F.coalesce("cnt", F.lit(0)).alias("cnt")

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdrc_semantic_search_spark.functions.scale import fan_out
 from cdrc_semantic_search_spark.functions.text import tokens
 
 # tiny per-language stopword lists: enough signal for an n-gram heuristic
@@ -492,7 +493,27 @@ def bigram_cross_entropy(
     coincidence, the ROUND(6) tolerance class the registry already
     accepts (catalog_queries.py module doc).
     """
-    doc_bi = _bigrams(df, id_col, text_col)
+    doc_bi = _bigrams(fan_out(df.select(id_col, text_col)), id_col, text_col)
+    cb, cu, vocab = _bigram_lm(ref, id_col, text_col)
+    scored = (
+        doc_bi.join(F.broadcast(cb), ["w1", "w2"], "left")
+        .join(F.broadcast(cu), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(id_col, _lm_term("cb", "cu", "v").alias("term"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            -F.sum("term").cast("double") / F.count(F.lit(1)), 6
+        ).alias("ce"),
+    )
+
+
+def _bigram_lm(ref: DataFrame, id_col: str, text_col: str):
+    """Broadcastable add-one-bigram-LM state over a bounded reference
+    corpus: ((w1,w2)→cb counts, w1→cu context counts, 1-row vocab size) —
+    the shared build for :func:`bigram_cross_entropy` and
+    :func:`dsir_importance`."""
     ref_bi = _bigrams(ref, id_col, text_col)
     cb = ref_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     cu = ref_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
@@ -500,28 +521,22 @@ def bigram_cross_entropy(
         ref.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .agg(F.countDistinct("tok").alias("v"))
     )
-    scored = (
-        doc_bi.join(F.broadcast(cb), ["w1", "w2"], "left")
-        .join(F.broadcast(cu), ["w1"], "left")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            id_col,
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
-                    / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("v"))
-                ),
-                7,
-            )
-            .cast("decimal(18,7)")
-            .alias("term"),
-        )
-    )
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+    return cb, cu, vocab
+
+
+def _lm_term(cb: str, cu: str, v: str) -> Column:
+    """Per-bigram round-7 decimal log-prob term (see bigram_cross_entropy's
+    cross-engine-exactness note); identical expression tree in both the
+    single-LM and fused two-LM scorers."""
+    return (
         F.round(
-            -F.sum("term").cast("double") / F.count(F.lit(1)), 6
-        ).alias("ce"),
+            F.log(
+                (F.coalesce(F.col(cb), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col(cu), F.lit(0)) + F.col(v))
+            ),
+            7,
+        )
+        .cast("decimal(18,7)")
     )
 
 
@@ -544,21 +559,55 @@ def dsir_importance(
 
     → (id, n_bigrams, ce_target, ce_source, importance round 6).
 
-    Scale shape inherits from bigram_cross_entropy twice: both reference
-    LMs are bounded samples (broadcast count tables), the corpus bigram
-    stream scores map-side against each, and the join of the two per-doc
-    score tables keys on the doc id.
+    Scale shape: both reference LMs are bounded samples (broadcast count
+    tables) and the corpus bigram stream is tokenized, exploded and
+    scored against BOTH LMs in ONE map-side pass — one corpus scan, one
+    per-doc aggregation, no join of two score tables. (The original
+    formulation called :func:`bigram_cross_entropy` twice and joined on
+    the doc id: two full tokenize+explode passes over the 100-TB side
+    plus an id-keyed join, for term values that are computed from the
+    same bigram rows — guide §2.3 "don't compute things you throw
+    away" / §2.4 "remove shuffles outright". The per-term expression,
+    decimal sums and round-6 tail are byte-identical to the two-pass
+    form, so ce/importance values are unchanged — the driver oracle
+    hash-checks this.)
     """
-    t = bigram_cross_entropy(df, target_ref, id_col, text_col).select(
-        id_col, "n_bigrams", F.col("ce").alias("ce_target")
+    doc_bi = _bigrams(fan_out(df.select(id_col, text_col)), id_col, text_col)
+    tcb, tcu, tv = _bigram_lm(target_ref, id_col, text_col)
+    scb, scu, sv = _bigram_lm(source_ref, id_col, text_col)
+    scored = (
+        doc_bi.join(
+            F.broadcast(tcb.withColumnRenamed("cb", "__cbt")), ["w1", "w2"], "left"
+        )
+        .join(F.broadcast(tcu.withColumnRenamed("cu", "__cut")), ["w1"], "left")
+        .crossJoin(F.broadcast(tv.withColumnRenamed("v", "__vt")))
+        .join(
+            F.broadcast(scb.withColumnRenamed("cb", "__cbs")), ["w1", "w2"], "left"
+        )
+        .join(F.broadcast(scu.withColumnRenamed("cu", "__cus")), ["w1"], "left")
+        .crossJoin(F.broadcast(sv.withColumnRenamed("v", "__vs")))
+        .select(
+            id_col,
+            _lm_term("__cbt", "__cut", "__vt").alias("__tt"),
+            _lm_term("__cbs", "__cus", "__vs").alias("__ts"),
+        )
     )
-    s = bigram_cross_entropy(df, source_ref, id_col, text_col).select(
-        id_col, F.col("ce").alias("ce_source")
-    )
-    return t.join(s, id_col).select(
-        id_col,
-        "n_bigrams",
-        "ce_target",
-        "ce_source",
-        F.round(F.col("ce_source") - F.col("ce_target"), 6).alias("importance"),
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                -F.sum("__tt").cast("double") / F.count(F.lit(1)), 6
+            ).alias("ce_target"),
+            F.round(
+                -F.sum("__ts").cast("double") / F.count(F.lit(1)), 6
+            ).alias("ce_source"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "ce_target",
+            "ce_source",
+            F.round(F.col("ce_source") - F.col("ce_target"), 6).alias("importance"),
+        )
     )

@@ -28,6 +28,7 @@ from pyspark.sql import Window
 
 from cdrc_semantic_search_spark.functions import text as T
 from cdrc_semantic_search_spark.functions import vector as V
+from cdrc_semantic_search_spark.functions.scale import fan_out
 from cdrc_semantic_search_spark.plans import value_oracles
 
 
@@ -1793,8 +1794,10 @@ def ta_language_id(spark, sf_dir):
     from cdrc_semantic_search_spark.operators.text_analysis import detect_language
 
     d = load(spark, sf_dir, "documents")
+    # fan_out: the tokenize+4-ratio codegen chain is the whole cost and
+    # runs single-task on a single-row-group file (guide §2.5)
     return (
-        detect_language(d.select("text"), "text")
+        detect_language(fan_out(d.select("text")), "text")
         .groupBy("lang_guess")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
@@ -2266,12 +2269,11 @@ def sketch_count_min(spark, sf_dir):
         ).alias("key")
     )
     exact = ev.groupBy("key").agg(F.count(F.lit(1)).alias("exact_cnt"))
-    w = Window.orderBy(F.desc("exact_cnt"), F.asc("key"))
-    top = (
-        exact.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # top-20 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # top-k merged on the driver) instead of a row_number window over a
+    # single-partition global sort — same deterministic total order
+    # (exact_cnt desc, key asc), same 20 rows, no global sort exchange
+    top = exact.orderBy(F.desc("exact_cnt"), F.asc("key")).limit(20)
     sk = count_min_sketch(ev, "key", depth=4, width=64)
     est = cms_estimate(sk, top.select("key"), "key", depth=4, width=64)
     return top.join(est, "key").select("key", "exact_cnt", "cms_est")
