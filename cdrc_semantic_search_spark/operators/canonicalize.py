@@ -63,7 +63,11 @@ def connected_components(
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).distinct()
-    sym = sym.localCheckpoint()
+    # lazy: materializes (and truncates lineage) inside round 1's job
+    # instead of paying a separate blocking job up front; every later
+    # round reads the cached partitions either way. Only the per-round
+    # checkpoint must stay eager — its Observation feeds the loop exit.
+    sym = sym.localCheckpoint(eager=False)
     # seed labels at min(id, min direct neighbor) instead of identity:
     # the vertex set was a distinct() (a groupBy in disguise) anyway, so
     # folding the neighbor-min into that same aggregation costs nothing
@@ -74,7 +78,7 @@ def connected_components(
         sym.groupBy(F.col("a").alias("id"))
         .agg(F.min("b").alias("__nb"))
         .select("id", F.least(F.col("id"), F.col("__nb")).alias("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # same lazy-seed rationale as sym
     )
     last_changed = 0
     rounds = 0

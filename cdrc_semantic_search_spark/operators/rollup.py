@@ -151,30 +151,65 @@ def centroid_drift(
     encoder changed). → (label, n_a, n_b, cos_drift round 6); cosine 1.0
     = no movement.
 
-    Exactness chain: centroids come from :func:`label_centroids`
-    (order-independent DECIMAL sums, round-6 components — exactly
-    representable doubles); the dot/norm sums over those components run
+    Exactness chain: per-(snapshot, label, dim) means use the SAME
+    order-independent DECIMAL sums and round-6 components as
+    :func:`label_centroids`; the dot/norm sums over those components run
     in DECIMAL again (products of round-6 values are exact in
     DECIMAL(38,12), so the 64-term sums are order-independent too); one
-    sqrt/division tail in double, round 6. Scale shape: centroids are
-    |labels|-row tables; everything after them is broadcast-sized.
+    sqrt/division tail in double, round 6.
+
+    Scale shape (round 7): ONE pass — both snapshots are tagged and
+    unioned before the explode, so a single (snap, label, dim)
+    aggregation replaces two separate centroid jobs plus a centroid
+    join (same shuffle bytes, half the job barriers; guide §2.4). The
+    per-dim pivot and the label-level count table are |labels|·dim and
+    |labels| rows — broadcast-sized. Null-padding semantics of the old
+    ``arrays_zip`` form are preserved exactly: a dim present in only
+    one snapshot still contributes to that side's norm but not to the
+    dot product, and a label missing from either snapshot drops (inner
+    join on the label-level counts).
     """
-    ca = label_centroids(a, label_col, vec_col).select(
-        "label", F.col("n").alias("n_a"), F.col("centroid").alias("ca")
+    tagged = (
+        a.select(
+            F.lit(0).alias("__snap"),
+            F.col(label_col).alias("label"),
+            F.col(vec_col).alias("__v"),
+        ).unionByName(
+            b.select(
+                F.lit(1).alias("__snap"),
+                F.col(label_col).alias("label"),
+                F.col(vec_col).alias("__v"),
+            )
+        )
     )
-    cb = label_centroids(b, label_col, vec_col).select(
-        "label", F.col("n").alias("n_b"), F.col("centroid").alias("cb")
+    ex = tagged.select(
+        "__snap", "label", F.posexplode(F.col("__v")).alias("dim", "x")
     )
-    j = ca.join(cb, "label")
-    ex = j.select(
-        "label", "n_a", "n_b",
-        F.posexplode(F.arrays_zip("ca", "cb")).alias("dim", "p"),
-    ).select(
-        "label", "n_a", "n_b",
-        F.col("p.ca").cast("decimal(19,6)").alias("xa"),
-        F.col("p.cb").cast("decimal(19,6)").alias("xb"),
+    per = ex.groupBy("__snap", "label", "dim").agg(
+        F.round(
+            F.round(F.sum(F.col("x").cast("decimal(38,18)")), 8).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
     )
-    agg = ex.groupBy("label", "n_a", "n_b").agg(
+    lab_n = (
+        per.groupBy("label")
+        .agg(
+            F.max(F.when(F.col("__snap") == 0, F.col("n"))).cast("long").alias("n_a"),
+            F.max(F.when(F.col("__snap") == 1, F.col("n"))).cast("long").alias("n_b"),
+        )
+        .filter(F.col("n_a").isNotNull() & F.col("n_b").isNotNull())
+    )
+    piv = per.groupBy("label", "dim").agg(
+        F.max(F.when(F.col("__snap") == 0, F.col("m")))
+        .cast("decimal(19,6)")
+        .alias("xa"),
+        F.max(F.when(F.col("__snap") == 1, F.col("m")))
+        .cast("decimal(19,6)")
+        .alias("xb"),
+    )
+    agg = piv.join(lab_n, "label").groupBy("label", "n_a", "n_b").agg(
         F.sum(F.col("xa") * F.col("xb")).alias("dot"),
         F.sum(F.col("xa") * F.col("xa")).alias("naa"),
         F.sum(F.col("xb") * F.col("xb")).alias("nbb"),

@@ -513,7 +513,13 @@ def _bigram_lm(ref: DataFrame, id_col: str, text_col: str):
     """Broadcastable add-one-bigram-LM state over a bounded reference
     corpus: ((w1,w2)→cb counts, w1→cu context counts, 1-row vocab size) —
     the shared build for :func:`bigram_cross_entropy` and
-    :func:`dsir_importance`."""
+    :func:`dsir_importance`.
+
+    The reference is scanned once per count table (twice + vocab). A
+    persist-cb-and-derive-cu variant (cu(w1) = Σ_w2 cb(w1,w2)) was
+    A/B-measured a wash at bench scale (+0.02 s) while leaking one
+    cached frame per call — the reference corpus is a BOUNDED sample by
+    contract, so its extra scan is not the cost anywhere; rejected."""
     ref_bi = _bigrams(ref, id_col, text_col)
     cb = ref_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     cu = ref_bi.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
