@@ -829,6 +829,15 @@ def repeated_spans(
     per occurrence. Consumers removing spans re-join on the hash, never
     the text. Counting both total occurrences and distinct docs costs
     one pass (count + count_distinct in the same aggregate).
+
+    Collision tradeoff: grouping keys on ``xxhash64(span)`` — a 64-bit
+    collision silently merges two distinct spans' counts and emits only
+    ``min(span)``. Expected collisions ≈ n²/2^65: negligible through
+    ~10^8 distinct spans (<0.003 expected), material by ~10^10. For the
+    full-corpus-scale path, widen the key to ``(xxhash64(span),
+    length(span))`` or md5 — and downstream consumers that remove spans
+    by re-joining on the HASH should join on the span string instead,
+    so a collision can never strip innocent text.
     """
     from cdrc_semantic_search_spark.functions.text import tokens
 
@@ -878,8 +887,9 @@ def blocking_quality(
 
     Composition, fully lazy: truth = :func:`ngram_jaccard_pairs` with
     the guard OFF (exact all-truth on the sample); candidates =
-    :func:`minhash_lsh_pairs` with ``min_est_jaccard=0.0`` (the raw
-    banded blocking, no estimate filter — the thing being graded);
+    :func:`minhash_lsh_pairs` with ``min_est_jaccard=None`` (the raw
+    banded blocking output — no signature re-join, no estimate column
+    — the thing being graded);
     hits = an equi-join of the two pair tables; every count lands as a
     1-row aggregate cross-joined broadcast (no driver collect, no eager
     job at construction). The doc count rides the same way for the

@@ -1795,6 +1795,7 @@ def khop_ball_sizes(
     src: str = "src",
     dst: str = "dst",
     k: int = 2,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Per-vertex k-hop neighborhood (ball) size over the UNDIRECTED
     edge list → (id, ball_size) where ball_size = #distinct vertices
@@ -1819,7 +1820,12 @@ def khop_ball_sizes(
     """
     if not 1 <= k <= 4:
         raise ValueError(f"k must be in [1, 4] (exact balls explode): {k}")
+    # persisted symmetric edges: pass cache_handle (list) to receive the
+    # frame for deterministic unpersist once the result is consumed —
+    # the same release contract as the dedup family (ADVICE r6)
     sym = _sym_undirected(edges, src, dst, v="v", n="u").persist()
+    if cache_handle is not None:
+        cache_handle.append(sym)
     reach = sym
     for _ in range(k - 1):
         nxt = (
@@ -1828,7 +1834,10 @@ def khop_ball_sizes(
             .filter(F.col("v") != F.col("u"))
             .select("v", "u")
         )
-        reach = reach.unionAll(nxt).distinct().localCheckpoint()
+        # lazy: fixed round count, no convergence probe — one
+        # action-driven cascade instead of k-1 blocking jobs (same
+        # rationale as label_propagation's round-7 change)
+        reach = reach.unionAll(nxt).distinct().localCheckpoint(eager=False)
     return reach.groupBy(F.col("v").alias("id")).agg(
         F.count(F.lit(1)).alias("ball_size")
     )
@@ -1840,6 +1849,7 @@ def hyperball_ball_estimates(
     dst: str = "dst",
     k: int = 2,
     m: int = 64,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """HyperBall: per-vertex k-hop neighborhood-size ESTIMATES via
     HyperLogLog register max-propagation (Boldi & Vigna 2013) — the
@@ -1876,7 +1886,11 @@ def hyperball_ball_estimates(
         raise ValueError(f"register count fixed at 64 (alpha constant): {m}")
     alpha = 0.709  # HLL alpha_m for m=64 (Flajolet et al. 2007)
     sym = _sym_undirected(edges, src, dst).persist()
-    regs = _hll_init_registers(sym.select("v").distinct(), m).localCheckpoint()
+    if cache_handle is not None:
+        cache_handle.append(sym)  # deterministic-release contract (ADVICE r6)
+    regs = _hll_init_registers(sym.select("v").distinct(), m).localCheckpoint(
+        eager=False  # fixed rounds, no probe — lazy cascade (see LPA)
+    )
     for _ in range(k):
         flowed = (
             sym.join(regs.select(F.col("v").alias("n"), "j", "rho"), "n")
@@ -1886,7 +1900,7 @@ def hyperball_ball_estimates(
             regs.unionAll(flowed)
             .groupBy("v", "j")
             .agg(F.max("rho").alias("rho"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return _hll_vertex_estimates(regs, m, alpha).select(
         F.col("v").alias("id"), F.round("est", 6).alias("ball_est")
@@ -1937,6 +1951,7 @@ def wl_refinement(
     src: str = "src",
     dst: str = "dst",
     n_rounds: int = 2,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Weisfeiler–Leman color refinement over the undirected edge list →
     (id, wl_color) after ``n_rounds`` rounds — the 1-WL structural
@@ -1960,9 +1975,11 @@ def wl_refinement(
     discipline shared with label_propagation.
     """
     sym = _sym_undirected(edges, src, dst).persist()
+    if cache_handle is not None:
+        cache_handle.append(sym)  # deterministic-release contract (ADVICE r6)
     colors = sym.groupBy("v").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # fixed rounds, no probe — lazy cascade
     for _ in range(n_rounds):
         neigh = sym.join(
             colors.select(F.col("v").alias("n"), F.col("c").alias("cn")), "n"
@@ -1985,7 +2002,7 @@ def wl_refinement(
                     ).cast("binary")
                 ).cast("long").alias("c"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return colors.select(F.col("v").alias("id"), F.col("c").alias("wl_color"))
 
@@ -1996,6 +2013,7 @@ def neighborhood_function(
     dst: str = "dst",
     max_t: int = 3,
     m: int = 64,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """The neighborhood function N(t) = Σ_v |ball_t(v)| estimated with
     the :func:`hyperball_ball_estimates` register algebra, one row per
@@ -2019,7 +2037,11 @@ def neighborhood_function(
     if m != 64:
         raise ValueError(f"register count fixed at 64 (alpha constant): {m}")
     sym = _sym_undirected(edges, src, dst).persist()
-    regs = _hll_init_registers(sym.select("v").distinct(), m).localCheckpoint()
+    if cache_handle is not None:
+        cache_handle.append(sym)  # deterministic-release contract (ADVICE r6)
+    regs = _hll_init_registers(sym.select("v").distinct(), m).localCheckpoint(
+        eager=False  # fixed rounds, no probe — lazy cascade (see LPA)
+    )
 
     def est_sum(r: DataFrame, t: int) -> DataFrame:
         return _hll_vertex_estimates(r, m, alpha).select(
@@ -2039,7 +2061,7 @@ def neighborhood_function(
             regs.unionAll(flowed)
             .groupBy("v", "j")
             .agg(F.max("rho").alias("rho"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         out = out.unionAll(est_sum(regs, t))
     return out.select(
@@ -2055,6 +2077,7 @@ def linkpred_auc(
     neg_pairs: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """AUC of the common-neighbor link-prediction score: P(score(pos) >
     score(neg)) with ties counted half — the standard evaluation of a
@@ -2076,6 +2099,8 @@ def linkpred_auc(
     value table, and lands on one row.
     """
     sym = _sym_undirected(edges, src, dst).persist()
+    if cache_handle is not None:
+        cache_handle.append(sym)  # deterministic-release contract (ADVICE r6)
 
     def cn_scores(pairs: DataFrame) -> DataFrame:
         p = pairs.select(F.col("a"), F.col("b"))

@@ -1107,6 +1107,15 @@ def hard_negatives(
     never enter the rank windows. For corpora beyond broadcast, the
     IVF/PQ shortlist kernels compose the same way — shortlist, filter
     labels, exact rescore.
+
+    NULL labels are EXCLUDED by design: the ``!=`` mismatch predicate
+    is NULL (row dropped) when either side's label is NULL, so a query
+    with a NULL label mines zero negatives and NULL-labeled corpus rows
+    are never served as negatives. That is the conservative reading —
+    an unlabeled row's true class is unknown, so treating it as a
+    "definitely different" negative would inject false negatives into
+    training. Callers that want unknown-label rows as negatives should
+    backfill a sentinel label first.
     """
     taken = {q_id, c_id, q_vec, c_vec, q_label, c_label, "score", "rank"}
     nq = internal_col(taken, "__qnorm")

@@ -310,7 +310,13 @@ def scd2_apply(
 
     ``history``: key_cols + value_cols + (valid_from, valid_to) with
     valid_to NULL on current rows. ``updates``: key_cols + value_cols +
-    ``ts_col``, at most one row per key per batch (enforce upstream).
+    ``ts_col``, at most one row per key per batch (enforce upstream),
+    and ts MONOTONE per key: each update's ts must be strictly after
+    the current row's valid_from (a late-arriving update with
+    ts <= valid_from would close the current row with valid_to <
+    valid_from — an inverted validity interval; dedupe/clamp
+    out-of-order feeds upstream, the same precondition Iceberg/Delta
+    MERGE-based SCD2 templates carry).
     Per key: a changed value closes the current row at the update's ts
     and inserts a new current row; an identical value is a no-op (no
     spurious version); a new key inserts. Closed history always passes
