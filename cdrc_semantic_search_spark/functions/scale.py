@@ -27,6 +27,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def fan_in(df: DataFrame, max_bytes_per_task: int = 64 << 20) -> DataFrame:
+    """Merge an OVER-partitioned small frame down to the cluster's
+    default parallelism (narrow ``coalesce`` — no shuffle, same rows)
+    ONLY when both conditions hold:
+
+    * the frame has more partitions than the cluster has task slots, and
+    * the merged partitions stay under ``max_bytes_per_task`` (by the
+      optimizer's own size estimate), so the merge can never create
+      oversized python-worker inputs.
+
+    The inverse of :func:`fan_out`, for the opposite degeneracy: a tiny
+    frame split into hundreds of near-empty partitions pays one python
+    worker round-trip (~10 ms locally) per partition in every
+    ``mapInArrow``/``mapInPandas`` stage that reads it — pure task-launch
+    overhead (guide §4.1's boundary cost is per TASK, amortized only when
+    batches are non-trivial; §6 "fewer, larger map tasks"). On any
+    production layout where partitions actually carry ~task-sized bytes,
+    the byte bound makes this a literal no-op, so it can never REDUCE
+    useful parallelism at scale. Unknown/absurd size estimates (Catalyst
+    returns huge sentinels for un-analyzable plans) fail the byte test
+    and also leave the frame untouched.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+        if current <= par:
+            return df
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - planning-time failure: stay safe
+        return df
+    # smallest task count that keeps every merged partition under the
+    # byte bound, floored at cluster width so the merge never costs
+    # occupancy; ceil-div without floats
+    ideal = max(par, -(-size // max_bytes_per_task))
+    if ideal >= current:
+        return df
+    return df.coalesce(ideal)
+
+
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` to ``min_parts`` (default:
     ``defaultParallelism // 4``) ONLY if its current plan parallelism is

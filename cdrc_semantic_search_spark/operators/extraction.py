@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cdrc_semantic_search_spark.functions.scale import fan_in
 from cdrc_semantic_search_spark.operators.extraction_core import (
     AliasMatcher,
     extract_turn,
@@ -85,7 +86,7 @@ def extract_mentions(transcripts: DataFrame, bc_catalogue) -> DataFrame:
                 ],
             )
 
-    return transcripts.select("conv_id", "turn_idx", "ts", "text").mapInPandas(
+    return fan_in(transcripts.select("conv_id", "turn_idx", "ts", "text")).mapInPandas(
         run, schema=MENTIONS_SCHEMA
     )
 
@@ -117,7 +118,7 @@ def extract_candidates(transcripts: DataFrame, bc_catalogue) -> DataFrame:
                 ],
             )
 
-    return transcripts.select("conv_id", "turn_idx", "ts", "text").mapInPandas(
+    return fan_in(transcripts.select("conv_id", "turn_idx", "ts", "text")).mapInPandas(
         run, schema=CANDIDATES_SCHEMA
     )
 
@@ -229,7 +230,7 @@ def extract_linked_triples(
                 }
             )
 
-    return transcripts.select("conv_id", "turn_idx", "ts", "text").mapInPandas(
+    return fan_in(transcripts.select("conv_id", "turn_idx", "ts", "text")).mapInPandas(
         run, schema=TRIPLES_SCHEMA
     )
 
@@ -325,6 +326,6 @@ def extract_linked_triples_arrow(
                 ],
             )
 
-    return transcripts.select("conv_id", "turn_idx", "ts", "text").mapInArrow(
+    return fan_in(transcripts.select("conv_id", "turn_idx", "ts", "text")).mapInArrow(
         run, schema=TRIPLES_SCHEMA
     )
