@@ -120,12 +120,23 @@ def _warm_python_workers(spark) -> None:
     process-pool initialization, not result precomputation.
     """
     par = spark.sparkContext.defaultParallelism
+
+    def _init(x: int) -> int:
+        # pre-import the heavy per-worker modules too: the first Arrow
+        # stage otherwise pays a simultaneous pandas/pyarrow/numpy import
+        # in every worker (measured as 1-5 s of first-query jitter)
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        return x
+
     try:
         spark.sparkContext.setJobDescription("session init: python worker pool")
         # one python task per slot; the pyspark.daemon forks one reusable
         # worker per concurrent task, and that same pool serves every
         # later pandas/Arrow stage
-        spark.sparkContext.parallelize(range(par), par).map(lambda x: x).count()
+        spark.sparkContext.parallelize(range(par), par).map(_init).count()
     except Exception:  # pragma: no cover — init best-effort, never fatal
         pass
     finally:
