@@ -27,27 +27,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_in(df: DataFrame, max_bytes_per_task: int = 64 << 20) -> DataFrame:
-    """Merge an OVER-partitioned small frame down to the cluster's
+def fan_in(
+    df: DataFrame,
+    starved_partition_bytes: int = 256 << 10,
+    max_bytes_per_task: int = 4 << 20,
+) -> DataFrame:
+    """Merge an OVER-partitioned NEAR-EMPTY frame down to the cluster's
     default parallelism (narrow ``coalesce`` — no shuffle, same rows)
-    ONLY when both conditions hold:
+    ONLY when all of these hold (sizes from the optimizer's own
+    estimate of the PROJECTED frame):
 
-    * the frame has more partitions than the cluster has task slots, and
-    * the merged partitions stay under ``max_bytes_per_task`` (by the
-      optimizer's own size estimate), so the merge can never create
-      oversized python-worker inputs.
+    * the frame has more partitions than the cluster has task slots;
+    * the existing partitions are BYTE-STARVED — under
+      ``starved_partition_bytes`` (256 KB ≈ tens of ms of python-bound
+      work) on average, i.e. per-task launch overhead (~10 ms locally)
+      is a double-digit fraction of each task;
+    * the merge at least HALVES the partition count (a near-no-op merge
+      isn't worth disturbing the scan layout for).
 
     The inverse of :func:`fan_out`, for the opposite degeneracy: a tiny
     frame split into hundreds of near-empty partitions pays one python
-    worker round-trip (~10 ms locally) per partition in every
-    ``mapInArrow``/``mapInPandas`` stage that reads it — pure task-launch
-    overhead (guide §4.1's boundary cost is per TASK, amortized only when
-    batches are non-trivial; §6 "fewer, larger map tasks"). On any
-    production layout where partitions actually carry ~task-sized bytes,
-    the byte bound makes this a literal no-op, so it can never REDUCE
-    useful parallelism at scale. Unknown/absurd size estimates (Catalyst
-    returns huge sentinels for un-analyzable plans) fail the byte test
-    and also leave the frame untouched.
+    worker round-trip per partition in every ``mapInArrow``/
+    ``mapInPandas`` stage that reads it — pure task-launch overhead
+    (guide §4.1's boundary cost is per TASK, amortized only when batches
+    are non-trivial). The activation threshold is deliberately LOW and
+    keyed on the partitions as they ARE, not as they would be after
+    merging: partitions already carrying megabytes have nothing to win
+    (overhead <1%), and merging them into giant serial-python tasks was
+    MEASURED to lose badly — an earlier draft that merged whenever the
+    POST-merge size stayed under 64 MB collapsed the scaling bench's
+    64×2 MB scan to slot-count tasks and cost the N level half its
+    throughput (216k→114k turns/s; 4N 752k→520k). On any layout whose
+    partitions carry real bytes this version is a literal no-op, so it
+    can never reduce useful parallelism at scale. Unknown/absurd size
+    estimates (Catalyst returns huge sentinels for un-analyzable plans)
+    fail the starvation test and also leave the frame untouched.
     """
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -58,11 +72,13 @@ def fan_in(df: DataFrame, max_bytes_per_task: int = 64 << 20) -> DataFrame:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:  # pragma: no cover - planning-time failure: stay safe
         return df
+    if size // current >= starved_partition_bytes:
+        return df
     # smallest task count that keeps every merged partition under the
-    # byte bound, floored at cluster width so the merge never costs
-    # occupancy; ceil-div without floats
+    # per-task byte bound, floored at cluster width so the merge never
+    # costs occupancy; ceil-div without floats
     ideal = max(par, -(-size // max_bytes_per_task))
-    if ideal >= current:
+    if ideal * 2 > current:
         return df
     return df.coalesce(ideal)
 

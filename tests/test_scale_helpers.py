@@ -51,6 +51,14 @@ def test_fan_in_noop_at_or_below_parallelism(spark):
     assert fan_in(df) is df
 
 
+def test_fan_in_requires_at_least_halving(spark):
+    # barely over-partitioned frames (merge would cut < 2x) keep their
+    # scan layout: disturbing a near-right partitioning buys nothing
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000).repartition(par + 1).localCheckpoint()
+    assert fan_in(df) is df
+
+
 def test_fan_in_respects_byte_bound(spark):
     # partitions that would merge past the byte bound stay as they are:
     # with max_bytes_per_task=1, the ideal task count >= current count,
@@ -58,6 +66,19 @@ def test_fan_in_respects_byte_bound(spark):
     par = spark.sparkContext.defaultParallelism
     df = spark.range(0, 1000).repartition(par * 4).localCheckpoint()
     assert fan_in(df, max_bytes_per_task=1) is df
+
+
+def test_fan_in_leaves_non_starved_partitions_alone(spark):
+    # partitions at or above the starvation threshold keep their layout
+    # even though a merge would satisfy the post-merge byte bound —
+    # merging non-starved partitions into long serial python tasks was
+    # measured to cost throughput (see fan_in's docstring). Threshold
+    # lowered so the small fixture sits above it, exercising the guard.
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000).repartition(par * 4).localCheckpoint()
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert size // df.rdd.getNumPartitions() >= 1, "fixture has zero estimate"
+    assert fan_in(df, starved_partition_bytes=1) is df
 
 
 def test_fused_extraction_results_unchanged_by_input_partitioning(
